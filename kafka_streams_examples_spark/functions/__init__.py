@@ -49,15 +49,30 @@ def md5_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns in double — a codegen'd
+    array fold, JVM-side (the inner loop of brute-force KNN; no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm of an array<numeric> column, in double."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column, b: Column,
+                      norm_a: Column | None = None,
+                      norm_b: Column | None = None) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double.
 
-    Pure codegen'd array fold — stays JVM-side; at 100 TB this is the inner
-    loop of brute-force KNN so no Python may touch it.
+    Pass precomputed norms when comparing many pairs: norms are O(n) per
+    VECTOR while pairs are O(n^2), so recomputing norms inside the pair
+    loop triples the flops. The callers in operators/similarity.py compute
+    each side's norm once and join it alongside the vector.
     """
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    na = l2_norm(a) if norm_a is None else norm_a
+    nb = l2_norm(b) if norm_b is None else norm_b
+    return dot_product(a, b) / (na * nb)

@@ -63,6 +63,24 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
             .distinct())
 
 
+def doc_shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Distinct 64-bit shingle hashes per doc: (doc_id, shingle long).
+
+    For set-similarity joins the shingle TEXT is irrelevant — only identity
+    matters — so hash to int64 before the distinct: the dedup shuffle and
+    the self-join both move 8-byte keys instead of n-word strings, and the
+    join compares longs. xxhash64 collisions are negligible at any
+    realistic corpus size (~n^2/2^64).
+    """
+    return (docs
+            .select(F.col(id_col), tokens(text_col).alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("s"))
+            .select(id_col, F.xxhash64("s").alias("shingle"))
+            .distinct())
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per document (portable md5-based permutations).
@@ -118,12 +136,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         candidates: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs sharing >= 1 shingle.
 
-    Inverted-index join: explode shingles, self-join on the shingle, count
-    intersections, derive |union| from per-doc set sizes. The quadratic
-    blowup is limited to docs sharing a shingle (at scale: cap or sample
-    hot shingles; here the LSH variant is the scale path).
+    Inverted-index join: explode shingles, self-join on the 64-bit shingle
+    hash, count intersections, derive |union| from per-doc set sizes. The
+    quadratic blowup is limited to docs sharing a shingle (at scale: cap or
+    sample hot shingles; here the LSH variant is the scale path).
     """
-    sh = doc_shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = doc_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -174,16 +192,18 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     confined to same-bucket pairs — the IVF-style scale path. Without one
     this degrades to all-pairs and must not be used beyond small inputs.
     """
-    from ..functions import cosine_similarity
+    from ..functions import dot_product, l2_norm
     a = emb.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"),
+                   l2_norm(F.col(vec_col)).alias("n1"),
                    *( [F.col(bucket_col).alias("bk")] if bucket_col else [] ))
     b = emb.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"),
+                   l2_norm(F.col(vec_col)).alias("n2"),
                    *( [F.col(bucket_col).alias("bk")] if bucket_col else [] ))
     on = (F.col("d1") < F.col("d2"))
     if bucket_col:
         pairs = a.join(b, ["bk"]).filter(on)
     else:
         pairs = a.crossJoin(b).filter(on)
-    sim = cosine_similarity(F.col("v1"), F.col("v2"))
+    sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (pairs.select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
                  .filter(F.col("cos_sim") >= threshold))

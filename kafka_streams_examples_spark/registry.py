@@ -807,7 +807,9 @@ def q_inventory_reservation(spark: SparkSession, sf: str) -> DataFrame:
                 results.append("FAIL")
         return pd.DataFrame({
             "l_partkey": pdf["l_partkey"], "l_orderkey": pdf["l_orderkey"],
-            "l_linenumber": pdf["l_linenumber"], "result": results})
+            "l_linenumber": pdf["l_linenumber"],
+            "l_quantity": pdf["l_quantity"], "result": results})
 
     return li.groupBy("l_partkey").applyInPandas(
-        reserve, schema="l_partkey bigint, l_orderkey bigint, l_linenumber int, result string")
+        reserve, schema="l_partkey bigint, l_orderkey bigint, l_linenumber int, "
+                        "l_quantity double, result string")

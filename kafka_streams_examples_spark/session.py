@@ -22,6 +22,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "kafka-streams-examples-spark",
               cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # make this package importable by python workers (closures that reference
+    # package-level functions pickle by reference); must happen before the
+    # JVM launches so forked workers inherit it
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = (
+            repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:

@@ -1,0 +1,70 @@
+"""Kafka source/sink configuration (SURVEY §2.1 S1/S5/S6/S12).
+
+The reference consumes/produces Kafka topics with Avro payloads and SSL
+options (SecureKafkaStreamsExample.java:166-175). Spark's Kafka connector
+takes the same client configs under the `kafka.` prefix. Payload decoding
+(S8) uses from_avro/from_json on the `value` column; per-record dynamic
+topic routing (S6, EmailService.java:113-116) is a `topic` column on the
+sink side — both expressed here as plan builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_source_options(bootstrap_servers: str, topics: str,
+                         starting_offsets: str = "earliest",
+                         ssl: dict | None = None) -> dict[str, str]:
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    if ssl:
+        # SecureKafkaStreamsExample.java:166-175 — same keys, kafka. prefix
+        opts.update({
+            "kafka.security.protocol": ssl.get("security.protocol", "SSL"),
+            "kafka.ssl.truststore.location": ssl.get("ssl.truststore.location", ""),
+            "kafka.ssl.truststore.password": ssl.get("ssl.truststore.password", ""),
+            "kafka.ssl.keystore.location": ssl.get("ssl.keystore.location", ""),
+            "kafka.ssl.keystore.password": ssl.get("ssl.keystore.password", ""),
+            "kafka.ssl.key.password": ssl.get("ssl.key.password", ""),
+        })
+    return opts
+
+
+def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
+                 value_schema: str | None = None,
+                 streaming: bool = True, **kw) -> DataFrame:
+    """Kafka records as (key string, value..., ts timestamp).
+
+    With value_schema (a DDL string), the JSON payload is parsed into typed
+    columns (S9); corrupt rows yield nulls and are dropped (S11).
+    """
+    reader = spark.readStream if streaming else spark.read
+    reader = reader.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topics, **kw).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
+    out = raw.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("timestamp").alias("ts"),
+    )
+    if value_schema is not None:
+        out = (out.withColumn("v", F.from_json("value", value_schema))
+                  .filter(F.col("v").isNotNull())
+                  .select("key", "v.*", "ts"))
+    return out
+
+
+def kafka_sink_options(bootstrap_servers: str,
+                       topic: str | None = None) -> dict[str, str]:
+    """Sink options; omit `topic` when the DataFrame carries a per-row
+    `topic` column (dynamic routing, S6)."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    if topic is not None:
+        opts["topic"] = topic
+    return opts

@@ -1,0 +1,149 @@
+"""Custom stateful streaming processors (SURVEY §2.6) via
+applyInPandasWithState — Arrow-batched, partitioned by key, state in the
+Spark state store (RocksDB provider at scale).
+
+T1 running_counts   — StateStoresInTheDSLIntegrationTest.java:66-161
+T3 reservations     — InventoryService.java:107-169 (read-modify-write)
+J8/T5 join_wait     — CustomStreamTableJoinIntegrationTest.java:285-338
+
+Each processor is sequential WITHIN a key and parallel ACROSS keys —
+exactly the per-partition ordering guarantee Kafka Streams tasks give.
+State per key is O(1) (a counter / reservation level / small buffer), so
+state-store size grows with key cardinality only, not event volume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+
+def running_counts(events: DataFrame, key_col: str = "word") -> DataFrame:
+    """T1: ever-incrementing per-key count, one output row per batch+key
+    (update-mode conflation — the reference emits per record with cache
+    off; per micro-batch is the Spark-native conflation contract)."""
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("count", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({key_col: [key[0]], "count": [total]})
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def reservations(orders: DataFrame, stock_for_key, key_col: str = "product",
+                 qty_col: str = "quantity", ts_col: str = "ts") -> DataFrame:
+    """T3: reserve stock per product; PASS while reserved+qty <= stock.
+
+    stock_for_key: python fn key -> float (warehouse level); in production a
+    broadcast dimension joined upstream.
+    """
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("order_id", T.StringType()),
+        T.StructField("result", T.StringType()),
+    ])
+    state_schema = T.StructType([T.StructField("reserved", T.DoubleType())])
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        reserved = state.get[0] if state.exists else 0.0
+        stock = float(stock_for_key(key[0]))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            results = []
+            for qty in pdf[qty_col]:
+                if reserved + float(qty) <= stock:
+                    reserved += float(qty)
+                    results.append("PASS")
+                else:
+                    results.append("FAIL")
+            yield pd.DataFrame({key_col: pdf[key_col], "order_id": pdf["order_id"],
+                                "result": results})
+        state.update((reserved,))
+
+    return (orders.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
+              wait_seconds: int = 60) -> DataFrame:
+    """J8: stream-table join with table-side wait.
+
+    Semantics (CustomStreamTableJoinIntegrationTest.java:60-131): each
+    stream record produces EXACTLY ONE output; if a table-side value for
+    the key is known, emit (v, t) immediately; otherwise buffer the stream
+    record up to wait_seconds (processing time) hoping the table side
+    arrives, then emit (v, null).
+
+    Inputs are unioned upstream (side='S'|'T') so one keyed processor sees
+    both, mirroring the reference's two-store transformer.
+    """
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("stream_value", T.DoubleType()),
+        T.StructField("table_value", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("table_value", T.LongType()),
+        T.StructField("has_table", T.BooleanType()),
+        T.StructField("pending", T.ArrayType(T.DoubleType())),
+    ])
+
+    tagged = (stream.select(F.col(key_col), F.lit("S").alias("side"),
+                            F.col("value").cast("double").alias("s_val"),
+                            F.lit(None).cast("long").alias("t_val"))
+              .unionByName(
+                  tbl.select(F.col(key_col), F.lit("T").alias("side"),
+                             F.lit(None).cast("double").alias("s_val"),
+                             F.col("value").cast("long").alias("t_val"))))
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            t_val, has_t, pending = state.get
+            if pending:
+                yield pd.DataFrame({key_col: [key[0]] * len(pending),
+                                    "stream_value": list(pending),
+                                    "table_value": [None] * len(pending)})
+            state.update((t_val, has_t, []))
+            state.setTimeoutDuration(wait_seconds * 1000)
+            return
+        t_val, has_t, pending = state.get if state.exists else (None, False, [])
+        pending = list(pending or [])
+        out_k, out_s, out_t = [], [], []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                if row["side"] == "T":
+                    t_val, has_t = int(row["t_val"]), True
+                    for sv in pending:          # flush waiters on arrival
+                        out_k.append(key[0]); out_s.append(sv); out_t.append(t_val)
+                    pending = []
+                else:
+                    if has_t:
+                        out_k.append(key[0]); out_s.append(float(row["s_val"])); out_t.append(t_val)
+                    else:
+                        pending.append(float(row["s_val"]))
+        state.update((t_val, has_t, pending))
+        state.setTimeoutDuration(wait_seconds * 1000)
+        if out_k:
+            yield pd.DataFrame({key_col: out_k, "stream_value": out_s,
+                                "table_value": out_t})
+
+    return (tagged.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -1,0 +1,50 @@
+"""Cross-checks for the approximate operators that have no SQL oracle:
+MinHash-LSH against exact Jaccard, and IVF ANN recall against brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.catalog import table
+from kafka_streams_examples_spark.operators.dedup import (
+    minhash_lsh_pairs, ngram_jaccard_pairs,
+)
+from kafka_streams_examples_spark.operators.similarity import (
+    brute_force_knn, ivf_knn,
+)
+
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    exact = {(r["d1"], r["d2"]) for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.2).collect()}
+    lsh = {(r["d1"], r["d2"]) for r in
+           minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                             jaccard_threshold=0.2).collect()}
+    # verification step guarantees precision: every LSH pair is a real pair
+    assert lsh <= exact
+    # banding (2 rows x 4 bands) at jac>=0.2 — recall is probabilistic but
+    # must catch the clear duplicates (jac >= 0.5)
+    strong = {(r["d1"], r["d2"]) for r in
+              ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert strong <= lsh or len(strong) == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = brute_force_knn(queries, emb, k=5).collect()
+    ivf = ivf_knn(queries, emb, k=5, nprobe=3).collect()
+    bf_set = {(r["q_id"], r["c_id"]) for r in bf}
+    ivf_set = {(r["q_id"], r["c_id"]) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    # labels are weak clusters; nprobe=3/10 should still catch most true
+    # neighbors — this guards against routing bugs, not ANN quality
+    assert recall >= 0.3, f"recall {recall}"
+    # exact self-consistency: ivf scores must equal brute-force scores for
+    # overlapping pairs
+    bf_scores = {(r["q_id"], r["c_id"]): r["cos_sim"] for r in bf}
+    for r in ivf:
+        k = (r["q_id"], r["c_id"])
+        if k in bf_scores:
+            assert abs(bf_scores[k] - r["cos_sim"]) < 1e-9

@@ -1,0 +1,102 @@
+"""Unit tests for batch operators on tiny hand-built inputs with known
+answers — the TopologyTestDriver pattern (SURVEY §5.1: explicit input list
+→ expected output equality)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.operators.joins import asof_join, interval_join
+from kafka_streams_examples_spark.operators.ktable import latest_per_key
+from kafka_streams_examples_spark.operators.topk import top_k_per_group
+from kafka_streams_examples_spark.operators.windows import (
+    daily_window_start, with_session_id,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_latest_per_key_tombstones(spark):
+    # mirrors UserRegionLambdaExample: alice moves europe->asia; bob deleted
+    df = spark.createDataFrame(
+        [("alice", "europe", ts("2024-01-01 10:00:00"), 1),
+         ("alice", "asia", ts("2024-01-01 11:00:00"), 2),
+         ("bob", "americas", ts("2024-01-01 10:30:00"), 3),
+         ("bob", None, ts("2024-01-01 12:00:00"), 4)],
+        "user string, region string, ts timestamp, seq int")
+    out = latest_per_key(df, ["user"], "ts", ["seq"], tombstone_col="region")
+    rows = {r["user"]: r["region"] for r in out.collect()}
+    assert rows == {"alice": "asia"}
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("k", 1, ts("2024-01-01 10:00:00"), 1),
+         ("k", 2, ts("2024-01-01 10:00:00"), 2)],
+        "key string, v int, ts timestamp, seq int")
+    out = latest_per_key(df, ["key"], "ts", ["seq"]).collect()
+    assert len(out) == 1 and out[0]["v"] == 2
+
+
+def test_top_k_per_group_order(spark):
+    # KafkaMusic TopFiveSongs comparator: plays desc, id asc
+    df = spark.createDataFrame(
+        [("rock", 1, 10), ("rock", 2, 10), ("rock", 3, 5), ("rock", 4, 20),
+         ("jazz", 5, 1)],
+        "genre string, song_id int, plays int")
+    out = top_k_per_group(df, ["genre"], [F.desc("plays"), F.asc("song_id")], k=3)
+    rock = [r["song_id"] for r in out.filter("genre='rock'").orderBy("rnk").collect()]
+    assert rock == [4, 1, 2]
+
+
+def test_session_ids_merge_on_bridge(spark):
+    # SessionWindowsExampleTest: sessions merge when a bridging event lands
+    rows = [("u", ts("2024-01-01 10:00:00")),
+            ("u", ts("2024-01-01 10:20:00")),   # bridges (gap 30m)
+            ("u", ts("2024-01-01 10:40:00")),
+            ("u", ts("2024-01-01 12:00:00"))]   # new session
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = with_session_id(df, ["user"], gap_seconds=1800)
+    sessions = sorted(r["session_id"] for r in out.collect())
+    assert sessions == [1, 1, 1, 2]
+
+
+def test_daily_window_start_1800():
+    import pyspark.sql.functions as F  # noqa: F401
+    from kafka_streams_examples_spark.session import get_spark
+    spark = get_spark("tests", cpus=4)
+    df = spark.createDataFrame(
+        [(ts("2024-01-01 17:59:00"),), (ts("2024-01-01 18:00:00"),)],
+        "t timestamp")
+    out = df.select(daily_window_start(F.col("t"), 18).alias("w")).collect()
+    assert out[0]["w"] == ts("2023-12-31 18:00:00")
+    assert out[1]["w"] == ts("2024-01-01 18:00:00")
+
+
+def test_interval_join_window_bounds(spark):
+    left = spark.createDataFrame(
+        [("a", ts("2024-01-01 10:00:00"))], "k string, l_ts timestamp")
+    right = spark.createDataFrame(
+        [("a", ts("2024-01-01 10:04:59")),
+         ("a", ts("2024-01-01 10:05:01")),
+         ("a", ts("2024-01-01 09:59:00"))], "k string, r_ts timestamp")
+    out = interval_join(left, right, "k", 0, 300)
+    assert out.count() == 1
+
+
+def test_asof_join_null_before_first(spark):
+    stream = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01 09:00:00")),
+         (2, "a", ts("2024-01-01 11:00:00"))],
+        "event_id int, key string, ts timestamp")
+    tbl = spark.createDataFrame(
+        [(100, "a", ts("2024-01-01 10:00:00"), 7)],
+        "event_id int, key string, ts timestamp, value int")
+    out = asof_join(stream, tbl, key="key", value_cols=["value"],
+                    ts_col="ts", tiebreak="event_id")
+    got = {r["event_id"]: r["asof_value"] for r in out.collect()}
+    assert got == {1: None, 2: 7}

@@ -1,0 +1,106 @@
+"""Stateful processor tests (applyInPandasWithState) + the batch
+reservation invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.streaming.core import await_rows, run_to_memory
+from kafka_streams_examples_spark.streaming.stateful import (
+    join_wait, reservations, running_counts,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_running_counts_accumulate_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    spark.createDataFrame([("a",), ("a",), ("b",)], "word string") \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("word string").parquet(str(src))
+    name, q = run_to_memory(running_counts(stream, "word"), mode="update")
+    try:
+        spark.createDataFrame([("a",)], "word string") \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    # update mode: latest row per word is the running total (T1: every
+    # increment observable per batch; final state a=3, b=1)
+    latest = {}
+    for r in rows:
+        latest[r["word"]] = max(latest.get(r["word"], 0), r["count"])
+    assert latest == {"a": 3, "b": 1}
+
+
+def test_reservations_sequential_capacity(spark, tmp_path):
+    src = tmp_path / "orders"
+    rows = [("widget", "o1", 60.0, ts("2024-01-01 10:00:00")),
+            ("widget", "o2", 30.0, ts("2024-01-01 10:01:00")),
+            ("widget", "o3", 30.0, ts("2024-01-01 10:02:00")),   # over capacity
+            ("gadget", "o4", 5.0, ts("2024-01-01 10:00:00"))]
+    spark.createDataFrame(
+        rows, "product string, order_id string, quantity double, ts timestamp") \
+        .coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "product string, order_id string, quantity double, ts timestamp") \
+        .parquet(str(src))
+    out = reservations(stream, stock_for_key=lambda k: 100.0)
+    name, q = run_to_memory(out, mode="update")
+    try:
+        got = {r["order_id"]: r["result"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {"o1": "PASS", "o2": "PASS", "o3": "FAIL", "o4": "PASS"}
+
+
+def test_join_wait_immediate_and_buffered(spark, tmp_path):
+    s_dir, t_dir = tmp_path / "s", tmp_path / "t"
+    # batch 1: table value for k1 arrives; stream rows for k1 (joinable now)
+    # and k2 (no table side yet -> buffered)
+    spark.createDataFrame([("k1", 1.5), ("k2", 2.5)], "key string, value double") \
+         .coalesce(1).write.mode("append").parquet(str(s_dir))
+    spark.createDataFrame([("k1", 10)], "key string, value long") \
+         .coalesce(1).write.mode("append").parquet(str(t_dir))
+    s = spark.readStream.schema("key string, value double").parquet(str(s_dir))
+    t = spark.readStream.schema("key string, value long").parquet(str(t_dir))
+    # wait=False: ProcessingTimeTimeout queries never drain "all available"
+    # (continuous empty batches evaluate timeouts) — poll the sink instead
+    name, q = run_to_memory(join_wait(s, t, wait_seconds=300), mode="update",
+                            wait=False)
+    try:
+        await_rows(spark, name, lambda rs: len(rs) >= 1)
+        # batch 2: k2's table side arrives -> buffered row flushes with value
+        spark.createDataFrame([("k2", 20)], "key string, value long") \
+             .coalesce(1).write.mode("append").parquet(str(t_dir))
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 2)
+    finally:
+        q.stop()
+    got = {(r["key"], r["stream_value"]): r["table_value"] for r in rows}
+    assert got[("k1", 1.5)] == 10
+    assert got[("k2", 2.5)] == 20
+
+
+def test_reservation_batch_invariants(spark, sf_dir):
+    # registry inventory_reservation: reserved total per part never exceeds
+    # stock, and a FAIL implies the line would have exceeded capacity
+    from kafka_streams_examples_spark.registry import QUERIES
+    from kafka_streams_examples_spark.catalog import table
+
+    # the processor emits l_quantity so this needs no re-join: the natural
+    # key (partkey, orderkey, linenumber) is NOT unique in the synthetic data
+    out = QUERIES["inventory_reservation"].spark(spark, sf_dir)
+    agg = (out.withColumn("stock", 100.0 + (F.col("l_partkey") % 50) * 10.0)
+           .groupBy("l_partkey", "stock")
+           .agg(F.sum(F.when(F.col("result") == "PASS", F.col("l_quantity"))
+                       .otherwise(0.0)).alias("reserved")))
+    # 1e-6 slack: the processor accumulates sequentially while this check
+    # re-sums in arbitrary order, so exactly-at-capacity parts can differ
+    # by float-associativity noise
+    assert agg.filter(F.col("reserved") > F.col("stock") + 1e-6).count() == 0
+    assert out.filter(F.col("result") == "FAIL").count() > 0

@@ -1,0 +1,131 @@
+"""Streaming smoke tests: file-source micro-batches driven synchronously to
+completion (the TopologyTestDriver equivalent) and compared against the
+batch/oracle results where meaningful."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.catalog import table
+from kafka_streams_examples_spark.streaming.core import (
+    run_to_memory, stream_table,
+)
+from kafka_streams_examples_spark.streaming.dedup import dedup_stream
+from kafka_streams_examples_spark.streaming.pipelines import (
+    session_counts, streaming_wordcount, windowed_counts,
+)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_streaming_wordcount_matches_batch(spark, sf_dir):
+    lines = stream_table(spark, sf_dir, "documents")
+    name, q = run_to_memory(streaming_wordcount(lines), mode="complete")
+    try:
+        got = {r["word"]: r["count"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    batch = (table(spark, sf_dir, "documents")
+             .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+             .filter(F.col("word") != "").groupBy("word").count())
+    want = {r["word"]: r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_windowed_counts_append(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events")
+    name, q = run_to_memory(windowed_counts(ev), mode="append")
+    try:
+        n_stream = spark.table(name).agg(F.sum("n")).first()[0]
+    finally:
+        q.stop()
+    # append mode emits only windows closed by the final watermark; all but
+    # the last ~2h of data must be present
+    total = table(spark, sf_dir, "events").count()
+    assert n_stream is not None and 0 < n_stream <= total
+
+
+def test_streaming_session_counts(spark, sf_dir):
+    ev = stream_table(spark, sf_dir, "events")
+    name, q = run_to_memory(session_counts(ev), mode="append")
+    try:
+        out = spark.table(name)
+        assert out.count() > 0
+        # session invariant: no two sessions for one user may overlap-with-gap;
+        # equivalently per user the starts are unique
+        dup = (out.groupBy("user_id", "session_start").count()
+                  .filter(F.col("count") > 1).count())
+    finally:
+        q.stop()
+    assert dup == 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    rows = [("e1", ts("2024-01-01 10:00:00")),
+            ("e1", ts("2024-01-01 10:05:00")),   # dup within ttl -> dropped
+            ("e2", ts("2024-01-01 10:06:00"))]
+    src = tmp_path / "in"
+    spark.createDataFrame(rows, "event_id string, ts timestamp") \
+         .coalesce(1).write.parquet(str(src))
+    stream = (spark.readStream
+              .schema("event_id string, ts timestamp").parquet(str(src)))
+    name, q = run_to_memory(dedup_stream(stream, ["event_id"], ttl="10 minutes"),
+                            mode="append")
+    try:
+        got = sorted(r["event_id"] for r in spark.table(name).collect())
+    finally:
+        q.stop()
+    assert got == ["e1", "e2"]
+
+
+def test_streaming_interval_join(spark):
+    import tempfile
+    from kafka_streams_examples_spark.streaming.pipelines import interval_join_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        l_rows = [("a", ts("2024-01-01 10:00:00"))]
+        r_rows = [("a", ts("2024-01-01 10:30:00")),
+                  ("a", ts("2024-01-01 12:00:00"))]
+        spark.createDataFrame(l_rows, "l_key string, l_ts timestamp") \
+             .write.parquet(d + "/l")
+        spark.createDataFrame(r_rows, "r_key string, r_ts timestamp") \
+             .write.parquet(d + "/r")
+        l = spark.readStream.schema("l_key string, l_ts timestamp").parquet(d + "/l")
+        r = spark.readStream.schema("r_key string, r_ts timestamp").parquet(d + "/r")
+        name, q = run_to_memory(interval_join_stream(l, r, "key"), mode="append")
+        try:
+            out = spark.table(name).collect()
+        finally:
+            q.stop()
+        assert len(out) == 1 and out[0]["r_ts"] == ts("2024-01-01 10:30:00")
+
+
+def test_ktable_materializer_upsert(spark, tmp_path):
+    from kafka_streams_examples_spark.streaming.ktable import KTableMaterializer
+
+    src = tmp_path / "src"
+    state = tmp_path / "state"
+    rows1 = [("alice", "europe", ts("2024-01-01 10:00:00")),
+             ("bob", "americas", ts("2024-01-01 10:00:00"))]
+    spark.createDataFrame(rows1, "user string, region string, ts timestamp") \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    mat = KTableMaterializer(spark, str(state), ["user"], "ts")
+    stream = spark.readStream.schema("user string, region string, ts timestamp") \
+                  .parquet(str(src))
+    q = stream.writeStream.outputMode("append").foreachBatch(mat).start()
+    q.processAllAvailable()
+    # second batch: alice moves
+    rows2 = [("alice", "asia", ts("2024-01-01 11:00:00"))]
+    spark.createDataFrame(rows2, "user string, region string, ts timestamp") \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user"]: r["region"] for r in mat.state().collect()}
+    assert got == {"alice": "asia", "bob": "americas"}
+    assert mat.get(user="bob")[0]["region"] == "americas"
