@@ -24,6 +24,9 @@ from kafka_streams_examples_spark.session import get_spark
 # scale-sensitive ones (joins, windows, dedup, ANN).
 HEADLINE = [
     "tpch_q1",
+    "music_charts",
+    "pageview_region",
+    "order_validation",
     "wordcount",
     "fk_chain",
     "ktable_latest",

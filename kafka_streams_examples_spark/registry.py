@@ -813,3 +813,241 @@ def q_inventory_reservation(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_partkey").applyInPandas(
         reserve, schema="l_partkey bigint, l_orderkey bigint, l_linenumber int, "
                         "l_quantity double, result string")
+
+
+# ---------------------------------------------------------------------------
+# Flagship end-to-end topologies (SURVEY §7.1 step 10): each composes the
+# operator packs above exactly the way the reference's three headline
+# applications do, mapped onto the testdata star schema.
+
+
+@query(
+    "music_charts",
+    "WITH counts AS ("
+    " SELECT p.p_brand AS genre, p.p_partkey AS song_id, p.p_name AS song_name,"
+    "        count(*) AS plays"
+    " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    " WHERE l.l_quantity >= 5 GROUP BY 1, 2, 3) "
+    "SELECT genre, CAST(rnk AS BIGINT) AS rnk, song_id, song_name, plays FROM ("
+    " SELECT genre, song_id, song_name, plays,"
+    "  row_number() OVER (PARTITION BY genre ORDER BY plays DESC, song_id) AS rnk"
+    " FROM counts) WHERE rnk <= 5 "
+    "UNION ALL "
+    "SELECT '__overall__' AS genre, CAST(rnk AS BIGINT) AS rnk, song_id, song_name, plays FROM ("
+    " SELECT song_id, song_name, plays,"
+    "  row_number() OVER (ORDER BY plays DESC, song_id) AS rnk"
+    " FROM counts) WHERE rnk <= 5",
+    "Flagship 1 — KafkaMusic charts (KafkaMusicExample.java:281-378): filter "
+    "short plays (P1), re-key by song (P4), count plays (A1), broadcast-join "
+    "the song catalog (J1/S3), maintain top-5 per genre AND overall (A8/A9 "
+    "TopFiveSongs). lineitem = play events, part = song catalog, p_brand = "
+    "genre. Rank ties broken by song id asc exactly like the TreeSet "
+    "comparator (KafkaMusicExample.java:455-498).",
+)
+def q_music_charts(spark: SparkSession, sf: str) -> DataFrame:
+    plays = (table(spark, sf, "lineitem")
+             .filter(F.col("l_quantity") >= 5)
+             .select(F.col("l_partkey").alias("song_id")))
+    songs = (table(spark, sf, "part")
+             .select(F.col("p_partkey").alias("song_id"),
+                     F.col("p_name").alias("song_name"),
+                     F.col("p_brand").alias("genre")))
+    counts = (plays.join(F.broadcast(songs), "song_id")
+                   .groupBy("genre", "song_id", "song_name")
+                   .agg(F.count("*").alias("plays")))
+    order = [F.col("plays").desc(), F.col("song_id")]
+    genre_top = TK.top_k_per_group(counts, ["genre"], order, k=5)
+    overall_top = TK.top_k_per_group(
+        counts.withColumn("genre", F.lit("__overall__")), ["genre"], order, k=5)
+    cols = ["genre", F.col("rnk").cast("bigint").alias("rnk"),
+            "song_id", "song_name", "plays"]
+    return genre_top.select(*cols).unionByName(overall_top.select(*cols))
+
+
+@query(
+    "pageview_region",
+    "WITH uregion AS ("
+    " SELECT c_custkey AS user_id, n_name AS region"
+    " FROM customer JOIN nation ON c_nationkey = n_nationkey) "
+    "SELECT coalesce(r.region, 'UNKNOWN') AS region, "
+    "time_bucket(INTERVAL '6 hours', e.ts, TIMESTAMP '1970-01-01') - (k.k * INTERVAL '6 hours') "
+    "AS window_start, count(*) AS n_views "
+    "FROM events e LEFT JOIN uregion r ON e.user_id = r.user_id "
+    "CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k "
+    "GROUP BY 1, 2",
+    "Flagship 2 — PageViewRegion (PageViewRegionLambdaExample.java:139-196): "
+    "pageview stream leftJoins the user-region KTable (J1, null region -> "
+    "'UNKNOWN' like the reference's default), then counts views per region "
+    "over hopping windows (W2: 1-day size / 6-hour advance). events = "
+    "pageviews, customer x nation = the region dimension (broadcast).",
+)
+def q_pageview_region(spark: SparkSession, sf: str) -> DataFrame:
+    views = table(spark, sf, "events").select("user_id", "ts")
+    uregion = (table(spark, sf, "customer")
+               .join(F.broadcast(table(spark, sf, "nation")),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+               .select(F.col("c_custkey").alias("user_id"),
+                       F.col("n_name").alias("region")))
+    return (views.join(F.broadcast(uregion), "user_id", "left")
+                 .withColumn("region", F.coalesce("region", F.lit("UNKNOWN")))
+                 .groupBy("region", F.window("ts", "1 day", "6 hours"))
+                 .agg(F.count("*").alias("n_views"))
+                 .select("region", F.col("window.start").alias("window_start"),
+                         "n_views"))
+
+
+@query(
+    "order_validation",
+    "WITH details AS ("
+    " SELECT o_orderkey,"
+    "  CASE WHEN o_totalprice > 0 AND o_totalprice <= 450000 THEN 1 ELSE 0 END AS pass"
+    " FROM orders), "
+    "fraud AS ("
+    " SELECT o_orderkey, CASE WHEN day_total <= 400000 THEN 1 ELSE 0 END AS pass"
+    " FROM (SELECT o_orderkey, sum(o_totalprice) OVER"
+    "        (PARTITION BY o_custkey, date_trunc('day', o_orderdate)) AS day_total"
+    "       FROM orders)), "
+    "inv AS ("
+    " SELECT o_orderkey, CASE WHEN coalesce(q, 0) <= 250 THEN 1 ELSE 0 END AS pass"
+    " FROM orders LEFT JOIN (SELECT l_orderkey, sum(l_quantity) AS q"
+    "                        FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey), "
+    "votes AS ("
+    " SELECT o_orderkey, CAST(sum(pass) AS BIGINT) AS n_pass FROM ("
+    "  SELECT * FROM details UNION ALL SELECT * FROM fraud UNION ALL SELECT * FROM inv)"
+    " GROUP BY 1) "
+    "SELECT o.o_orderkey, v.n_pass, "
+    "CASE WHEN v.n_pass = 3 THEN 'VALIDATED' ELSE 'FAILED' END AS status, "
+    "round(o.o_totalprice, 2) AS o_totalprice "
+    "FROM orders o JOIN votes v ON o.o_orderkey = v.o_orderkey",
+    "Flagship 3 — microservices order validation "
+    "(ValidationsAggregatorService.java:96-139 + FraudService.java:78-130 + "
+    "InventoryService.java:94-169 + OrderDetailsService.java:76-101): three "
+    "validators run in parallel over the order stream (P10 fan-out) — "
+    "details range-check, fraud per-customer-per-day spend limit (W4 "
+    "session-style agg), inventory per-order quantity cap — their verdicts "
+    "merge (P11 union), PASS votes aggregate per order (A1), and the tally "
+    "joins back to the original orders (J3) as VALIDATED/FAILED.",
+)
+def q_order_validation(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    details = orders.select(
+        "o_orderkey",
+        F.when((F.col("o_totalprice") > 0)
+               & (F.col("o_totalprice") <= 450000), 1).otherwise(0).alias("pass"))
+    day_w = Window.partitionBy("o_custkey", F.date_trunc("day", F.col("o_orderdate")))
+    fraud = orders.select(
+        "o_orderkey",
+        F.when(F.sum("o_totalprice").over(day_w) <= 400000, 1).otherwise(0).alias("pass"))
+    qty = (table(spark, sf, "lineitem")
+           .groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")))
+    inv = (orders.join(qty, orders.o_orderkey == qty.l_orderkey, "left")
+                 .select("o_orderkey",
+                         F.when(F.coalesce("q", F.lit(0.0)) <= 250, 1)
+                          .otherwise(0).alias("pass")))
+    votes = (details.unionByName(fraud).unionByName(inv)
+                    .groupBy("o_orderkey")
+                    .agg(F.sum("pass").cast("bigint").alias("n_pass")))
+    return (orders.join(votes, "o_orderkey")
+                  .select("o_orderkey", "n_pass",
+                          F.when(F.col("n_pass") == 3, "VALIDATED")
+                           .otherwise("FAILED").alias("status"),
+                          F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+# ---------------------------------------------------------------------------
+# Remaining reference surface: poison-pill handling, distinct counting
+# (exact + sketch, README.md:124-127), and rollup (bonus per SURVEY §2.4).
+
+
+@query(
+    "corrupt_skip",
+    "WITH payloads AS ("
+    " SELECT CASE WHEN event_id % 7 = 0"
+    "  THEN substr(props, 1, length(props) - 1) ELSE props END AS payload"
+    " FROM events), "
+    "parsed AS ("
+    " SELECT CASE WHEN json_valid(payload)"
+    "  THEN CAST(json_extract_string(payload, '$.k') AS BIGINT) END AS k"
+    " FROM payloads) "
+    "SELECT count(*) AS n_total, count(*) FILTER (k IS NULL) AS n_skipped, "
+    "CAST(sum(k) AS BIGINT) AS sum_k FROM parsed",
+    "S11 corrupt-record skip ('poison pill', "
+    "HandlingCorruptedInputRecordsIntegrationTest.java:79-99): every 7th "
+    "record's JSON payload is deterministically truncated (both Spark and "
+    "DuckDB parsers are lenient about trailing garbage but reject "
+    "unterminated objects); the try-parse emits "
+    "null for corrupt rows which are then skipped, and the survivors "
+    "aggregate. No task failure, no job abort — exactly the reference's "
+    "catch-and-drop flatMap contract.",
+)
+def q_corrupt_skip(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    payload = F.when(F.col("event_id") % 7 == 0,
+                     F.expr("substr(props, 1, length(props) - 1)")
+                     ).otherwise(F.col("props"))
+    k = F.get_json_object(payload, "$.k").cast("bigint")
+    return (ev.select(k.alias("k"))
+              .agg(F.count("*").alias("n_total"),
+                   F.count(F.when(F.col("k").isNull(), 1)).alias("n_skipped"),
+                   F.sum("k").alias("sum_k")))
+
+
+@query(
+    "distinct_users",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1",
+    "Exact distinct count per key — the deterministic baseline for the "
+    "probabilistic counting example (README.md:124-127).",
+)
+def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.count_distinct("user_id").cast("bigint").alias("n_users")))
+
+
+@query(
+    "approx_distinct",
+    None,  # sketch output is algorithm-specific (Spark HLL++ vs DuckDB's
+           # HLL differ per-estimate); validated rows-only + by the exact
+           # companion query distinct_users
+    "Probabilistic distinct count per key (README.md:124-127 references the "
+    "Count-Min-Sketch Scala example; pom.xml:188-189 declares the algebird "
+    "dep). Spark-native sketch: HyperLogLog++ via approx_count_distinct — "
+    "mergeable partial sketches, one shuffle, O(1) state per key exactly "
+    "like the reference's CMSStore.",
+)
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                    .cast("bigint").alias("n_users_approx")))
+
+
+@query(
+    "rollup_sales",
+    "SELECT coalesce(r_name, '__ALL__') AS region, "
+    "coalesce(CASE WHEN GROUPING(n_name) = 0 THEN n_name END, '__ALL__') AS nation, "
+    "CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)",
+    "Bonus (SURVEY §2.4 'grouping sets / cube / rollup — absent in "
+    "reference'): hierarchical revenue rollup region -> nation -> grand "
+    "total via GROUP BY ROLLUP; partial aggregates merge in one pass.",
+)
+def q_rollup_sales(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nat = table(spark, sf, "nation")
+    reg = table(spark, sf, "region")
+    joined = (orders
+              .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined.rollup("r_name", "n_name")
+                  .agg(F.count("*").cast("bigint").alias("n_orders"),
+                       F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                  .select(F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+                          F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+                          "n_orders", "revenue"))

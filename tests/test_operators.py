@@ -100,3 +100,33 @@ def test_asof_join_null_before_first(spark):
                     ts_col="ts", tiebreak="event_id")
     got = {r["event_id"]: r["asof_value"] for r in out.collect()}
     assert got == {1: None, 2: 7}
+
+
+def test_flagship_pipelines(spark, sf_dir):
+    """The three reference headline topologies, composed end-to-end."""
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    charts = QUERIES["music_charts"].spark(spark, sf_dir)
+    rows = charts.collect()
+    by_genre = {}
+    for r in rows:
+        by_genre.setdefault(r["genre"], []).append(r)
+    assert "__overall__" in by_genre
+    for genre, chart in by_genre.items():
+        assert len(chart) <= 5
+        ordered = sorted(chart, key=lambda r: r["rnk"])
+        plays = [r["plays"] for r in ordered]
+        assert plays == sorted(plays, reverse=True)
+
+    pv = QUERIES["pageview_region"].spark(spark, sf_dir)
+    assert pv.filter(pv.region == "UNKNOWN").count() == 0  # all users known
+
+    ov = QUERIES["order_validation"].spark(spark, sf_dir).cache()
+    try:
+        statuses = {r["status"] for r in ov.select("status").distinct().collect()}
+        assert statuses <= {"VALIDATED", "FAILED"}
+        # every order gets exactly one verdict
+        from kafka_streams_examples_spark.catalog import table
+        assert ov.count() == table(spark, sf_dir, "orders").count()
+    finally:
+        ov.unpersist()
