@@ -104,6 +104,27 @@ def frame_sample(media: DataFrame, every_n: int = 10,
     return media.mapInPandas(run, schema=out_schema)
 
 
+def media_from_documents(docs: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Deterministic media table derived from the documents fixture: the
+    utf-8 bytes of the text stand in for an opaque payload, with a typed
+    metadata struct alongside — the real pipeline shape (binary + metadata)
+    without needing codec libraries or binary fixtures."""
+    modality = F.when(F.col(id_col) % 2 == 0, "image").otherwise("audio")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(4).cast("int").alias("n_frames"),
+        ).alias("meta"))
+
+
 def synthesize_media(spark, n: int = 32) -> DataFrame:
     """Deterministic fake media table for tests (no codec libs needed)."""
     rows = []
