@@ -594,15 +594,20 @@ def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _MINHASH_AGGS_SQL = ", ".join(
-    f"min(md5(shingle || '#{i}')) AS mh{i}" for i in range(8)
+    f"min(({a} * h + {b}) % 2147483647) AS mh{i}"
+    for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
 )
 
 
 @query(
     "minhash_signature",
-    f"SELECT doc_id, {_MINHASH_AGGS_SQL} FROM ({SQL_SHINGLES}) GROUP BY doc_id",
-    "MinHash signatures (8 portable md5 permutations over 3-word shingles) — "
-    "the signature stage of MinHash+LSH near-dup detection.",
+    f"SELECT doc_id, {_MINHASH_AGGS_SQL} FROM ("
+    " SELECT DISTINCT doc_id,"
+    "  CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h"
+    f" FROM ({SQL_SHINGLES})) GROUP BY doc_id",
+    "MinHash signatures: one portable md5 per 3-word shingle reduced to "
+    "h < 2^30, then 8 affine permutations (A*h+B) %% P — 8x less hashing "
+    "than md5-per-permutation, int64 shuffle instead of hex strings.",
 )
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_signatures(table(spark, sf, "documents"), num_hashes=8, n=3)
