@@ -48,6 +48,54 @@ def session_counts(events: DataFrame, gap: str = "30 minutes",
                           "user_id", "n_events", "session_value"))
 
 
+def streaming_music_charts(plays: DataFrame, songs: DataFrame,
+                           min_quantity: float = 5.0) -> DataFrame:
+    """Flagship 1, streaming half (KafkaMusicExample.java:281-378): filter
+    short plays, enrich from the broadcast song catalog (stream-static
+    join = GlobalKTable), maintain play counts per (genre, song) in update
+    mode. The top-5 rank runs at read time over the materialized counts —
+    the reference does the same thing: its charts are REST reads over the
+    continuously-updated song-play-count store, not a streamed output.
+
+    `songs` is a static DataFrame (the catalog); `plays` is streaming with
+    a `song_id` column.
+    """
+    from pyspark.sql.functions import broadcast
+    return (plays.filter(F.col("quantity") >= min_quantity)
+                 .join(broadcast(songs), "song_id")
+                 .groupBy("genre", "song_id", "song_name")
+                 .agg(F.count("*").alias("plays")))
+
+
+def top5_from_counts(counts: DataFrame) -> DataFrame:
+    """Read-time chart rank over materialized streaming counts (batch DF):
+    genre charts + __overall__, same shape as registry music_charts."""
+    from ..operators.topk import top_k_per_group
+    charts = counts.select(
+        F.explode(F.array(F.col("genre"), F.lit("__overall__"))).alias("genre"),
+        "song_id", "song_name", "plays")
+    out = top_k_per_group(charts, ["genre"],
+                          [F.col("plays").desc(), F.col("song_id")], k=5)
+    return out.select("genre", F.col("rnk").cast("bigint").alias("rnk"),
+                      "song_id", "song_name", "plays")
+
+
+def streaming_pageview_region(views: DataFrame, uregion: DataFrame,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Flagship 2, streaming half (PageViewRegionLambdaExample.java:139-196):
+    stream-static leftJoin onto the user-region dimension (refreshed per
+    micro-batch in production), UNKNOWN default, hopping-window counts.
+    Append mode emits each window once, when the watermark closes it."""
+    from pyspark.sql.functions import broadcast
+    return (views.withWatermark("ts", watermark)
+                 .join(broadcast(uregion), "user_id", "left")
+                 .withColumn("region", F.coalesce("region", F.lit("UNKNOWN")))
+                 .groupBy("region", F.window("ts", "1 day", "6 hours"))
+                 .agg(F.count("*").alias("n_views"))
+                 .select("region", F.col("window.start").alias("window_start"),
+                         "n_views"))
+
+
 def interval_join_stream(left: DataFrame, right: DataFrame,
                          key: str, delta: str = "1 hour",
                          watermark: str = "2 hours") -> DataFrame:

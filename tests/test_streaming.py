@@ -129,3 +129,55 @@ def test_ktable_materializer_upsert(spark, tmp_path):
     got = {r["user"]: r["region"] for r in mat.state().collect()}
     assert got == {"alice": "asia", "bob": "americas"}
     assert mat.get(user="bob")[0]["region"] == "americas"
+
+
+def test_streaming_music_charts_matches_batch(spark, sf_dir):
+    from kafka_streams_examples_spark.registry import QUERIES
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_music_charts, top5_from_counts,
+    )
+
+    plays = (stream_table(spark, sf_dir, "lineitem")
+             .select(F.col("l_partkey").alias("song_id"),
+                     F.col("l_quantity").alias("quantity")))
+    songs = (table(spark, sf_dir, "part")
+             .select(F.col("p_partkey").alias("song_id"),
+                     F.col("p_name").alias("song_name"),
+                     F.col("p_brand").alias("genre")))
+    counts = streaming_music_charts(plays, songs)
+    name, q = run_to_memory(counts, mode="complete")
+    try:
+        got = top5_from_counts(spark.table(name)).collect()
+    finally:
+        q.stop()
+    want = QUERIES["music_charts"].spark(spark, sf_dir).collect()
+    key = lambda r: (r["genre"], r["rnk"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == \
+           sorted(map(tuple, want), key=lambda t: (t[0], t[1]))
+
+
+def test_streaming_pageview_region_append(spark, sf_dir):
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_pageview_region,
+    )
+
+    views = stream_table(spark, sf_dir, "events").select("user_id", "ts")
+    uregion = (table(spark, sf_dir, "customer")
+               .join(table(spark, sf_dir, "nation"),
+                     F.col("c_nationkey") == F.col("n_nationkey"))
+               .select(F.col("c_custkey").alias("user_id"),
+                       F.col("n_name").alias("region")))
+    name, q = run_to_memory(streaming_pageview_region(views, uregion),
+                            mode="append")
+    try:
+        out = spark.table(name)
+        # append emits only watermark-closed windows; every emitted row must
+        # agree exactly with the batch result for its (region, window)
+        from kafka_streams_examples_spark.registry import QUERIES
+        batch = QUERIES["pageview_region"].spark(spark, sf_dir)
+        merged = (out.alias("s").join(batch.alias("b"),
+                                      ["region", "window_start"], "left"))
+        assert out.count() > 0
+        assert merged.filter(F.col("s.n_views") != F.col("b.n_views")).count() == 0
+    finally:
+        q.stop()
