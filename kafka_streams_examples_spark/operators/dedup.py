@@ -155,15 +155,22 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs sharing >= 1 shingle.
 
     Inverted-index join: explode shingles, self-join on the 64-bit shingle
     hash, count intersections, derive |union| from per-doc set sizes. The
-    quadratic blowup is limited to docs sharing a shingle (at scale: cap or
-    sample hot shingles; here the LSH variant is the scale path).
+    quadratic blowup is limited to docs sharing a shingle; at scale pass
+    max_df to drop boilerplate shingles whose posting list exceeds the cap
+    (bounds self-join output by n_shingles * max_df^2 — operators/skew.py),
+    which changes reported sizes/similarities only for pairs dominated by
+    boilerplate. The LSH variant is the primary scale path.
     """
     sh = doc_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_df is not None:
+        from .skew import drop_hot_keys
+        sh = drop_hot_keys(sh, ["shingle"], max_df)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
