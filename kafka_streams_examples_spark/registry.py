@@ -1120,3 +1120,88 @@ def q_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     frames = MM.frame_sample(media, every_n=4, decode_fn=split)
     return frames.select("media_id", "frame_no",
                          F.length("frame").cast("bigint").alias("frame_len"))
+
+
+# ---------------------------------------------------------------------------
+# Analytics depth: classic multi-join aggregation shapes (TPC-H Q3/Q5) —
+# the join-reorder / broadcast / partial-agg patterns a 100 TB warehouse
+# lives on, exercised end-to-end through Catalyst.
+
+
+@query(
+    "tpch_q3",
+    "SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "o_orderdate FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1998-01-01' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "Shipping-priority query (TPC-H Q3 shape): selective dimension filter "
+    "broadcast into the fact join, partial-agg before the final top-10 "
+    "(deterministic tie-break on l_orderkey).",
+)
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    cust = (table(spark, sf, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    orders = (table(spark, sf, "orders")
+              .filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01")))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    # only the filtered customer dim is hint-broadcast; orders is fact-sized
+    # at real SFs, so its join strategy is left to AQE (broadcast at test
+    # scale, sort-merge at warehouse scale)
+    return (li.join(orders.join(F.broadcast(cust),
+                                F.col("o_custkey") == F.col("c_custkey")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .select("l_orderkey", "revenue", "o_orderdate")
+              .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@query(
+    "tpch_q5",
+    "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY n_name",
+    "Local-supplier-volume query (TPC-H Q5 shape): five-way join with the "
+    "region/nation/supplier/customer dims broadcast, revenue aggregated per "
+    "nation; the customer-nation = supplier-nation predicate rides the join.",
+)
+def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    orders = (table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                      & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))))
+              .select("o_orderkey", "o_custkey"))
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = (table(spark, sf, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    # broadcast hints only on true dimensions (supplier/nation/region);
+    # orders and customer are fact-scale at real SFs — AQE picks their
+    # strategy per run
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp), (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
