@@ -24,6 +24,8 @@ from kafka_streams_examples_spark.session import get_spark
 # scale-sensitive ones (joins, windows, dedup, ANN).
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
     "music_charts",
     "pageview_region",
     "order_validation",
@@ -43,6 +45,7 @@ HEADLINE = [
     "knn_cosine",
     "embedding_near_dup",
     "quality_score",
+    "media_features",
 ]
 
 
