@@ -181,3 +181,35 @@ def test_streaming_pageview_region_append(spark, sf_dir):
         assert merged.filter(F.col("s.n_views") != F.col("b.n_views")).count() == 0
     finally:
         q.stop()
+
+
+def test_ktable_checkpoint_restart_recovers(spark, tmp_path):
+    """§2.8 exactly-once-style recovery: stop the query, append more data,
+    restart from the SAME checkpoint — already-processed files are not
+    reprocessed and state converges to latest-per-key."""
+    from kafka_streams_examples_spark.streaming.ktable import KTableMaterializer
+
+    src, state, ckpt = tmp_path / "src", tmp_path / "state", tmp_path / "ckpt"
+    schema = "user string, region string, ts timestamp"
+    spark.createDataFrame([("alice", "europe", ts("2024-01-01 10:00:00"))], schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    mat = KTableMaterializer(spark, str(state), ["user"], "ts")
+
+    def start():
+        return (spark.readStream.schema(schema).parquet(str(src))
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", str(ckpt))
+                .foreachBatch(mat).start())
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # while the query is down, new data arrives
+    spark.createDataFrame([("alice", "asia", ts("2024-01-01 11:00:00")),
+                           ("bob", "americas", ts("2024-01-01 11:00:00"))], schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user"]: r["region"] for r in mat.state().collect()}
+    assert got == {"alice": "asia", "bob": "americas"}
