@@ -1205,3 +1205,34 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                   .alias("revenue")))
+
+
+@query(
+    "top_articles_windowed",
+    "SELECT p_brand, window_start, p_partkey, n, CAST(rnk AS BIGINT) AS rnk FROM ("
+    " SELECT p_brand, window_start, p_partkey, n,"
+    "  row_number() OVER (PARTITION BY p_brand, window_start"
+    "                     ORDER BY n DESC, p_partkey) AS rnk"
+    " FROM (SELECT p.p_brand, date_trunc('month', l.l_shipdate) AS window_start,"
+    "              p.p_partkey, count(*) AS n"
+    "       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
+    "       GROUP BY 1, 2, 3)) "
+    "WHERE rnk <= 3",
+    "A9+W1 TopArticles: top-N per (industry, time window) "
+    "(TopArticlesLambdaExample.java:163-250 — top-100 articles per industry "
+    "per 1h window via PriorityQueue; here top-3 parts per brand per month). "
+    "Rank-window over the windowed count; WindowGroupLimit caps each "
+    "(brand, window) group to N rows map-side before the shuffle.",
+)
+def q_top_articles(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_shipdate")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand")
+    base = (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_brand",
+                       F.date_trunc("month", F.col("l_shipdate")).alias("window_start"),
+                       "p_partkey")
+              .agg(F.count("*").alias("n")))
+    out = TK.top_k_per_group(base, ["p_brand", "window_start"],
+                             [F.col("n").desc(), F.col("p_partkey")], k=3)
+    return out.select("p_brand", "window_start", "p_partkey", "n",
+                      F.col("rnk").cast("bigint").alias("rnk"))

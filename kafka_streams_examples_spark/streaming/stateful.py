@@ -147,3 +147,49 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
     return (tagged.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def fraud_check(orders: DataFrame, limit: float, session_gap_seconds: int = 1800,
+                key_col: str = "customer", val_col: str = "order_value",
+                id_col: str = "order_id", ts_col: str = "ts") -> DataFrame:
+    """Incremental fraud validation (FraudService.java:78-130).
+
+    The reference session-aggregates each customer's order value and flags
+    an order when the session total WOULD exceed the limit — evaluated per
+    arriving order, not per closed window. State per customer is
+    (session_start_of_last_order, running_total): a new order either joins
+    the current session (gap <= session_gap) and accumulates, or starts a
+    fresh session and resets the total. Emits one verdict per order.
+    """
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(id_col, T.StringType()),
+        T.StructField(val_col, T.DoubleType()),
+        T.StructField("verdict", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+    gap_us = session_gap_seconds * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        last_us, total = state.get if state.exists else (None, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            ids, vals, verdicts = [], [], []
+            for _, row in pdf.iterrows():
+                t_us = int(row[ts_col].value // 1000)  # pandas ns -> us
+                if last_us is not None and t_us - last_us > gap_us:
+                    total = 0.0                         # new session
+                total += float(row[val_col])
+                last_us = t_us
+                ids.append(row[id_col]); vals.append(float(row[val_col]))
+                verdicts.append("FAIL" if total > limit else "PASS")
+            yield pd.DataFrame({key_col: [key[0]] * len(ids), id_col: ids,
+                                val_col: vals, "verdict": verdicts})
+        state.update((last_us, total))
+
+    return (orders.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -104,3 +104,30 @@ def test_reservation_batch_invariants(spark, sf_dir):
     # by float-associativity noise
     assert agg.filter(F.col("reserved") > F.col("stock") + 1e-6).count() == 0
     assert out.filter(F.col("result") == "FAIL").count() > 0
+
+
+def test_fraud_check_session_semantics(spark, tmp_path):
+    from kafka_streams_examples_spark.streaming.stateful import fraud_check
+
+    src = tmp_path / "orders_in"
+    schema = "customer string, order_id string, order_value double, ts timestamp"
+    batch1 = [("c1", "o1", 600.0, ts("2024-01-01 10:00:00")),
+              ("c1", "o2", 500.0, ts("2024-01-01 10:10:00")),   # 1100 > 1000 -> FAIL
+              ("c2", "o3", 100.0, ts("2024-01-01 10:00:00"))]
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+         .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name, q = run_to_memory(fraud_check(stream, limit=1000.0), mode="update")
+    try:
+        # batch 2: c1 again after a >30min gap -> new session, passes; and a
+        # follow-up inside the same session that accumulates on restored state
+        batch2 = [("c1", "o4", 900.0, ts("2024-01-01 11:00:00")),
+                  ("c1", "o5", 200.0, ts("2024-01-01 11:05:00"))]  # 1100 -> FAIL
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+             .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {r["order_id"]: r["verdict"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {"o1": "PASS", "o2": "FAIL", "o3": "PASS",
+                   "o4": "PASS", "o5": "FAIL"}
