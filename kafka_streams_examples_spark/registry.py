@@ -615,10 +615,42 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "minhash_lsh_pairs",
-    None,  # banding decisions are hash-layout specific; verified rows-only +
-           # cross-checked against ngram_jaccard in tests
+    f"""WITH sig AS (
+      SELECT doc_id, {_MINHASH_AGGS_SQL} FROM (
+        SELECT DISTINCT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
+        FROM ({SQL_SHINGLES})) GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)) AS band_val FROM sig
+      UNION ALL SELECT doc_id, 1,
+             md5(CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR)) FROM sig
+      UNION ALL SELECT doc_id, 2,
+             md5(CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR)) FROM sig
+      UNION ALL SELECT doc_id, 3,
+             md5(CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR)) FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    sh AS ({SQL_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    verified AS (
+      SELECT i.d1, i.d2, round(i.i / (s1.sz + s2.sz - i.i), 4) AS jac
+      FROM inter i
+      JOIN cand c ON i.d1 = c.d1 AND i.d2 = c.d2
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id)
+    SELECT d1, d2, jac FROM verified WHERE jac >= 0.2""",
     "MinHash+LSH near-duplicate pairs: band signatures, equi-join on band "
-    "value (candidates only meet inside buckets), exact-Jaccard verify.",
+    "value (candidates only meet inside buckets), exact-Jaccard verify. "
+    "Fully oracle-checked since the integer minhash + md5 banding runs "
+    "bit-identically in DuckDB.",
 )
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_lsh_pairs(table(spark, sf, "documents"),
@@ -684,10 +716,34 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "knn_ivf",
-    None,  # centroid routing is implementation-defined; rows-only + recall
-           # cross-check vs brute force in tests
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    parts AS (SELECT label AS centroid_id, dim, v[dim] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS t(dim)),
+    cents AS (SELECT centroid_id, list(m ORDER BY dim) AS centroid
+              FROM (SELECT centroid_id, dim, avg(x) AS m FROM parts GROUP BY 1, 2)
+              GROUP BY centroid_id),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+    routed AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+                     c.centroid_id) AS r
+        FROM q CROSS JOIN cents c) WHERE r <= 2),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS s6
+      FROM routed r JOIN q ON q.q_id = r.q_id
+      JOIN e c ON c.label = r.centroid_id
+      WHERE q.q_id <> c.vec_id)
+    SELECT q_id, c_id, round(s6, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= 5""",
     "IVF-style two-stage ANN: label-centroid routing (nprobe=2) then exact "
-    "rerank inside the probed buckets — the partition-pruned scale path.",
+    "rerank inside the probed buckets — the partition-pruned scale path. "
+    "Oracle recomputes the centroids, routing and rerank in DuckDB (cosines "
+    "rounded to 6 decimals before ranking on both sides).",
 )
 def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
