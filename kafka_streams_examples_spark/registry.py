@@ -1292,3 +1292,27 @@ def q_top_articles(spark: SparkSession, sf: str) -> DataFrame:
                              [F.col("n").desc(), F.col("p_partkey")], k=3)
     return out.select("p_brand", "window_start", "p_partkey", "n",
                       F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@query(
+    "daily_1800_nyc",
+    "SELECT date_trunc('day', nyts - INTERVAL 18 HOUR) + INTERVAL 18 HOUR AS window_start, "
+    "count(*) AS n, round(sum(value), 2) AS total FROM ("
+    " SELECT timezone('America/New_York', timezone('UTC', ts)) AS nyts, value"
+    " FROM events) GROUP BY 1",
+    "W6 DST-aware custom calendar window (window/DailyTimeWindows.java:42-63 "
+    "— daily windows starting 18:00 in a named zone, with the DST caveats "
+    "the reference documents): event instants converted to America/New_York "
+    "wall clock, bucketed at 18:00 local. The 1995-2001 fixture spans the "
+    "pre-2007 US DST rules, so both engines' IANA histories are exercised. "
+    "window_start is reported in local wall time (the reference's contract: "
+    "windows are defined on the local clock).",
+)
+def q_daily_1800_nyc(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    nyts = F.from_utc_timestamp("ts", "America/New_York")
+    start = (F.date_trunc("day", nyts - F.expr("INTERVAL 18 HOURS"))
+             + F.expr("INTERVAL 18 HOURS"))
+    return (ev.groupBy(start.alias("window_start"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("total")))
