@@ -213,3 +213,36 @@ def test_ktable_checkpoint_restart_recovers(spark, tmp_path):
     q.stop()
     got = {r["user"]: r["region"] for r in mat.state().collect()}
     assert got == {"alice": "asia", "bob": "americas"}
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """W7 grace period: an event older than (max event time - watermark)
+    arriving in a later batch is dropped from its (already closed) window."""
+    src = tmp_path / "late_src"
+    schema = "k string, ts timestamp"
+    # batch 1: establish event time up to 12:00 (watermark 10 min -> 11:50)
+    spark.createDataFrame([("a", ts("2024-01-01 10:00:30")),
+                           ("a", ts("2024-01-01 12:00:00"))], schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 minute"), F.col("k"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("window.start").alias("ws"), "k", "n"))
+    name, q = run_to_memory(agg, mode="append")
+    try:
+        # batch 2: a late row for the long-closed 10:00 window -> dropped
+        spark.createDataFrame([("a", ts("2024-01-01 10:00:45")),
+                               ("a", ts("2024-01-01 13:00:00"))], schema) \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        # batch 3: advance the watermark past 12:00 so its window emits
+        spark.createDataFrame([("a", ts("2024-01-01 14:00:00"))], schema) \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    # the 10:00 window must count ONLY the on-time row; late arrival ignored
+    assert got[ts("2024-01-01 10:00:00")] == 1
+    assert got[ts("2024-01-01 12:00:00")] == 1
