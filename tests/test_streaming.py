@@ -246,3 +246,35 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # the 10:00 window must count ONLY the on-time row; late arrival ignored
     assert got[ts("2024-01-01 10:00:00")] == 1
     assert got[ts("2024-01-01 12:00:00")] == 1
+
+
+def test_session_windows_merge_on_bridging_event(spark, tmp_path):
+    """W3 session merge (SessionWindowsExampleTest.java:121-138): two
+    sessions 40 min apart merge into one when a bridging event lands in the
+    gap — Spark's session_window state merges across micro-batches."""
+    src = tmp_path / "sess_src"
+    schema = "user string, ts timestamp"
+    spark.createDataFrame([("u1", ts("2024-01-01 10:00:00")),
+                           ("u1", ts("2024-01-01 10:40:00"))], schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = (stream.withWatermark("ts", "3 hours")
+           .groupBy(F.session_window("ts", "30 minutes"), F.col("user"))
+           .agg(F.count("*").alias("n"))
+           .select(F.col("session_window.start").alias("start"),
+                   F.col("session_window.end").alias("end"), "user", "n"))
+    name, q = run_to_memory(agg, mode="complete")
+    try:
+        before = spark.table(name).collect()
+        assert len(before) == 2           # 40 min gap > 30 -> two sessions
+        # the bridge: 10:20 is within 30 min of both -> one merged session
+        spark.createDataFrame([("u1", ts("2024-01-01 10:20:00"))], schema) \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        after = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(after) == 1
+    assert after[0]["n"] == 3
+    assert after[0]["start"] == ts("2024-01-01 10:00:00")
+    assert after[0]["end"] == ts("2024-01-01 11:10:00")  # last event + gap
