@@ -40,3 +40,38 @@ def test_kafka_option_builders():
     sink = kafka_sink_options("broker:9092", topic="out")
     assert sink["topic"] == "out"
     assert "topic" not in kafka_sink_options("broker:9092")
+
+
+def test_avro_schema_mapping(spark):
+    """S8: every Avro feature the reference's schemas use (SURVEY §1.2) —
+    enums, nested records, nullable unions, field defaults — maps to the
+    documented StructType shape, and data conforming to the schema loads."""
+    from pyspark.sql import types as T
+    from kafka_streams_examples_spark.sources.avro_schema import avro_to_struct
+
+    avsc = """
+    {"type": "record", "name": "EnrichedOrder", "fields": [
+      {"name": "id", "type": "long"},
+      {"name": "state", "type": {"type": "enum", "name": "OrderState",
+                                 "symbols": ["CREATED", "VALIDATED", "FAILED"]}},
+      {"name": "content", "type": ["string", "null"]},
+      {"name": "flags", "type": ["null", "string"], "default": null},
+      {"name": "level", "type": "string", "default": "bronze"},
+      {"name": "product", "type": {"type": "record", "name": "Product", "fields": [
+        {"name": "sku", "type": "string"},
+        {"name": "price", "type": "double"}]}},
+      {"name": "qty", "type": "int"}
+    ]}"""
+    st = avro_to_struct(avsc)
+    assert st["state"].dataType == T.StringType()          # enum -> string
+    assert st["content"].nullable and st["content"].dataType == T.StringType()
+    assert st["flags"].nullable
+    assert st["level"].metadata["avro_default"] == "bronze"
+    assert isinstance(st["product"].dataType, T.StructType)
+    assert st["product"].dataType["price"].dataType == T.DoubleType()
+    assert st["qty"].dataType == T.IntegerType()
+    # the derived schema is usable end-to-end
+    row = (1, "VALIDATED", "ok", None, "gold", ("sku-1", 9.99), 2)
+    df = spark.createDataFrame([row], st)
+    got = df.collect()[0]
+    assert got["state"] == "VALIDATED" and got["product"]["price"] == 9.99
