@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): Spark operators vs naive in-memory
+reference implementations on adversarial small inputs. Bounded example
+counts keep each Spark round-trip affordable."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.operators.dedup import dedup_within_ttl
+from kafka_streams_examples_spark.operators.topk import top_k_per_group
+from kafka_streams_examples_spark.operators.windows import with_session_id
+
+BASE = datetime(2024, 1, 1)
+
+events = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2", "k3"]),
+              st.integers(min_value=0, max_value=7200)),   # seconds offset
+    min_size=1, max_size=25)
+
+
+def naive_ttl_dedup(rows, ttl):
+    """first-occurrence-wins per key unless gap to PREVIOUS kept-or-not
+    occurrence exceeds ttl (lag semantics, ties broken by offset order)."""
+    keep = []
+    last = {}
+    for key, off in sorted(rows, key=lambda r: (r[0], r[1])):
+        if key not in last or off - last[key] > ttl:
+            keep.append((key, off))
+        last[key] = off
+    return sorted(keep)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events)
+def test_dedup_ttl_matches_naive(spark, rows):
+    # dedup semantics are defined on distinct (key, ts) occurrences; the
+    # tiebreak column only stabilizes ordering of exact duplicates
+    rows = list({(k, o) for k, o in rows})
+    df = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=o), o) for k, o in rows],
+        "k string, ts timestamp, off long")
+    got = dedup_within_ttl(df, ["k"], ttl_seconds=600, ts_col="ts",
+                           tiebreak=["off"])
+    got_set = sorted((r["k"], r["off"]) for r in got.collect())
+    assert got_set == naive_ttl_dedup(rows, 600)
+
+
+def naive_sessions(rows, gap):
+    out = {}
+    for key in {k for k, _ in rows}:
+        offs = sorted(o for k, o in rows if k == key)
+        sessions, cur = [], [offs[0]]
+        for o in offs[1:]:
+            if o - cur[-1] > gap:
+                sessions.append(cur)
+                cur = [o]
+            else:
+                cur.append(o)
+        sessions.append(cur)
+        out[key] = sorted((s[0], len(s)) for s in sessions)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(events)
+def test_sessionization_matches_naive(spark, rows):
+    rows = list({(k, o) for k, o in rows})
+    df = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=o), o) for k, o in rows],
+        "k string, ts timestamp, off long")
+    sess = with_session_id(df, ["k"], gap_seconds=900, ts_col="ts")
+    agg = (sess.groupBy("k", "session_id")
+               .agg(F.min("off").alias("start"), F.count("*").alias("n")))
+    got = {}
+    for r in agg.collect():
+        got.setdefault(r["k"], []).append((r["start"], r["n"]))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == naive_sessions(rows, 900)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["g1", "g2"]),
+                          st.integers(0, 50)), min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=4))
+def test_topk_matches_naive(spark, rows, k):
+    rows = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "g string, v long, uid long")
+    got = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("uid")], k=k)
+    by_g = {}
+    for g, v, uid in rows:
+        by_g.setdefault(g, []).append((-v, uid))
+    want = {g: sorted(vs)[:k] for g, vs in by_g.items()}
+    got_m = {}
+    for r in got.collect():
+        got_m.setdefault(r["g"], []).append((-r["v"], r["uid"]))
+    assert {g: sorted(v) for g, v in got_m.items()} == want
