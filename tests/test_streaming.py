@@ -278,3 +278,46 @@ def test_session_windows_merge_on_bridging_event(spark, tmp_path):
     assert after[0]["n"] == 3
     assert after[0]["start"] == ts("2024-01-01 10:00:00")
     assert after[0]["end"] == ts("2024-01-01 11:10:00")  # last event + gap
+
+
+def test_stream_stream_outer_join_null_padding(spark, tmp_path):
+    """J4 (StreamToStreamJoinIntegrationTest.java:96-110): unmatched left
+    rows emit null-padded output once the watermark passes the join window
+    — Spark's stream-stream full_outer with watermark matches the
+    reference's emit-on-window-expiry."""
+    l_dir, r_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [("ad1", ts("2024-01-01 10:00:00")), ("ad2", ts("2024-01-01 10:00:01"))],
+        "l_key string, l_ts timestamp").coalesce(1) \
+        .write.mode("append").parquet(str(l_dir))
+    spark.createDataFrame(
+        [("ad1", ts("2024-01-01 10:00:03"))],
+        "r_key string, r_ts timestamp").coalesce(1) \
+        .write.mode("append").parquet(str(r_dir))
+    l = (spark.readStream.schema("l_key string, l_ts timestamp").parquet(str(l_dir))
+         .withWatermark("l_ts", "10 seconds"))
+    r = (spark.readStream.schema("r_key string, r_ts timestamp").parquet(str(r_dir))
+         .withWatermark("r_ts", "10 seconds"))
+    cond = ((l["l_key"] == r["r_key"])
+            & (r["r_ts"] >= l["l_ts"])
+            & (r["r_ts"] <= l["l_ts"] + F.expr("INTERVAL 5 SECONDS")))
+    name, q = run_to_memory(l.join(r, cond, "full_outer"), mode="append")
+    try:
+        # advance both watermarks far past ad2's window so its null-padded
+        # row flushes from state
+        spark.createDataFrame([("zz", ts("2024-01-01 10:05:00"))],
+                              "l_key string, l_ts timestamp").coalesce(1) \
+             .write.mode("append").parquet(str(l_dir))
+        spark.createDataFrame([("zz2", ts("2024-01-01 10:05:00"))],
+                              "r_key string, r_ts timestamp").coalesce(1) \
+             .write.mode("append").parquet(str(r_dir))
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    matched = {(r["l_key"], r["r_key"]) for r in rows
+               if r["l_key"] is not None and r["r_key"] is not None}
+    null_padded = {r["l_key"] for r in rows
+                   if r["l_key"] is not None and r["r_key"] is None}
+    assert ("ad1", "ad1") in matched
+    assert "ad2" in null_padded            # expired unmatched -> (ad2, null)
