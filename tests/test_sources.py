@@ -75,3 +75,31 @@ def test_avro_schema_mapping(spark):
     df = spark.createDataFrame([row], st)
     got = df.collect()[0]
     assert got["state"] == "VALIDATED" and got["product"]["price"] == 9.99
+
+
+def test_dynamic_routing_partitioned_sink(spark, tmp_path):
+    """S6 dynamic topic routing (EmailService.java:113-116 routes per
+    customer level): the Spark shape is a destination column + partitioned
+    write — each branch lands in its own directory (= topic), one pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "routed")
+    df = spark.createDataFrame(
+        [(1, "gold"), (2, "bronze"), (3, "gold"), (4, "silver")],
+        "id long, level string")
+
+    def route(batch, _epoch):
+        batch.write.mode("append").partitionBy("level").parquet(out)
+
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema("id long, level string").parquet(str(src))
+    q = stream.writeStream.foreachBatch(route).start()
+    q.processAllAvailable()
+    q.stop()
+    dirs = {d for d in os.listdir(out) if d.startswith("level=")}
+    assert dirs == {"level=gold", "level=bronze", "level=silver"}
+    gold = spark.read.parquet(out).filter(F.col("level") == "gold")
+    assert {r["id"] for r in gold.collect()} == {1, 3}
