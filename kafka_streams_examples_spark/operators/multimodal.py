@@ -9,9 +9,11 @@ NotImplementedError unless a deterministic fake is injected.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 `mapInPandas` (streaming Arrow batches, constant memory) is used instead of
-`applyInPandas` (which materializes whole groups); repartitioning by a size
-budget (`target_rows_per_batch`) keeps executor memory bounded when a
-partition holds many large blobs.
+`applyInPandas` (which materializes whole groups). Two memory levers when
+blobs are large: `spark.sql.execution.arrow.maxRecordsPerBatch` caps rows
+per Arrow batch (set it so rows × blob size fits the worker budget), and
+`bound_partition_bytes` repartitions so each task's input stays within a
+byte budget.
 """
 
 from __future__ import annotations
@@ -53,9 +55,23 @@ def _default_decode(payload: bytes, meta: dict) -> list[float]:
         "decode_fn (tests use a deterministic fake)")
 
 
+def bound_partition_bytes(media: DataFrame, target_bytes: int = 256 << 20,
+                          payload_col: str = "payload") -> DataFrame:
+    """Repartition so each task's payload bytes stay under target_bytes.
+
+    One cheap aggregate measures total payload size, then a round-robin
+    repartition spreads rows; combined with the Arrow maxRecordsPerBatch
+    cap this bounds executor memory however skewed the blob sizes are.
+    """
+    from pyspark.sql import functions as F
+    total = media.agg(F.sum(F.length(payload_col))).first()[0] or 0
+    parts = max(1, int(total / target_bytes) + 1)
+    return media.repartition(parts)
+
+
 def extract_features(media: DataFrame,
                      decode_fn: Callable[[bytes, dict], list[float]] = _default_decode,
-                     batch_rows: int = 64) -> DataFrame:
+                     ) -> DataFrame:
     """Decode/feature-extract media rows via Arrow-batched mapInPandas."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

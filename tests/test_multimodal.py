@@ -51,3 +51,15 @@ def test_frame_sample_fanout(spark):
     # 8 fake frames per row, every 2nd sampled -> 4 per row
     assert len(out) == 16
     assert all(r["frame_no"] % 2 == 0 for r in out)
+
+
+def test_bound_partition_bytes(spark):
+    from kafka_streams_examples_spark.operators.multimodal import (
+        bound_partition_bytes, synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=32)
+    # tiny budget forces a fan-out; row count is preserved
+    bounded = bound_partition_bytes(media, target_bytes=1024)
+    assert bounded.count() == 32
+    assert bounded.rdd.getNumPartitions() > 1
