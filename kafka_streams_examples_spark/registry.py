@@ -1316,3 +1316,23 @@ def q_daily_1800_nyc(spark: SparkSession, sf: str) -> DataFrame:
     return (ev.groupBy(start.alias("window_start"))
               .agg(F.count("*").alias("n"),
                    F.round(F.sum("value"), 2).alias("total")))
+
+
+@query(
+    "cube_sales",
+    "SELECT coalesce(o_orderstatus, '__ALL__') AS status, "
+    "coalesce(o_orderpriority, '__ALL__') AS priority, "
+    "CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+    "Bonus (SURVEY §2.4): full CUBE over (status, priority) — all four "
+    "grouping sets in one pass with partial-agg merge; complements "
+    "rollup_sales.",
+)
+def q_cube_sales(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+                  .agg(F.count("*").cast("bigint").alias("n_orders"),
+                       F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                  .select(F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
+                          F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),
+                          "n_orders", "revenue"))
