@@ -64,9 +64,16 @@ def compare(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(QUERIES)
-    spark = get_spark("parity-check", cpus=8)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or list(QUERIES)
+    if vanilla:
+        # replicate the driver exactly: ITS session, not our tuned one
+        from pyspark.sql import SparkSession
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("parity-check", cpus=8)
     con = duck_con(sf_dir)
     failed = []
     for name in names:
