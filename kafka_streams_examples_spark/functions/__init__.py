@@ -39,6 +39,21 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def stable_round(col: Column, d: int) -> Column:
+    """Engine-independent round-half-up for NON-NEGATIVE doubles.
+
+    floor(x·10^d + 0.5)/10^d uses only IEEE-754 ops, so Spark and DuckDB
+    produce bit-identical results given bit-identical x. Built-in round()
+    does NOT have this property: Spark rounds the decimal expansion via
+    BigDecimal HALF_UP while DuckDB rounds in double arithmetic, and inputs
+    that print as X.XX5 diverge (observed at sf0.1: ~1/1000 rows of
+    round(value*1.1, 2)). Oracle-side equivalent:
+    ``floor(x * 1eD + 0.5) / 1eD``.
+    """
+    scale = float(10 ** d)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def md5_hash64(col: Column) -> Column:
     """Deterministic 60-bit integer hash shared with the DuckDB oracle.
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import tokens
+from ..functions import stable_round, tokens
 
 # Tiny deterministic stopword profiles (shared verbatim with the DuckDB
 # oracle). Real language-id would use char-ngram profiles; the heuristic
@@ -63,9 +63,11 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = (F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
              + sw_ratio * 0.3
              + (1.0 - nonalnum) * 0.3)
-    return (d.withColumn("mean_token_len", F.round(mean_len, 4))
-             .withColumn("stopword_ratio", F.round(sw_ratio, 4))
-             .withColumn("quality", F.round(score, 4))
+    # stable_round: built-in round() diverges from DuckDB on X.XXX5-boundary
+    # doubles (see functions.stable_round) — shows up ~1/400 docs at sf0.1
+    return (d.withColumn("mean_token_len", stable_round(mean_len, 4))
+             .withColumn("stopword_ratio", stable_round(sw_ratio, 4))
+             .withColumn("quality", stable_round(score, 4))
              .drop("__toks", "__sw"))
 
 

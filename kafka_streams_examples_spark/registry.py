@@ -84,17 +84,19 @@ def q_wordcount(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "filter_transform",
-    "SELECT event_id, user_id, upper(event_type) AS etype, round(value * 1.1, 2) AS adj_value "
+    "SELECT event_id, user_id, upper(event_type) AS etype, "
+    "floor(value * 1.1 * 100 + 0.5) / 100 AS adj_value "
     "FROM events WHERE event_type = 'purchase' AND value >= 30",
     "P1+P4+P5 filter + map/mapValues (KafkaMusicExample.java:312, "
     "MapFunctionLambdaExample.java:123-139).",
 )
 def q_filter_transform(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
+    from .functions import stable_round
     return (ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 30))
               .select("event_id", "user_id",
                       F.upper("event_type").alias("etype"),
-                      F.round(F.col("value") * 1.1, 2).alias("adj_value")))
+                      stable_round(F.col("value") * 1.1, 2).alias("adj_value")))
 
 
 @query(
@@ -802,10 +804,10 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
            length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
            length(text) AS chars FROM t)
     SELECT doc_id, n_tokens,
-      round(CAST(toklen AS DOUBLE) / n_tokens, 4) AS mean_token_len,
-      round(CAST(sw AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
-      round(least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
-            + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3, 4) AS quality
+      floor(CAST(toklen AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS mean_token_len,
+      floor(CAST(sw AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000 AS stopword_ratio,
+      floor((least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+            + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5) / 10000 AS quality
     FROM m""",
     "Document quality scoring: token count, mean token length, stopword "
     "ratio, punctuation ratio → bounded score.",
