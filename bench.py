@@ -57,12 +57,18 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     QUERIES["tpch_q1"].spark(spark, sf_dir).count()
 
+    # two runs per query, keep the min: the second run hits warm parquet
+    # footers/codegen caches, and min-of-2 strips machine-load spikes that
+    # otherwise dominate run-to-run variance (~±40% observed)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
