@@ -1338,3 +1338,41 @@ def q_cube_sales(spark: SparkSession, sf: str) -> DataFrame:
                   .select(F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
                           F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),
                           "n_orders", "revenue"))
+
+
+@query(
+    "tpch_q10",
+    "SELECT c_custkey, c_name, n_name, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM customer "
+    "JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "Returned-item customer ranking (TPC-H Q10 shape): selective fact "
+    "filters pushed to both scans, customer/nation dims broadcast, top-20 "
+    "via TakeOrderedAndProject (no global sort materialization).",
+)
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                      & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))))
+              .select("o_orderkey", "o_custkey"))
+    li = (table(spark, sf, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    # nation is the only true dim; orders/customer join strategy is AQE's
+    # call (broadcast at test scale, sort-merge at warehouse scale)
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
