@@ -111,3 +111,41 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
             & (r["r_ts"] >= l["l_ts"])
             & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {delta}")))
     return l.join(r, cond, "inner")
+
+
+def streaming_order_validation(orders: DataFrame, qty: DataFrame,
+                               fraud_limit: float = 400000.0,
+                               session_gap_seconds: int = 86400) -> DataFrame:
+    """Flagship 3, streaming half — the microservices choreography
+    (SURVEY §3.3): three validators consume the SAME order stream in
+    parallel and their verdicts merge onto one validation stream
+    (order-validations topic). Emits (order_id, validator, verdict).
+
+    - details  (OrderDetailsService.java:76-92): stateless field checks
+    - inventory (InventoryService.java:100-126): stream-static join against
+      the quantity table (the reference's product KTable)
+    - fraud    (FraudService.java:78-130): per-customer incremental session
+      spend via applyInPandasWithState (streaming/stateful.py:fraud_check)
+
+    The downstream tally (ValidationsAggregatorService) is a read-time
+    groupBy over the merged sink — count PASS per order, 3 = VALIDATED.
+    """
+    from .stateful import fraud_check
+
+    base = orders.select(
+        F.col("customer"), F.col("order_id"),
+        F.col("order_value"), F.col("ts"))
+    details = base.select(
+        "order_id", F.lit("details").alias("validator"),
+        F.when((F.col("order_value") > 0)
+               & (F.col("order_value") <= 450000), "PASS")
+         .otherwise("FAIL").alias("verdict"))
+    inv = (base.join(F.broadcast(qty), "order_id", "left")
+               .select("order_id", F.lit("inventory").alias("validator"),
+                       F.when(F.coalesce("q", F.lit(0.0)) <= 250, "PASS")
+                        .otherwise("FAIL").alias("verdict")))
+    fraud = (fraud_check(base, limit=fraud_limit,
+                         session_gap_seconds=session_gap_seconds)
+             .select("order_id", F.lit("fraud").alias("validator"),
+                     F.col("verdict")))
+    return details.unionByName(inv).unionByName(fraud)

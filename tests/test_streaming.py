@@ -321,3 +321,42 @@ def test_stream_stream_outer_join_null_padding(spark, tmp_path):
                    if r["l_key"] is not None and r["r_key"] is None}
     assert ("ad1", "ad1") in matched
     assert "ad2" in null_padded            # expired unmatched -> (ad2, null)
+
+
+def test_streaming_order_validation_end_to_end(spark, tmp_path):
+    """Flagship 3 streaming: three validators fan out over one order
+    stream, verdicts merge; tally at read time (the EndToEndTest analog)."""
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_order_validation,
+    )
+
+    src = tmp_path / "orders_src"
+    schema = ("customer string, order_id string, order_value double, "
+              "ts timestamp, q double")
+    rows = [
+        ("c1", "o1", 100.0, ts("2024-01-01 10:00:00"), 10.0),    # all pass
+        ("c1", "o2", 500000.0, ts("2024-01-01 10:01:00"), 10.0), # details FAIL (>450k) + fraud FAIL
+        ("c2", "o3", 100.0, ts("2024-01-01 10:00:00"), 300.0),   # inventory FAIL (q>250)
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1) \
+         .write.mode("append").parquet(str(src))
+    qty = spark.createDataFrame([(r[1], r[4]) for r in rows],
+                                "order_id string, q double")
+    stream = spark.readStream.schema(schema).parquet(str(src)) \
+                  .select("customer", "order_id", "order_value", "ts")
+    out = streaming_order_validation(stream, qty)
+    name, q = run_to_memory(out, mode="update")
+    try:
+        rows_out = spark.table(name).collect()
+    finally:
+        q.stop()
+    verdicts = {(r["order_id"], r["validator"]): r["verdict"] for r in rows_out}
+    # every order × every validator exactly once
+    assert len(verdicts) == 9 and len(rows_out) == 9
+    n_pass = {}
+    for (oid, _v), verdict in verdicts.items():
+        n_pass[oid] = n_pass.get(oid, 0) + (verdict == "PASS")
+    assert n_pass == {"o1": 3, "o2": 1, "o3": 2}
+    assert verdicts[("o2", "details")] == "FAIL"
+    assert verdicts[("o2", "fraud")] == "FAIL"      # 500100 > 400k session
+    assert verdicts[("o3", "inventory")] == "FAIL"
