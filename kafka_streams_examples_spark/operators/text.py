@@ -71,14 +71,23 @@ def with_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
              .drop("__toks", "__sw"))
 
 
+# BPE-ish pre-tokenization: alphanumeric runs + individual punctuation
+# marks — the GPT-2-style pre-split shape, in a dialect-neutral pattern
+# (identical semantics under Java regex and RE2/DuckDB)
+BPE_SPLIT_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
 def token_counts(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count plus a BPE-ish subword proxy count
-    (ceil(chars/4) — the standard tokens~chars/4 heuristic)."""
+    """Whitespace token count, a BPE-ish regex subword count (alnum runs +
+    punctuation marks), and the chars/4 heuristic — the three standard
+    token-budget estimators for training-data accounting."""
     return docs.select(
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
-        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_bpe"),
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(BPE_SPLIT_RE))
+         .cast("long").alias("n_tokens_bpe"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_tokens_chars4"),
     )
 
 

@@ -821,8 +821,10 @@ def q_quality(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "token_count",
     "SELECT doc_id, CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens, "
-    "CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_bpe FROM documents",
-    "Token counting: whitespace tokens + chars/4 BPE proxy.",
+    "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe, "
+    "CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens_chars4 FROM documents",
+    "Token counting: whitespace tokens, BPE-ish regex pre-tokens "
+    "(alnum runs + punctuation), chars/4 heuristic.",
 )
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     return TX.token_counts(table(spark, sf, "documents"))
