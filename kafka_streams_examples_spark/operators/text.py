@@ -93,6 +93,11 @@ def token_counts(docs: DataFrame, text_col: str = "text",
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprint: md5 over whitespace-normalized lower-cased text."""
+    """Document fingerprint: md5 over whitespace-normalized lower-cased text.
+
+    Whole-document identity. The rolling-window counterpart (hashes over
+    sliding n-gram windows, winnowing-style) is the shingle-hash pipeline in
+    operators/dedup.py: doc_shingle_hashes = per-window fingerprints,
+    minhash_signatures = the bounded sketch over them."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
