@@ -149,3 +149,36 @@ def synthesize_media(spark, n: int = 32) -> DataFrame:
         rows.append((i, payload, ("image" if i % 2 == 0 else "audio",
                                   "application/octet-stream", 8, 8, 16000, 4)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_media(media: DataFrame,
+                 width: int, height: int,
+                 resize_fn: Callable[[bytes, dict, int, int], bytes] | None = None,
+                 ) -> DataFrame:
+    """Resize image payloads (1 -> 1 binary transform + metadata update).
+
+    Same constant-memory mapInPandas shape as extract_features; the codec
+    is injected (a real pipeline passes a PIL/opencv hook — not present in
+    this container, so the default raises and tests inject a deterministic
+    byte-level fake). Output schema matches MEDIA_SCHEMA with the meta
+    width/height rewritten to the target size.
+    """
+    def default_resize(payload: bytes, meta: dict, w: int, h: int) -> bytes:
+        raise NotImplementedError("inject resize_fn (image libs unavailable)")
+
+    fn = resize_fn or default_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            payloads = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                payloads.append(fn(payload, meta, width, height)
+                                if payload is not None else None)
+                m = dict(meta) if meta is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads, "meta": metas})
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

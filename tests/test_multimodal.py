@@ -63,3 +63,25 @@ def test_bound_partition_bytes(spark):
     bounded = bound_partition_bytes(media, target_bytes=1024)
     assert bounded.count() == 32
     assert bounded.rdd.getNumPartitions() > 1
+
+
+def test_resize_media_updates_payload_and_meta(spark):
+    from kafka_streams_examples_spark.operators.multimodal import (
+        resize_media, synthesize_media,
+    )
+
+    media = synthesize_media(spark, n=8)
+
+    def fake_resize(payload, meta, w, h):
+        # deterministic stand-in: truncate/pad payload to w*h bytes
+        target = w * h
+        return (payload[:target] if len(payload) >= target
+                else payload + bytes(target - len(payload)))
+
+    out = resize_media(media, width=4, height=4, resize_fn=fake_resize)
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["payload"]) == 16
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert r["meta"]["modality"] in ("image", "audio")
