@@ -28,6 +28,7 @@ from .operators import dedup as D
 from .operators import joins as J
 from .operators import ktable as K
 from .operators import similarity as SIM
+from .operators import skew as SK
 from .operators import text as TX
 from .operators import topk as TK
 from .operators import windows as W
@@ -845,13 +846,34 @@ def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "inventory_reservation",
-    None,  # genuinely sequential read-modify-write state; validated by
-           # invariant tests (tests/test_stateful.py)
+    # the sequential reserve-if-fits machine IS SQL-expressible: a per-key
+    # recursive CTE walking rows in (shipdate, orderkey, linenumber) order,
+    # carrying the reserved level (failed rows consume no stock, so this is
+    # NOT a cumulative sum — the recursion is required)
+    "WITH RECURSIVE ordered AS ("
+    " SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,"
+    "        100.0 + (l_partkey % 50) * 10.0 AS stock,"
+    "        row_number() OVER (PARTITION BY l_partkey"
+    "                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn"
+    " FROM lineitem), "
+    "walk AS ("
+    " SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, rn, stock,"
+    "  CASE WHEN l_quantity <= stock THEN l_quantity ELSE 0 END AS reserved,"
+    "  CASE WHEN l_quantity <= stock THEN 'PASS' ELSE 'FAIL' END AS result"
+    " FROM ordered WHERE rn = 1"
+    " UNION ALL"
+    " SELECT o.l_partkey, o.l_orderkey, o.l_linenumber, o.l_quantity, o.rn, o.stock,"
+    "  w.reserved + CASE WHEN w.reserved + o.l_quantity <= o.stock"
+    "               THEN o.l_quantity ELSE 0 END,"
+    "  CASE WHEN w.reserved + o.l_quantity <= o.stock THEN 'PASS' ELSE 'FAIL' END"
+    " FROM ordered o JOIN walk w ON o.l_partkey = w.l_partkey AND o.rn = w.rn + 1) "
+    "SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, result FROM walk",
     "T3 inventory reservation: per product, process lineitems in shipdate "
     "order, reserve stock while capacity remains, PASS/FAIL per line "
     "(InventoryService.java:107-169). applyInPandas per key — parallel "
     "across keys, sequential within, matching Kafka Streams' per-partition "
-    "ordering guarantee.",
+    "ordering guarantee. Oracle: per-key recursive CTE carrying the "
+    "reserved level row-by-row (full hash-check, not rows-only).",
 )
 def q_inventory_reservation(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
@@ -878,6 +900,52 @@ def q_inventory_reservation(spark: SparkSession, sf: str) -> DataFrame:
     return li.groupBy("l_partkey").applyInPandas(
         reserve, schema="l_partkey bigint, l_orderkey bigint, l_linenumber int, "
                         "l_quantity double, result string")
+
+
+@query(
+    "running_counts_trace",
+    "SELECT event_id, user_id, CAST(row_number() OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_count "
+    "FROM events",
+    "T1 per-update changelog trace "
+    "(StateStoresInTheDSLIntegrationTest.java:118-126 asserts EVERY "
+    "intermediate increment, not just the final count): the full stream of "
+    "state-store updates reconstructed as a batch query — for each event, "
+    "the running per-key count at the moment it was processed "
+    "(event order = ts, event_id tie-break, matching the reference's "
+    "per-partition processing order). The streaming half is "
+    "streaming/stateful.py:running_counts; this oracle closes the "
+    "final-state-only narrowing documented in SURVEY §4.2.",
+)
+def q_running_counts_trace(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).cast("bigint").alias("running_count"))
+
+
+@query(
+    "salted_join_skew",
+    # oracle is the PLAIN join — proving the salted rewrite answer-identical
+    "WITH dim AS (SELECT DISTINCT event_type, upper(event_type) AS type_label "
+    "             FROM events) "
+    "SELECT e.event_id, e.event_type, d.type_label "
+    "FROM events e JOIN dim d ON e.event_type = d.event_type",
+    "Skew-mitigated join (operators/skew.py:salted_join): events carry only "
+    "5 distinct event_type values (~2000 rows each at sf0.01 — a maximally "
+    "hot join key), so a plain shuffle join lands each key on ONE reducer. "
+    "The salted rewrite spreads every hot key across 16 salt buckets "
+    "(big side gets rand-salt, dim side replicates 16x) and the oracle is "
+    "the unsalted join — the hash-match IS the row-identity proof that the "
+    "mitigation preserves answers. At 100 TB this is the shape for "
+    "fact x small-dim joins too big to broadcast with Zipf keys.",
+)
+def q_salted_join_skew(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("event_id", "event_type")
+    dim = (ev.select("event_type").distinct()
+             .withColumn("type_label", F.upper("event_type")))
+    return SK.salted_join(ev, dim, ["event_type"], salt=16)
 
 
 # ---------------------------------------------------------------------------
@@ -1073,20 +1141,31 @@ def q_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "approx_distinct",
-    None,  # sketch output is algorithm-specific (Spark HLL++ vs DuckDB's
-           # HLL differ per-estimate); validated rows-only + by the exact
-           # companion query distinct_users
+    # sketch estimates are algorithm-specific (Spark HLL++ vs DuckDB HLL),
+    # so the contract is a deterministic ERROR BOUND: the Spark side joins
+    # the sketch against the exact count and asserts |est - exact| <= 3*rsd
+    # * exact inside the query; the oracle states the bound must hold
+    # (within_bound TRUE for every key). A sketch drifting out of its
+    # advertised error now hash-mismatches instead of passing rows-only.
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, "
+    "TRUE AS within_bound FROM events GROUP BY 1",
     "Probabilistic distinct count per key (README.md:124-127 references the "
     "Count-Min-Sketch Scala example; pom.xml:188-189 declares the algebird "
     "dep). Spark-native sketch: HyperLogLog++ via approx_count_distinct — "
     "mergeable partial sketches, one shuffle, O(1) state per key exactly "
-    "like the reference's CMSStore.",
+    "like the reference's CMSStore. Checked as a deterministic bound: "
+    "relative error <= 3*rsd vs the exact count.",
 )
 def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    rsd = 0.02
     ev = table(spark, sf, "events")
-    return (ev.groupBy("event_type")
-              .agg(F.approx_count_distinct("user_id", rsd=0.02)
-                    .cast("bigint").alias("n_users_approx")))
+    both = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=rsd).cast("bigint").alias("n_approx"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users_exact"))
+    return both.select(
+        "event_type", "n_users_exact",
+        (F.abs(F.col("n_approx") - F.col("n_users_exact"))
+         <= 3 * rsd * F.col("n_users_exact")).alias("within_bound"))
 
 
 @query(
@@ -1148,6 +1227,9 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     media = MM.media_from_documents(table(spark, sf, "documents"))
 
     def decode(payload: bytes, meta: dict) -> list[float]:
+        # empty payload -> 0.0 features, matching the oracle's ascii('') = 0
+        if not payload:
+            return [0.0, 0.0, 0.0]
         return [float(len(payload) % 251), float(payload[0]), float(payload[-1])]
 
     feats = MM.extract_features(media, decode_fn=decode)
