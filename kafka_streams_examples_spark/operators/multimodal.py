@@ -56,16 +56,28 @@ def _default_decode(payload: bytes, meta: dict) -> list[float]:
 
 
 def bound_partition_bytes(media: DataFrame, target_bytes: int = 256 << 20,
-                          payload_col: str = "payload") -> DataFrame:
-    """Repartition so each task's payload bytes stay under target_bytes.
+                          payload_col: str = "payload",
+                          total_bytes: int | None = None) -> DataFrame:
+    """Repartition so each task's AVERAGE payload bytes ~ target_bytes.
 
-    One cheap aggregate measures total payload size, then a round-robin
-    repartition spreads rows; combined with the Arrow maxRecordsPerBatch
-    cap this bounds executor memory however skewed the blob sizes are.
+    This bounds the expected per-task input, not a hard worst case: a
+    single row larger than target_bytes cannot be subdivided (neither can
+    Arrow's maxRecordsPerBatch split one row), and round-robin placement
+    only makes co-location of several huge blobs unlikely, not impossible.
+    For heavy-tailed blob sizes, size target_bytes with headroom (e.g. 4x
+    below the executor budget) and cap maxRecordsPerBatch so decoded
+    batches stay small.
+
+    total_bytes: pass the known payload volume (e.g. from source-file
+    metadata — at 100 TB the right source of truth) to skip the measuring
+    pass; when omitted, one scalar aggregate over payload lengths runs
+    first (a full scan of the length column, acceptable at test scale).
     """
     from pyspark.sql import functions as F
-    total = media.agg(F.sum(F.length(payload_col))).first()[0] or 0
-    parts = max(1, int(total / target_bytes) + 1)
+    if total_bytes is None:
+        total_bytes = media.agg(
+            F.sum(F.coalesce(F.length(payload_col), F.lit(0)))).first()[0] or 0
+    parts = max(1, int(total_bytes / target_bytes) + 1)
     return media.repartition(parts)
 
 

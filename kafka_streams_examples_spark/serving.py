@@ -12,8 +12,12 @@ get / all / range / windowed fetch / session fetch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .state import (
+    BUCKET_COL, bucket_expr, bucket_of, read_state, swap_buckets, write_buckets,
+)
 
 
 class StateStore:
@@ -37,3 +41,47 @@ class StateStore:
 
     def fetch_sessions(self, key) -> DataFrame:  # Q5 session fetch per key
         return self.df.filter(F.col(self.key_col) == key)
+
+
+class DiskStateStore(StateStore):
+    """State store over the hash-bucketed parquet layout (state.py).
+
+    The reference's RocksDB store gives O(log n) point lookups; a flat
+    parquet table gives O(|state|) scans. This store recovers the lookup
+    asymptotics Spark-natively: ``get`` filters on the bucket partition
+    column (partition pruning reads ONE of n_buckets directories) and the
+    key column (row-group stats prune within the bucket because files are
+    written key-sorted). ``materialize`` writes any DataFrame into that
+    layout; KTableMaterializer maintains the same layout incrementally.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str,
+                 n_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.n_buckets = n_buckets
+        super().__init__(read_state(spark, path).drop(BUCKET_COL), key_col)
+
+    @classmethod
+    def materialize(cls, df: DataFrame, path: str, key_col: str,
+                    n_buckets: int = 32) -> "DiskStateStore":
+        bucketed = df.withColumn(BUCKET_COL, bucket_expr([key_col], n_buckets))
+        write_buckets(bucketed, path + ".tmp", [key_col])
+        swap_buckets(path + ".tmp", path, list(range(n_buckets)))
+        return cls(df.sparkSession, path, key_col, n_buckets)
+
+    def _pruned(self, key) -> DataFrame:
+        b = bucket_of(self.spark, [key], self.n_buckets)
+        return (read_state(self.spark, self.path)
+                .filter((F.col(BUCKET_COL) == b) & (F.col(self.key_col) == key))
+                .drop(BUCKET_COL))
+
+    def get(self, key):  # Q1 — bucket-pruned point lookup
+        return self._pruned(key).collect()
+
+    def fetch_window(self, key, start, end,
+                     window_col: str = "window_start") -> DataFrame:  # Q4
+        return self._pruned(key).filter(F.col(window_col).between(start, end))
+
+    def fetch_sessions(self, key) -> DataFrame:  # Q5
+        return self._pruned(key)

@@ -101,13 +101,17 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """J3 stream-stream windowed inner join with watermarks both sides.
 
+    Column convention: the left side carries ``l_{key}``/``l_ts``, the
+    right side ``r_{key}``/``r_ts`` (prefixing avoids ambiguous-column
+    errors in the self-join-shaped condition).
+
     State size is bounded by the watermark: each side buffers only rows
     newer than (max event time - watermark) — identical to the reference's
     JoinWindows retention.
     """
     l = left.withWatermark("l_ts", watermark)
     r = right.withWatermark("r_ts", watermark)
-    cond = ((l["l_key"] == r["r_key"])
+    cond = ((l[f"l_{key}"] == r[f"r_{key}"])
             & (r["r_ts"] >= l["l_ts"])
             & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {delta}")))
     return l.join(r, cond, "inner")

@@ -99,10 +99,14 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
         T.StructField("stream_value", T.DoubleType()),
         T.StructField("table_value", T.LongType()),
     ])
+    # each pending record carries its own enqueue time so the timeout honors
+    # the reference's PER-RECORD approxMaxWaitTime contract — a shared timer
+    # armed by an earlier batch must not flush a freshly-buffered record
     state_schema = T.StructType([
         T.StructField("table_value", T.LongType()),
         T.StructField("has_table", T.BooleanType()),
         T.StructField("pending", T.ArrayType(T.DoubleType())),
+        T.StructField("pending_ms", T.ArrayType(T.LongType())),
     ])
 
     tagged = (stream.select(F.col(key_col), F.lit("S").alias("side"),
@@ -113,18 +117,33 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                              F.lit(None).cast("double").alias("s_val"),
                              F.col("value").cast("long").alias("t_val"))))
 
+    wait_ms = wait_seconds * 1000
+
+    def _arm(state: GroupState, pending_ms: list, now: int) -> None:
+        # one timer per key, aimed at the OLDEST waiter's deadline; nothing
+        # pending -> no timer (a later arrival re-arms on the data path)
+        if pending_ms:
+            state.setTimeoutDuration(max(1, min(pending_ms) + wait_ms - now))
+
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        now = state.getCurrentProcessingTimeMs()
         if state.hasTimedOut:
-            t_val, has_t, pending = state.get
-            if pending:
-                yield pd.DataFrame({key_col: [key[0]] * len(pending),
-                                    "stream_value": list(pending),
-                                    "table_value": [None] * len(pending)})
-            state.update((t_val, has_t, []))
-            state.setTimeoutDuration(wait_seconds * 1000)
+            t_val, has_t, pending, pending_ms = state.get
+            pending = list(pending or []); pending_ms = list(pending_ms or [])
+            # flush only records that actually waited out wait_seconds
+            expired = [v for v, t in zip(pending, pending_ms) if now - t >= wait_ms]
+            keep = [(v, t) for v, t in zip(pending, pending_ms) if now - t < wait_ms]
+            if expired:
+                yield pd.DataFrame({key_col: [key[0]] * len(expired),
+                                    "stream_value": expired,
+                                    "table_value": [None] * len(expired)})
+            pending = [v for v, _ in keep]; pending_ms = [t for _, t in keep]
+            state.update((t_val, has_t, pending, pending_ms))
+            _arm(state, pending_ms, now)
             return
-        t_val, has_t, pending = state.get if state.exists else (None, False, [])
-        pending = list(pending or [])
+        t_val, has_t, pending, pending_ms = (
+            state.get if state.exists else (None, False, [], []))
+        pending = list(pending or []); pending_ms = list(pending_ms or [])
         out_k, out_s, out_t = [], [], []
         for pdf in pdfs:
             for _, row in pdf.iterrows():
@@ -132,14 +151,15 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                     t_val, has_t = int(row["t_val"]), True
                     for sv in pending:          # flush waiters on arrival
                         out_k.append(key[0]); out_s.append(sv); out_t.append(t_val)
-                    pending = []
+                    pending, pending_ms = [], []
                 else:
                     if has_t:
                         out_k.append(key[0]); out_s.append(float(row["s_val"])); out_t.append(t_val)
                     else:
                         pending.append(float(row["s_val"]))
-        state.update((t_val, has_t, pending))
-        state.setTimeoutDuration(wait_seconds * 1000)
+                        pending_ms.append(now)
+        state.update((t_val, has_t, pending, pending_ms))
+        _arm(state, pending_ms, now)
         if out_k:
             yield pd.DataFrame({key_col: out_k, "stream_value": out_s,
                                 "table_value": out_t})
