@@ -6,6 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed once with a count-style action so the full plan runs
 but collection overhead stays constant. A warmup query first absorbs JVM/
 codegen startup so per-query numbers reflect steady-state throughput.
+
+The JSON also carries a "streaming" section (rows/sec for the file-stream
+replay pipelines) so round-over-round streaming regressions are visible in
+BENCH_r{N}.json alongside the batch numbers.
 """
 
 from __future__ import annotations
@@ -43,10 +47,65 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "knn_cosine",
+    "knn_ivf",
     "embedding_near_dup",
+    "minhash_lsh_pairs",
     "quality_score",
     "media_features",
 ]
+
+
+def stream_bench(spark, sf_dir: str) -> dict:
+    """Streaming throughput: replay sf tables as file-stream micro-batches
+    through the smoke pipelines (wordcount / windows / sessions / dedup /
+    stream-stream join) and report rows/sec — the commit-interval
+    throughput analog (WordCountLambdaExample.java:170-174)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.dedup import dedup_stream
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        interval_join_stream, session_counts, streaming_wordcount,
+        windowed_counts,
+    )
+
+    n_docs = table(spark, sf_dir, "documents").count()
+    n_events = table(spark, sf_dir, "events").count()
+    ev = lambda: stream_table(spark, sf_dir, "events")  # noqa: E731
+
+    cases = {
+        "wordcount": (
+            lambda: streaming_wordcount(stream_table(spark, sf_dir, "documents")),
+            "complete", n_docs),
+        "windowed_counts": (lambda: windowed_counts(ev()), "append", n_events),
+        "session_counts": (lambda: session_counts(ev()), "append", n_events),
+        "dedup_ttl": (
+            lambda: dedup_stream(ev().select("event_id", "ts"), ["event_id"]),
+            "append", n_events),
+        # self-join on the unique event id (1:1 match) so the stream-stream
+        # join machinery is timed without a fan-out-dependent output size
+        "interval_join": (
+            lambda: interval_join_stream(
+                ev().select(F.col("event_id").alias("l_key"),
+                            F.col("ts").alias("l_ts")),
+                ev().select(F.col("event_id").alias("r_key"),
+                            (F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
+                            .alias("r_ts")),
+                "key"),
+            "append", n_events),
+    }
+    out: dict[str, dict] = {}
+    for name, (build, mode, rows_in) in cases.items():
+        t0 = time.time()
+        _, q = run_to_memory(build(), mode=mode)
+        wall = time.time() - t0
+        q.stop()
+        out[name] = {"wall_sec": round(wall, 3),
+                     "rows_per_sec": round(rows_in / wall, 1)}
+    return out
 
 
 def main() -> None:
@@ -70,12 +129,15 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    streaming = stream_bench(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
