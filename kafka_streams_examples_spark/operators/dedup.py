@@ -92,8 +92,29 @@ MINHASH_A = [1000000007, 1000000021, 998244353, 754974721,
 MINHASH_B = [17, 101, 1009, 10007, 100003, 1000003, 1234577, 7654321]
 
 
+def minhash_shingle_hashes(docs: DataFrame, n: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           distinct: bool = True) -> DataFrame:
+    """md5-derived shingle hashes h < 2^30 per doc: (doc_id, h).
+
+    The shared base relation of the MinHash family. distinct=False skips
+    the dedup shuffle and returns the raw multiset — correct whenever the
+    consumer is duplicate-insensitive (MIN aggregates) or dedups in its own
+    aggregation (count_distinct): a scan-only pipeline beats paying an
+    extra full shuffle just to dedup.
+    """
+    out = (docs
+           .select(F.col(id_col), tokens(text_col).alias("toks"))
+           .filter(F.size("toks") >= n)
+           .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("s"))
+           .select(id_col, (md5_hash64(F.col("s")) % MINHASH_M).alias("h")))
+    return out.distinct() if distinct else out
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle_hashes: DataFrame | None = None) -> DataFrame:
     """MinHash signature per document (portable md5+affine permutations).
 
     One md5 per shingle reduced to h < 2^30, then num_hashes affine
@@ -106,12 +127,11 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes > {len(MINHASH_A)} needs more constants")
-    sh = (docs
-          .select(F.col(id_col), tokens(text_col).alias("toks"))
-          .filter(F.size("toks") >= n)
-          .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("s"))
-          .select(id_col, (md5_hash64(F.col("s")) % MINHASH_M).alias("h"))
-          .distinct())
+    # MIN over permutations is duplicate-insensitive -> raw multiset input,
+    # no dedup shuffle; the only exchange is the groupBy itself
+    sh = (shingle_hashes if shingle_hashes is not None
+          else minhash_shingle_hashes(docs, n=n, text_col=text_col,
+                                      id_col=id_col, distinct=False))
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
          .alias(f"mh{i}")
@@ -129,10 +149,31 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
     equality), so the join is an equi-join on the band hash — no all-pairs
     stage exists. Bucket skew (a degenerate shingle shared by millions of
     docs) is bounded because band values are md5 over `rows` shingle mins.
+
+    The Jaccard verify runs over the SAME hashed-shingle relation the
+    signatures aggregate (sets are identical, so jac is identical), and
+    only over docs appearing in some candidate pair — so the verify
+    inverted-index join is sized by |candidates|, not by the corpus, and
+    the tokenize/hash pipeline is shared across branches (ReuseExchange).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, n=n,
-                              text_col=text_col, id_col=id_col)
+    # raw (non-distinct) shingle hashes: MIN permutations are duplicate-
+    # insensitive and the set size dedups inside the aggregate, so the
+    # whole base relation is scan-only — no dedup shuffle anywhere
+    sh_h = minhash_shingle_hashes(docs, n=n, text_col=text_col,
+                                  id_col=id_col, distinct=False)
+    # signatures keep only the MIN permutations on the critical path
+    # (sigs -> banding -> candidates); the per-doc DISTINCT set size —
+    # a pricier two-level aggregate — lives on its own branch, consumed
+    # only by the final jac projection, so it runs concurrently with the
+    # banding chain instead of delaying it
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
+         .alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh_h.groupBy(id_col).agg(*aggs)
+    sizes = sh_h.groupBy(id_col).agg(F.count_distinct("h").alias("sz"))
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias("band_val")
         for b in range(bands)
@@ -148,9 +189,28 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
              .distinct())
-    jac = ngram_jaccard_pairs(docs, n=n, threshold=0.0, text_col=text_col,
-                              id_col=id_col, candidates=cand)
-    return jac.filter(F.col("jac") >= jaccard_threshold)
+    # exact-Jaccard verify driven BY the candidate pairs: attach d1's
+    # shingle hashes, keep rows where d2 shares the hash, count. Work is
+    # |cand| x avg set size — no inverted-index self-join at all, and AQE
+    # broadcasts whichever side is small at runtime.
+    e1 = sh_h.select(F.col(id_col).alias("d1"), "h")
+    e2 = sh_h.select(F.col(id_col).alias("d2"), "h")
+    # count_distinct: both sides are raw multisets, so a shared hash seen
+    # j×k times collapses back to one intersection element
+    inter = (cand.join(e1, "d1")
+                 .join(e2, ["d2", "h"])
+                 .groupBy("d1", "d2")
+                 .agg(F.count_distinct("h").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("d1"),
+                               F.col("sz").alias("sz1")), "d1")
+            .join(sizes.select(F.col(id_col).alias("d2"),
+                               F.col("sz").alias("sz2")), "d2")
+            .select("d1", "d2",
+                    F.round(F.col("inter")
+                            / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4)
+                     .alias("jac"))
+            .filter(F.col("jac") >= jaccard_threshold))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -171,6 +231,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     if max_df is not None:
         from .skew import drop_hot_keys
         sh = drop_hot_keys(sh, ["shingle"], max_df)
+    if candidates is not None:
+        # the expensive self-join must only see docs that appear in some
+        # candidate pair — this is what makes LSH-verify cheaper than the
+        # exact path (the final pair semi-join alone would still pay the
+        # full inverted-index join). Per-doc set sizes stay exact: whole
+        # docs are kept or dropped, never partial shingle sets.
+        involved = (candidates.select(F.col("d1").alias(id_col))
+                    .union(candidates.select(F.col("d2").alias(id_col)))
+                    .distinct())
+        sh = sh.join(involved, id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

@@ -618,11 +618,11 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "minhash_lsh_pairs",
-    f"""WITH sig AS (
-      SELECT doc_id, {_MINHASH_AGGS_SQL} FROM (
-        SELECT DISTINCT doc_id,
-          CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
-        FROM ({SQL_SHINGLES})) GROUP BY doc_id),
+    f"""WITH hsh AS (
+      SELECT DISTINCT doc_id,
+        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
+      FROM ({SQL_SHINGLES})),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM hsh GROUP BY doc_id),
     banded AS (
       SELECT doc_id, 0 AS band_id,
              md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)) AS band_val FROM sig
@@ -637,11 +637,10 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id),
-    sh AS ({SQL_SHINGLES}),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM hsh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     verified AS (
       SELECT i.d1, i.d2, round(i.i / (s1.sz + s2.sz - i.i), 4) AS jac
@@ -651,9 +650,11 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
       JOIN sizes s2 ON i.d2 = s2.doc_id)
     SELECT d1, d2, jac FROM verified WHERE jac >= 0.2""",
     "MinHash+LSH near-duplicate pairs: band signatures, equi-join on band "
-    "value (candidates only meet inside buckets), exact-Jaccard verify. "
-    "Fully oracle-checked since the integer minhash + md5 banding runs "
-    "bit-identically in DuckDB.",
+    "value (candidates only meet inside buckets), exact-Jaccard verify "
+    "over the SAME hashed-shingle sets the signatures minimize (one shared "
+    "relation -> Spark reuses the exchange; bit-identical in DuckDB even "
+    "under 2^30-space hash collisions because both engines hash the same "
+    "way).",
 )
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_lsh_pairs(table(spark, sf, "documents"),
