@@ -91,6 +91,34 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_prep(docs: DataFrame, min_tokens: int = 10,
+                max_nonalnum_ratio: float = 0.4,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The canonical training-data prep composition in ONE pass: quality
+    gate (token floor + non-alphanumeric ceiling) then exact dedup keeping
+    the smallest id per fingerprint.
+
+    Plan shape: one scan computing fp/n_tokens/ratio, one filter, one
+    shuffle on fp for the min-id keeper set, one join back. Only
+    (id, fp, n_tokens) ever shuffles — never document text — so the
+    pipeline is scan-bound at 100 TB exactly like exact_dedup_groups.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    bad_ratio = (F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                           "[a-z0-9 ]", ""))
+                 / F.length(F.col(text_col)))
+    scored = docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        bad_ratio.alias("__bad"))
+    kept = (scored.filter((F.col("n_tokens") >= min_tokens)
+                          & (F.col("__bad") <= max_nonalnum_ratio))
+                  .drop("__bad"))
+    keepers = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return kept.join(keepers, ["fp", id_col]).select(id_col, "fp", "n_tokens")
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lower-cased text.

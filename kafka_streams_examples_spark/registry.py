@@ -833,6 +833,30 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_prep",
+    "WITH scored AS ("
+    " SELECT doc_id,"
+    "  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,"
+    "  CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT) AS n_tokens,"
+    "  length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) / length(text) AS bad"
+    " FROM documents), "
+    "kept AS (SELECT doc_id, fp, n_tokens FROM scored"
+    "         WHERE n_tokens >= 25 AND bad <= 0.4), "
+    "keepers AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp) "
+    "SELECT k.doc_id, k.fp, k.n_tokens "
+    "FROM kept k JOIN keepers u ON k.fp = u.fp AND k.doc_id = u.doc_id",
+    "Flagship training-data prep composition: quality gate (token floor + "
+    "non-alphanumeric ceiling) then exact dedup keeping the smallest id "
+    "per fingerprint — the filter->dedup chain every corpus build runs, "
+    "as ONE pass (one scan, one fp shuffle; text never shuffles).",
+)
+def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    # min_tokens=25 sits inside the fixture's 10-99 token range so the
+    # quality gate demonstrably rejects documents (~20% at sf0.01)
+    return TX.corpus_prep(table(spark, sf, "documents"), min_tokens=25)
+
+
+@query(
     "fingerprint",
     "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp FROM documents",
     "Document fingerprint: md5 over whitespace-normalized lowercased text.",

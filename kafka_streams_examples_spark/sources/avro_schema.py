@@ -10,8 +10,12 @@ the writer schema. The spark-avro jar is not present in this environment
   records, enums (-> string), nullable unions (-> nullable field), field
   defaults (metadata), primitives, plus arrays/maps for completeness.
 - `decode_avro` — gated wiring to from_avro; raises a clear error until a
-  runtime with spark-avro loads it. The schema half is fully tested either
-  way.
+  runtime with spark-avro loads it.
+- the RUNTIME decode path without the jar lives in avro_codec.py: a pure-
+  Python Avro binary codec (+ Confluent wire framing) applied through
+  Arrow-batched mapInPandas (`decode_avro_rows`) — slower than from_avro's
+  JVM path but fully functional and round-trip tested; prefer from_avro
+  when the package is loadable.
 """
 
 from __future__ import annotations

@@ -1,0 +1,107 @@
+"""Pure-Python Avro binary codec round-trips (S8 runtime half).
+
+Schema shapes mirror the reference's avsc corpus (SURVEY §1.2): enums
+(microservices/order.avsc OrderState/Product), nested records
+(global-tables-example.avsc EnrichedOrder), nullable unions
+(wikifeed.avsc content, pageview.avsc flags), field defaults
+(microservices/customer.avsc level="bronze")."""
+
+from __future__ import annotations
+
+import json
+
+from kafka_streams_examples_spark.sources.avro_codec import (
+    decode_avro_rows, decode_record, encode_record, frame_confluent,
+    unframe_confluent,
+)
+from kafka_streams_examples_spark.sources.avro_schema import avro_to_struct
+
+ORDER_AVSC = {
+    "type": "record", "name": "Order", "fields": [
+        {"name": "id", "type": "string"},
+        {"name": "customerId", "type": "long"},
+        {"name": "state", "type": {"type": "enum", "name": "OrderState",
+                                   "symbols": ["CREATED", "VALIDATED",
+                                               "FAILED", "SHIPPED"]}},
+        {"name": "product", "type": {"type": "enum", "name": "Product",
+                                     "symbols": ["JUMPERS", "UNDERPANTS",
+                                                 "STOCKINGS"]}},
+        {"name": "quantity", "type": "int"},
+        {"name": "price", "type": "double"},
+    ],
+}
+
+WIKIFEED_AVSC = {
+    "type": "record", "name": "WikiFeed", "fields": [
+        {"name": "user", "type": "string"},
+        {"name": "is_new", "type": "boolean"},
+        {"name": "content", "type": ["string", "null"]},
+    ],
+}
+
+ENRICHED_AVSC = {
+    "type": "record", "name": "EnrichedOrder", "fields": [
+        {"name": "order", "type": ORDER_AVSC},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+def test_roundtrip_enum_record():
+    rec = {"id": "o-1", "customerId": 42, "state": "VALIDATED",
+           "product": "JUMPERS", "quantity": 3, "price": 99.5}
+    assert decode_record(ORDER_AVSC, encode_record(ORDER_AVSC, rec)) == rec
+
+
+def test_roundtrip_nullable_union():
+    for content in ("body text", None):
+        rec = {"user": "alice", "is_new": True, "content": content}
+        assert decode_record(WIKIFEED_AVSC,
+                             encode_record(WIKIFEED_AVSC, rec)) == rec
+
+
+def test_roundtrip_nested_array_map():
+    rec = {"order": {"id": "o-2", "customerId": -7, "state": "FAILED",
+                     "product": "STOCKINGS", "quantity": 0, "price": 0.25},
+           "tags": ["a", "b", "c"], "attrs": {"x": 1, "y": -300}}
+    assert decode_record(ENRICHED_AVSC,
+                         encode_record(ENRICHED_AVSC, rec)) == rec
+
+
+def test_varint_extremes():
+    avsc = {"type": "record", "name": "N",
+            "fields": [{"name": "v", "type": "long"}]}
+    for v in (0, -1, 1, 63, 64, -64, -65, 2**40, -(2**40), 2**62, -(2**62)):
+        assert decode_record(avsc, encode_record(avsc, {"v": v})) == {"v": v}
+
+
+def test_confluent_framing():
+    body = encode_record(WIKIFEED_AVSC,
+                         {"user": "u", "is_new": False, "content": None})
+    framed = frame_confluent(1234, body)
+    sid, got = unframe_confluent(framed)
+    assert sid == 1234 and got == body
+
+
+def test_decode_avro_rows_dataframe(spark):
+    """End-to-end DataFrame path: binary payloads -> typed columns, with
+    Confluent framing and a null payload (tombstone -> all-null row)."""
+    recs = [
+        {"user": "alice", "is_new": True, "content": "hello"},
+        {"user": "bob", "is_new": False, "content": None},
+    ]
+    payloads = [(frame_confluent(7, encode_record(WIKIFEED_AVSC, r)),)
+                for r in recs] + [(None,)]
+    df = spark.createDataFrame(payloads, "value binary")
+    out = decode_avro_rows(df, json.dumps(WIKIFEED_AVSC),
+                           confluent_framing=True)
+    assert [f.name for f in out.schema.fields] == \
+           [f.name for f in avro_to_struct(WIKIFEED_AVSC).fields]
+    assert [f.dataType for f in out.schema.fields] == \
+           [f.dataType for f in avro_to_struct(WIKIFEED_AVSC).fields]
+    rows = sorted(out.collect(), key=lambda r: (r["user"] is None, r["user"] or ""))
+    assert [r["user"] for r in rows] == ["alice", "bob", None]
+    assert rows[0]["content"] == "hello"
+    assert rows[1]["content"] is None and rows[1]["is_new"] is False
+    assert rows[2]["is_new"] is None
