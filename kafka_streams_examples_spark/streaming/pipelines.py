@@ -69,13 +69,17 @@ def streaming_music_charts(plays: DataFrame, songs: DataFrame,
 
 def top5_from_counts(counts: DataFrame) -> DataFrame:
     """Read-time chart rank over materialized streaming counts (batch DF):
-    genre charts + __overall__, same shape as registry music_charts."""
+    genre charts + __overall__, same two-level shape as registry
+    music_charts (overall ranks only the per-genre winners — a global
+    top-5 song is necessarily top-5 in its own genre)."""
     from ..operators.topk import top_k_per_group
-    charts = counts.select(
-        F.explode(F.array(F.col("genre"), F.lit("__overall__"))).alias("genre"),
-        "song_id", "song_name", "plays")
-    out = top_k_per_group(charts, ["genre"],
-                          [F.col("plays").desc(), F.col("song_id")], k=5)
+    order = [F.col("plays").desc(), F.col("song_id")]
+    genre_top = top_k_per_group(counts, ["genre"], order, k=5)
+    overall = top_k_per_group(
+        genre_top.select(F.lit("__overall__").alias("genre"),
+                         "song_id", "song_name", "plays"),
+        ["genre"], order, k=5)
+    out = genre_top.unionByName(overall)
     return out.select("genre", F.col("rnk").cast("bigint").alias("rnk"),
                       "song_id", "song_name", "plays")
 
