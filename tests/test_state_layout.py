@@ -133,6 +133,46 @@ def test_point_lookup_prunes_to_one_bucket(spark, tmp_path, sf_dir):
     assert len(dirs) > 1
 
 
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """§2.8 exactly-once: foreachBatch may redeliver a batch after
+    checkpoint recovery — applying the SAME batch twice must leave the
+    LOGICAL state unchanged (the upsert is deterministic in
+    (key, ts, tiebreak); rewritten parquet files carry fresh write UUIDs,
+    so the contract is row identity, not byte identity)."""
+    state = tmp_path / "state"
+    mat = KTableMaterializer(spark, str(state), ["user"], "ts", n_buckets=4)
+    batch = spark.createDataFrame(
+        [("u1", "a", ts("2024-01-01 10:00:00")),
+         ("u2", "b", ts("2024-01-01 10:00:00"))],
+        "user string, region string, ts timestamp")
+    mat(batch, 0)
+    first = sorted(map(tuple, mat.state().collect()))
+    mat(batch, 0)   # redelivery of the same epoch
+    assert sorted(map(tuple, mat.state().collect())) == first
+    got = {r["user"]: r["region"] for r in mat.state().collect()}
+    assert got == {"u1": "a", "u2": "b"}
+
+
+def test_materialize_and_streaming_upsert_share_layout(spark, tmp_path):
+    """DiskStateStore.materialize and KTableMaterializer must agree on the
+    bucket layout: a store bootstrapped via materialize() can be maintained
+    incrementally by the streaming upsert at the same path."""
+    path = str(tmp_path / "st")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", ts("2024-01-01 10:00:00")) for i in range(20)],
+        "k long, v string, ts timestamp")
+    DiskStateStore.materialize(base, path, "k", n_buckets=4)
+    mat = KTableMaterializer(spark, path, ["k"], "ts", n_buckets=4)
+    upd = spark.createDataFrame([(3, "NEW", ts("2024-01-01 11:00:00"))],
+                                "k long, v string, ts timestamp")
+    mat(upd, 1)
+    got = {r["k"]: r["v"] for r in mat.state().collect()}
+    assert got[3] == "NEW" and len(got) == 20
+    assert all(v == f"v{k}" for k, v in got.items() if k != 3)
+    store = DiskStateStore(spark, path, "k", n_buckets=4)
+    assert store.get(3)[0]["v"] == "NEW"
+
+
 def test_disk_store_range_and_all(spark, tmp_path, sf_dir):
     from kafka_streams_examples_spark.catalog import table
 
