@@ -219,13 +219,15 @@ def unframe_confluent(payload: bytes) -> tuple[int, bytes]:
 
 def decode_avro_rows(df: DataFrame, avsc: str | dict,
                      payload_col: str = "value",
-                     confluent_framing: bool = False) -> DataFrame:
+                     confluent_framing: bool = False,
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Decode a binary Avro payload column into typed columns.
 
     Arrow-batched mapInPandas: the schema (avro_to_struct) is resolved
     driver-side; workers decode payload bytes only. Null payloads yield
     all-null rows (the tombstone contract); with confluent_framing the
-    5-byte registry header is stripped first.
+    5-byte registry header is stripped first. keep_cols are carried
+    through unchanged (e.g. Kafka key/offset/timestamp metadata).
     """
     import pandas as pd
 
@@ -234,10 +236,15 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
     schema = json.loads(avsc) if isinstance(avsc, str) else avsc
     # nullable-ized: a null payload (tombstone) yields an all-null row, so
     # even avro-non-nullable fields must admit null in the output schema
-    out_schema = T.StructType([
-        T.StructField(f.name, f.dataType, True, f.metadata)
-        for f in avro_to_struct(schema).fields])
-    names = [f.name for f in out_schema.fields]
+    avro_fields = [T.StructField(f.name, f.dataType, True, f.metadata)
+                   for f in avro_to_struct(schema).fields]
+    names = [f.name for f in avro_fields]
+    clash = set(names) & set(keep_cols)
+    if clash:
+        raise ValueError(f"avro fields collide with keep_cols: {sorted(clash)}")
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep_cols] + avro_fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,6 +256,9 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
                 body = (unframe_confluent(bytes(payload))[1]
                         if confluent_framing else bytes(payload))
                 rows.append(decode_record(schema, body))
-            yield pd.DataFrame(rows, columns=names)
+            out = pd.DataFrame(rows, columns=names)
+            for i, c in enumerate(keep_cols):
+                out.insert(i, c, pdf[c].values)
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -60,6 +60,26 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
     return out
 
 
+def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
+                            confluent_framing: bool = True) -> DataFrame:
+    """Typed rows from a Kafka-source-shaped DataFrame (S1+S8 runtime path,
+    broker-independent): `value` is (Confluent-framed) binary Avro, decoded
+    by the pure-Python codec; Kafka metadata columns that exist on the
+    input (key/topic/partition/offset/timestamp) ride along unchanged.
+
+    This is the decode half of SpecificAvroIntegrationTest.java — the same
+    DataFrame shape `spark.read.format("kafka")` produces, so it applies
+    unmodified to a real source once a broker exists.
+    """
+    from .avro_codec import decode_avro_rows
+
+    keep = tuple(c for c in ("key", "topic", "partition", "offset", "timestamp")
+                 if c in df.columns)
+    return decode_avro_rows(df, avsc, payload_col="value",
+                            confluent_framing=confluent_framing,
+                            keep_cols=keep)
+
+
 def kafka_sink_options(bootstrap_servers: str,
                        topic: str | None = None) -> dict[str, str]:
     """Sink options; omit `topic` when the DataFrame carries a per-row

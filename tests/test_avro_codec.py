@@ -84,6 +84,75 @@ def test_confluent_framing():
     assert sid == 1234 and got == body
 
 
+def test_decode_kafka_avro_batch_keeps_metadata(spark):
+    """Kafka-source-shaped batch (key/value/topic/partition/offset/
+    timestamp) -> typed record fields with metadata riding along — the
+    broker-independent S1+S8 runtime path."""
+    from datetime import datetime
+
+    from kafka_streams_examples_spark.sources.kafka import (
+        decode_kafka_avro_batch,
+    )
+
+    recs = [{"user": "alice", "is_new": True, "content": "x"},
+            {"user": "bob", "is_new": False, "content": None}]
+    rows = [(f"k{i}".encode(), frame_confluent(9, encode_record(WIKIFEED_AVSC, r)),
+             "wikifeed", 0, i, datetime(2024, 1, 1, 10, 0, i))
+            for i, r in enumerate(recs)]
+    df = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, "
+              "offset long, timestamp timestamp")
+    out = decode_kafka_avro_batch(df, WIKIFEED_AVSC).collect()
+    by_off = {r["offset"]: r for r in out}
+    assert by_off[0]["user"] == "alice" and bytes(by_off[0]["key"]) == b"k0"
+    assert by_off[1]["user"] == "bob" and by_off[1]["content"] is None
+    assert all(r["topic"] == "wikifeed" for r in out)
+
+
+def test_roundtrip_property_random_records():
+    """Property: decode(encode(r)) == r for randomized records over a
+    schema using every supported shape (hypothesis, pure Python — no
+    Spark round-trip per example)."""
+    from hypothesis import given, settings, strategies as st
+
+    rec_st = st.fixed_dictionaries({
+        "user": st.text(max_size=20),
+        "is_new": st.booleans(),
+        "content": st.one_of(st.none(), st.text(max_size=50)),
+    })
+    enriched_st = st.fixed_dictionaries({
+        "order": st.fixed_dictionaries({
+            "id": st.text(max_size=10),
+            "customerId": st.integers(min_value=-(2**62), max_value=2**62),
+            "state": st.sampled_from(["CREATED", "VALIDATED", "FAILED",
+                                      "SHIPPED"]),
+            "product": st.sampled_from(["JUMPERS", "UNDERPANTS",
+                                        "STOCKINGS"]),
+            "quantity": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "price": st.floats(allow_nan=False, allow_infinity=False),
+        }),
+        "tags": st.lists(st.text(max_size=8), max_size=5),
+        "attrs": st.dictionaries(st.text(max_size=5),
+                                 st.integers(min_value=-(2**40),
+                                             max_value=2**40), max_size=4),
+    })
+
+    @settings(max_examples=200, deadline=None)
+    @given(rec_st)
+    def check_wiki(r):
+        assert decode_record(WIKIFEED_AVSC,
+                             encode_record(WIKIFEED_AVSC, r)) == r
+
+    @settings(max_examples=200, deadline=None)
+    @given(enriched_st)
+    def check_enriched(r):
+        assert decode_record(ENRICHED_AVSC,
+                             encode_record(ENRICHED_AVSC, r)) == r
+
+    check_wiki()
+    check_enriched()
+
+
 def test_decode_avro_rows_dataframe(spark):
     """End-to-end DataFrame path: binary payloads -> typed columns, with
     Confluent framing and a null payload (tombstone -> all-null row)."""
