@@ -109,6 +109,28 @@ def test_decode_kafka_avro_batch_keeps_metadata(spark):
     assert all(r["topic"] == "wikifeed" for r in out)
 
 
+def test_streaming_avro_decode(spark, tmp_path):
+    """decode_avro_rows composes with Structured Streaming unchanged
+    (mapInPandas is streaming-capable): framed payload file-stream ->
+    typed rows in a memory sink."""
+    from kafka_streams_examples_spark.streaming.core import run_to_memory
+
+    src = tmp_path / "avro_src"
+    payloads = [(frame_confluent(3, encode_record(
+        WIKIFEED_AVSC, {"user": f"u{i}", "is_new": i % 2 == 0,
+                        "content": None})),) for i in range(5)]
+    spark.createDataFrame(payloads, "value binary").coalesce(1) \
+         .write.parquet(str(src))
+    stream = spark.readStream.schema("value binary").parquet(str(src))
+    out = decode_avro_rows(stream, WIKIFEED_AVSC, confluent_framing=True)
+    name, q = run_to_memory(out, mode="append")
+    try:
+        users = sorted(r["user"] for r in spark.table(name).collect())
+    finally:
+        q.stop()
+    assert users == [f"u{i}" for i in range(5)]
+
+
 def test_roundtrip_property_random_records():
     """Property: decode(encode(r)) == r for randomized records over a
     schema using every supported shape (hypothesis, pure Python — no
