@@ -280,6 +280,43 @@ def test_session_windows_merge_on_bridging_event(spark, tmp_path):
     assert after[0]["end"] == ts("2024-01-01 11:10:00")  # last event + gap
 
 
+def test_suppress_vs_update_emission_contract(spark, tmp_path):
+    """W8 suppress(untilWindowCloses) vs full-changelog emission
+    (CustomWindowTest.java:283-291 / WordCountLambdaExample.java:173-174):
+    the SAME windowed count over two batches emits intermediate updates in
+    update mode (count 1 then 2 for the growing window) but exactly ONE
+    final row per window in append mode once the watermark closes it."""
+    def run(mode):
+        src = tmp_path / f"src_{mode}"
+        schema = "k string, ts timestamp"
+        spark.createDataFrame([("a", ts("2024-01-01 10:00:10"))], schema) \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (stream.withWatermark("ts", "5 minutes")
+               .groupBy(F.window("ts", "1 minute"), F.col("k"))
+               .agg(F.count("*").alias("n"))
+               .select(F.col("window.start").alias("ws"), "k", "n"))
+        name, q = run_to_memory(agg, mode=mode)
+        try:
+            # batch 2: same window grows; batch 3: advance watermark past it
+            spark.createDataFrame([("a", ts("2024-01-01 10:00:40"))], schema) \
+                 .coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            spark.createDataFrame([("a", ts("2024-01-01 11:00:00"))], schema) \
+                 .coalesce(1).write.mode("append").parquet(str(src))
+            q.processAllAvailable()
+            return [r["n"] for r in spark.table(name).collect()
+                    if r["ws"] == ts("2024-01-01 10:00:00")]
+        finally:
+            q.stop()
+
+    # update mode: the 10:00 window's count is observable at 1 AND at 2
+    # (per-batch conflation of the changelog, cache-off reference behavior)
+    assert sorted(run("update")) == [1, 2]
+    # append mode: exactly one FINAL emission after the window closes
+    assert run("append") == [2]
+
+
 def test_stream_stream_outer_join_null_padding(spark, tmp_path):
     """J4 (StreamToStreamJoinIntegrationTest.java:96-110): unmatched left
     rows emit null-padded output once the watermark passes the join window
