@@ -173,6 +173,29 @@ def test_materialize_and_streaming_upsert_share_layout(spark, tmp_path):
     assert store.get(3)[0]["v"] == "NEW"
 
 
+def test_composite_key_upsert_and_lookup(spark, tmp_path):
+    """Multi-column keys: bucket fn hashes all key columns; get() with the
+    full composite key still prunes to one bucket."""
+    state = tmp_path / "state"
+    mat = KTableMaterializer(spark, str(state), ["region", "user"], "ts",
+                             n_buckets=4)
+    b1 = spark.createDataFrame(
+        [("eu", "u1", 1.0, ts("2024-01-01 10:00:00")),
+         ("us", "u1", 2.0, ts("2024-01-01 10:00:00")),
+         ("eu", "u2", 3.0, ts("2024-01-01 10:00:00"))],
+        "region string, user string, v double, ts timestamp")
+    mat(b1, 0)
+    b2 = spark.createDataFrame(
+        [("eu", "u1", 9.0, ts("2024-01-01 11:00:00"))],
+        "region string, user string, v double, ts timestamp")
+    mat(b2, 1)
+    got = {(r["region"], r["user"]): r["v"] for r in mat.state().collect()}
+    assert got == {("eu", "u1"): 9.0, ("us", "u1"): 2.0, ("eu", "u2"): 3.0}
+    # same user, different region -> independent rows; bucket-pruned get
+    assert mat.get(region="eu", user="u1")[0]["v"] == 9.0
+    assert mat.get(region="us", user="u1")[0]["v"] == 2.0
+
+
 def test_disk_store_range_and_all(spark, tmp_path, sf_dir):
     from kafka_streams_examples_spark.catalog import table
 
