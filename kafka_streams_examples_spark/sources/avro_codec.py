@@ -220,7 +220,8 @@ def unframe_confluent(payload: bytes) -> tuple[int, bytes]:
 def decode_avro_rows(df: DataFrame, avsc: str | dict,
                      payload_col: str = "value",
                      confluent_framing: bool = False,
-                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+                     keep_cols: tuple[str, ...] = (),
+                     on_error: str = "fail") -> DataFrame:
     """Decode a binary Avro payload column into typed columns.
 
     Arrow-batched mapInPandas: the schema (avro_to_struct) is resolved
@@ -228,6 +229,12 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
     all-null rows (the tombstone contract); with confluent_framing the
     5-byte registry header is stripped first. keep_cols are carried
     through unchanged (e.g. Kafka key/offset/timestamp metadata).
+
+    on_error="null" applies the poison-pill contract (S11,
+    HandlingCorruptedInputRecordsIntegrationTest.java:79-99) to Avro:
+    a truncated/garbage payload yields an all-null row instead of failing
+    the task — filter on a non-nullable field to drop-and-count, exactly
+    like the JSON path. Default "fail" surfaces corruption loudly.
     """
     import pandas as pd
 
@@ -246,16 +253,25 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
     out_schema = T.StructType(
         [in_fields[c] for c in keep_cols] + avro_fields)
 
+    if on_error not in ("fail", "null"):
+        raise ValueError("on_error must be 'fail' or 'null'")
+    null_row = {n: None for n in names}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
                 if payload is None:
-                    rows.append({n: None for n in names})
+                    rows.append(null_row)
                     continue
-                body = (unframe_confluent(bytes(payload))[1]
-                        if confluent_framing else bytes(payload))
-                rows.append(decode_record(schema, body))
+                try:
+                    body = (unframe_confluent(bytes(payload))[1]
+                            if confluent_framing else bytes(payload))
+                    rows.append(decode_record(schema, body))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    rows.append(null_row)    # poison pill -> null row
             out = pd.DataFrame(rows, columns=names)
             for i, c in enumerate(keep_cols):
                 out.insert(i, c, pdf[c].values)

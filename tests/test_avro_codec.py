@@ -109,6 +109,24 @@ def test_decode_kafka_avro_batch_keeps_metadata(spark):
     assert all(r["topic"] == "wikifeed" for r in out)
 
 
+def test_poison_pill_avro_payloads(spark):
+    """S11 applied to Avro: truncated payloads yield null rows (droppable)
+    with on_error='null'; survivors decode normally."""
+    good = encode_record(WIKIFEED_AVSC,
+                         {"user": "ok", "is_new": True, "content": None})
+    rows = [(good,), (good[: len(good) // 2],), (b"\xff\xfegarbage",)]
+    df = spark.createDataFrame(rows, "value binary")
+    out = decode_avro_rows(df, WIKIFEED_AVSC, on_error="null")
+    got = out.collect()
+    assert len(got) == 3
+    survivors = [r for r in got if r["user"] is not None]
+    assert [r["user"] for r in survivors] == ["ok"]
+    # and the default mode surfaces the corruption
+    import pytest
+    with pytest.raises(Exception):
+        decode_avro_rows(df, WIKIFEED_AVSC).collect()
+
+
 def test_streaming_avro_decode(spark, tmp_path):
     """decode_avro_rows composes with Structured Streaming unchanged
     (mapInPandas is streaming-capable): framed payload file-stream ->
