@@ -156,6 +156,45 @@ def test_streaming_music_charts_matches_batch(spark, sf_dir):
            sorted(map(tuple, want), key=lambda t: (t[0], t[1]))
 
 
+def test_music_charts_stream_to_store_to_serving(spark, sf_dir, tmp_path):
+    """The reference's full KafkaMusic architecture end-to-end
+    (KafkaMusicExample.java:281-378 + MusicPlaysRestService): streaming
+    play counts (update mode) -> foreachBatch upsert into the bucketed
+    state store (only updated keys flow per batch) -> read-time top-5
+    charts served FROM the store — must equal the batch oracle query."""
+    from kafka_streams_examples_spark.registry import QUERIES
+    from kafka_streams_examples_spark.streaming.ktable import KTableMaterializer
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_music_charts, top5_from_counts,
+    )
+
+    plays = (stream_table(spark, sf_dir, "lineitem")
+             .select(F.col("l_partkey").alias("song_id"),
+                     F.col("l_quantity").alias("quantity")))
+    songs = (table(spark, sf_dir, "part")
+             .select(F.col("p_partkey").alias("song_id"),
+                     F.col("p_name").alias("song_name"),
+                     F.col("p_brand").alias("genre")))
+    counts = streaming_music_charts(plays, songs)
+
+    state = tmp_path / "charts_state"
+    mat = KTableMaterializer(spark, str(state), ["genre", "song_id"],
+                             ts_col="__v", n_buckets=8)
+
+    def sink(batch, epoch):
+        # update-mode batches carry only keys whose count changed; the
+        # epoch number versions them for the latest-per-key merge
+        mat(batch.withColumn("__v", F.lit(epoch).cast("long")), epoch)
+
+    q = (counts.writeStream.outputMode("update").foreachBatch(sink).start())
+    q.processAllAvailable()
+    q.stop()
+
+    served = top5_from_counts(mat.state().drop("__v")).collect()
+    want = QUERIES["music_charts"].spark(spark, sf_dir).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, want))
+
+
 def test_streaming_pageview_region_append(spark, sf_dir):
     from kafka_streams_examples_spark.streaming.pipelines import (
         streaming_pageview_region,
