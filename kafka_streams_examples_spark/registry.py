@@ -729,6 +729,32 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "simhash_hamming_pairs",
+    f"""WITH s AS ({_simhash_sql(32)}),
+    banded AS (
+      SELECT doc_id, simhash, b AS band_id, (simhash >> (b * 8)) & 255 AS band_val
+      FROM s, generate_series(0, 3) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+             a.simhash AS h1, b.simhash AS h2
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 3""",
+    "SimHash near-dup PAIRS via bit-band LSH (32-bit fingerprint, 4 bands "
+    "of 8 bits): Hamming <= 3 implies at least one identical band "
+    "(pigeonhole), so candidates meet in an equi-join on (band_id, "
+    "band_val) — never all-pairs — then one codegen'd bit_count(XOR) "
+    "verifies exactly. The complement of the `simhash` signature query: "
+    "this is the detector that makes the fingerprints actionable.",
+)
+def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_hamming_pairs(table(spark, sf, "documents"),
+                                   bits=32, bands=4, max_hamming=3)
+
+
+@query(
     "knn_cosine",
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),

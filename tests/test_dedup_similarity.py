@@ -67,3 +67,39 @@ def test_ivf_partitioned_corpus_prunes_on_disk(spark, sf_dir, tmp_path):
     # pruning is real: scanned row count equals the two buckets' rows
     want = emb.filter(F.col("label").isin([0, 1])).count()
     assert probed.count() == want
+
+
+def test_simhash_hamming_pairs_pigeonhole_recall(spark, sf_dir):
+    """Band-LSH must find EVERY pair within max_hamming (pigeonhole is a
+    guarantee, not a probability): compare against the all-pairs truth on
+    the real corpus, and check precision (no pair beyond the threshold)."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        simhash, simhash_hamming_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    got = {(r["d1"], r["d2"]): r["hamming"]
+           for r in simhash_hamming_pairs(docs, bits=32, bands=4,
+                                          max_hamming=3).collect()}
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash(docs, bits=32).collect()}
+    ids = sorted(fps)
+    truth = {}
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1:]:
+            h = bin(fps[d1] ^ fps[d2]).count("1")
+            if h <= 3:
+                truth[(d1, d2)] = h
+    assert got == truth  # exact recall AND precision, distances included
+
+
+def test_simhash_hamming_pairs_rejects_bad_banding(spark):
+    import pytest as _pytest
+
+    from kafka_streams_examples_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, bits=30, bands=4)
+    with _pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, bits=32, bands=4, max_hamming=4)
