@@ -330,6 +330,57 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
                 .filter(F.col("hamming") <= max_hamming))
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         src_col: str = "d1", dst_col: str = "d2",
+                         id_col: str = "doc_id",
+                         max_iterations: int = 50) -> DataFrame:
+    """Cluster assignment over a pair graph: (node, cluster_id = min reachable id).
+
+    The step a real dedup pipeline needs AFTER pair generation: near-dup
+    pairs (from LSH/Jaccard/SimHash) form a graph; each connected component
+    is one duplicate cluster, and the canonical representative is the
+    minimum doc id in the component.
+
+    Algorithm: iterative min-label propagation. labels start as self; each
+    round every node takes min(own label, neighbors' labels) — a join on
+    the symmetrized edge list + a groupBy min, 2 shuffles per round,
+    O(component diameter) rounds. Convergence is detected by the monotone
+    invariant sum(labels): labels only ever decrease, so an unchanged sum
+    IS the fixpoint (one scalar aggregate per round, no comparison join).
+
+    100 TB design: near-dup components are clique-ish (diameter 2-3), so
+    propagation converges in a handful of rounds; the edge relation is
+    persisted once and every round shuffles only (int64, int64) pairs. For
+    adversarially long path graphs, the O(log n)-round large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") drops in behind the same contract; diameter-bound propagation
+    is the right default for dedup workloads.
+    """
+    from pyspark import StorageLevel
+    sym = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+                .union(edges.select(F.col(dst_col).alias("src"),
+                                    F.col(src_col).alias("dst")))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).cast("long").alias("lbl"))
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iterations):
+        msgs = (sym.join(labels, sym["src"] == labels["node"])
+                   .select(F.col("dst").alias("node"), F.col("lbl")))
+        new_labels = (labels.union(msgs)
+                            .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                            .persist(StorageLevel.MEMORY_AND_DISK))
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",

@@ -1,0 +1,58 @@
+"""Deterministic sampling for corpus construction.
+
+Training-data pipelines re-weight sources constantly ("25% of the English
+crawl, all of the low-resource languages"). Doing that with `rand()` is a
+reproducibility bug — re-running the job yields a different corpus — so
+these operators sample by HASH of a stable key: a row is kept iff
+md5(key) mod 10^4 < rate*10^4. The decision is a pure scan-side Column
+expression (no shuffle, no state, pushes through any plan), identical
+re-run to re-run, engine to engine (the md5 derivation matches the DuckDB
+oracle), and stratum-independent per key.
+
+At 100 TB this is the only sampling that works: no coordination, no
+per-partition counters, no sort — every executor decides each row locally,
+and changing one stratum's rate leaves every other stratum's sample
+byte-identical (hash decisions don't interact).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_hash64
+
+_SCALE = 10_000  # rate resolution 0.01%
+
+
+def _keep(key: Column, rate_scaled: Column, salt: str) -> Column:
+    return md5_hash64(F.concat(key.cast("string"), F.lit(salt))) % _SCALE < rate_scaled
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff md5(key||salt) % 1e4 < f*1e4.
+
+    `salt` decorrelates independent samples over the same keys (two salted
+    10% samples overlap ~1%, not 100%).
+    """
+    rate = F.lit(int(round(fraction * _SCALE)))
+    return df.filter(_keep(F.col(key_col), rate, salt))
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: Mapping[str, float], default_rate: float,
+                      key_col: str, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing).
+
+    rates maps stratum value -> keep fraction; anything unlisted gets
+    default_rate. One CASE expression picks the rate, one hash decides —
+    still scan-only, no shuffle.
+    """
+    rate = F.lit(int(round(default_rate * _SCALE)))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value,
+                      F.lit(int(round(r * _SCALE)))).otherwise(rate)
+    return df.filter(_keep(F.col(key_col), rate, salt))

@@ -27,7 +27,9 @@ from .functions import tokens
 from .operators import dedup as D
 from .operators import joins as J
 from .operators import ktable as K
+from .operators import sampling as SAMP
 from .operators import similarity as SIM
+from .operators import sketch as SKC
 from .operators import skew as SK
 from .operators import text as TX
 from .operators import topk as TK
@@ -616,9 +618,9 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_signatures(table(spark, sf, "documents"), num_hashes=8, n=3)
 
 
-@query(
-    "minhash_lsh_pairs",
-    f"""WITH hsh AS (
+# The full LSH pipeline as named CTEs, shared by the pair query and the
+# clustering query (which consumes `verified` as its edge list).
+_LSH_CTES = f"""hsh AS (
       SELECT DISTINCT doc_id,
         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
       FROM ({SQL_SHINGLES})),
@@ -647,8 +649,12 @@ def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
       FROM inter i
       JOIN cand c ON i.d1 = c.d1 AND i.d2 = c.d2
       JOIN sizes s1 ON i.d1 = s1.doc_id
-      JOIN sizes s2 ON i.d2 = s2.doc_id)
-    SELECT d1, d2, jac FROM verified WHERE jac >= 0.2""",
+      JOIN sizes s2 ON i.d2 = s2.doc_id)"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    f"WITH {_LSH_CTES}\n    SELECT d1, d2, jac FROM verified WHERE jac >= 0.2",
     "MinHash+LSH near-duplicate pairs: band signatures, equi-join on band "
     "value (candidates only meet inside buckets), exact-Jaccard verify "
     "over the SAME hashed-shingle sets the signatures minimize (one shared "
@@ -752,6 +758,101 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
 def q_simhash_hamming_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_hamming_pairs(table(spark, sf, "documents"),
                                    bits=32, bands=4, max_hamming=3)
+
+
+@query(
+    "dedup_clusters",
+    f"""WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node)
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN min(lbl) = node THEN 1 ELSE 0 END AS INT) AS is_canonical
+    FROM walk GROUP BY node""",
+    "Duplicate-cluster assignment: connected components over the LSH "
+    "near-dup pair graph (min-label propagation, O(diameter) rounds of "
+    "int64-pair shuffles), cluster id = min doc id in the component, "
+    "is_canonical marks the survivor each cluster keeps. The step that "
+    "turns pair detection into an actual deduplicated corpus; oracle is "
+    "the same fixpoint via a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                jaccard_threshold=0.2)
+    cc = D.connected_components(pairs, docs.select("doc_id"))
+    return cc.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0)
+         .cast("int").alias("is_canonical"))
+
+
+_CMS_PERMS_SQL = ", ".join(
+    f"({r}, {a}, {b})"
+    for r, (a, b) in enumerate(zip(D.MINHASH_A[:4], D.MINHASH_B[:4]))
+)
+
+
+@query(
+    "cms_estimate",
+    f"""WITH hb AS (
+      SELECT user_id,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1073741824 AS h
+      FROM events),
+    perms(r, a, bb) AS (VALUES {_CMS_PERMS_SQL}),
+    buck AS (
+      SELECT user_id, r, ((a * h + bb) % 2147483647) % 64 AS bucket
+      FROM hb CROSS JOIN perms),
+    sketch AS (SELECT r, bucket, count(*) AS cnt FROM buck GROUP BY 1, 2),
+    probes AS (SELECT DISTINCT user_id, r, bucket FROM buck),
+    est AS (
+      SELECT p.user_id, min(s.cnt) AS est
+      FROM probes p JOIN sketch s USING (r, bucket) GROUP BY 1),
+    exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1)
+    SELECT e.user_id, e.est, x.exact_cnt, e.est - x.exact_cnt AS overcount
+    FROM est e JOIN exact x USING (user_id)""",
+    "Count-Min Sketch frequency estimation (reference README's "
+    "probabilistic-counting example, README.md:124-127): depth-4 x "
+    "width-64 sketch built by one hash-explode + groupBy whose map-side "
+    "combine bounds the shuffle at depth*width counters per partition; "
+    "estimates via broadcast join + MIN. Output joins estimate vs exact "
+    "per key — overcount >= 0 everywhere is the CMS one-sided guarantee, "
+    "here verified bit-for-bit by the oracle.",
+)
+def q_cms_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    sketch = SKC.cms_build(ev, "user_id", depth=4, width=64)
+    est = SKC.cms_lookup(sketch, ev.select("user_id").distinct(),
+                         "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return (est.join(exact, "user_id")
+               .select("user_id", "est", "exact_cnt",
+                       (F.col("est") - F.col("exact_cnt")).alias("overcount")))
+
+
+@query(
+    "stratified_sample",
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 15) AS BIGINT)"
+    " % 10000 < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END",
+    "Deterministic stratified sampling for corpus mixing (keep 25% of en, "
+    "50% of zh, all else): the keep decision is md5(doc_id||salt) mod 1e4 "
+    "< rate — a pure scan-side expression, no shuffle/state/rand(), so the "
+    "sample is reproducible run-to-run and per-stratum rate changes leave "
+    "other strata byte-identical. The only sampling shape that needs zero "
+    "coordination at 100 TB.",
+)
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return (SAMP.stratified_sample(docs, "lang", {"en": 0.25, "zh": 0.5},
+                                   default_rate=1.0, key_col="doc_id",
+                                   salt="mix1")
+                .select("doc_id", "lang", "source"))
 
 
 @query(

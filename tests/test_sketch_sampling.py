@@ -1,0 +1,97 @@
+"""Count-Min sketch, connected components, and deterministic sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.catalog import table
+from kafka_streams_examples_spark.operators.dedup import connected_components
+from kafka_streams_examples_spark.operators.sampling import (
+    hash_sample, stratified_sample,
+)
+from kafka_streams_examples_spark.operators.sketch import cms_build, cms_lookup
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    exact = {r["user_id"]: r["n"] for r in
+             ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+
+    # narrow sketch: collisions certain (|keys| > width), but never under
+    tight = cms_lookup(cms_build(ev, "user_id", depth=4, width=16),
+                       keys, "user_id", depth=4, width=16)
+    got = {r["user_id"]: r["est"] for r in tight.collect()}
+    assert set(got) == set(exact)
+    assert all(got[k] >= exact[k] for k in exact)
+    assert any(got[k] > exact[k] for k in exact)  # collisions really happen
+
+    # wide sketch: with width >> |keys| and 4 rows, every key should find
+    # at least one collision-free row -> estimate == exact
+    wide = cms_lookup(cms_build(ev, "user_id", depth=4, width=4096),
+                      keys, "user_id", depth=4, width=4096)
+    got_w = {r["user_id"]: r["est"] for r in wide.collect()}
+    assert got_w == exact
+
+
+def test_cms_rejects_excess_depth(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError):
+        cms_build(df, "k", depth=99)
+
+
+def test_connected_components_path_graph_multi_round(spark):
+    """A long path needs multiple propagation rounds (diameter 7) — the
+    convergence loop, not just one join, must be correct."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)]  # path 10-11-...-17
+        + [(30, 31), (31, 32), (30, 32)],    # triangle
+        "d1 long, d2 long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10, 18)] + [(30,), (31,), (32,)] + [(99,)],
+        "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges, nodes).collect()}
+    assert got == {**{i: 10 for i in range(10, 18)},
+                   **{i: 30 for i in (30, 31, 32)},
+                   99: 99}  # isolated node keeps itself
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(empty, nodes).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_hash_sample_deterministic_and_salt_decorrelated(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    a1 = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id", "s1")
+          .select("doc_id").collect()}
+    a2 = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id", "s1")
+          .select("doc_id").collect()}
+    assert a1 == a2  # reproducible
+    n = docs.count()
+    assert 0.2 * n < len(a1) < 0.4 * n  # near the nominal rate
+    b = {r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id", "s2")
+         .select("doc_id").collect()}
+    overlap = len(a1 & b) / max(len(a1), 1)
+    assert overlap < 0.6  # different salts draw (near-)independent samples
+
+
+def test_stratified_sample_rate_change_isolated_to_stratum(spark, sf_dir):
+    """Changing one stratum's rate must leave every other stratum's sample
+    byte-identical — the property rand() sampling cannot give."""
+    docs = table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, "lang", {"en": 0.25}, 1.0, "doc_id", "m")
+    s2 = stratified_sample(docs, "lang", {"en": 0.75}, 1.0, "doc_id", "m")
+    non_en_1 = sorted(r["doc_id"] for r in
+                      s1.filter(F.col("lang") != "en").select("doc_id").collect())
+    non_en_2 = sorted(r["doc_id"] for r in
+                      s2.filter(F.col("lang") != "en").select("doc_id").collect())
+    assert non_en_1 == non_en_2
+    en_1 = {r["doc_id"] for r in
+            s1.filter(F.col("lang") == "en").select("doc_id").collect()}
+    en_2 = {r["doc_id"] for r in
+            s2.filter(F.col("lang") == "en").select("doc_id").collect()}
+    assert en_1 < en_2  # 25% sample is a strict subset of the 75% sample
