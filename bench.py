@@ -50,6 +50,10 @@ HEADLINE = [
     "knn_ivf",
     "embedding_near_dup",
     "minhash_lsh_pairs",
+    "simhash_hamming_pairs",
+    "dedup_clusters",
+    "cms_estimate",
+    "stratified_sample",
     "quality_score",
     "media_features",
 ]

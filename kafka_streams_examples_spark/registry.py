@@ -856,6 +856,59 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "shard_pack",
+    "SELECT doc_id, source, CAST(floor((sum(n_chars) OVER "
+    "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)"
+    " / 1000.0) AS BIGINT) AS shard_id FROM documents",
+    "Greedy shard packing for training-data output: within each source, "
+    "docs are packed in id order into ~1000-char shards via a running-sum "
+    "window (shard = floor(bytes-before-me / budget)) — deterministic, one "
+    "shuffle on the partition column, no driver coordination. The standard "
+    "way to emit fixed-size training shards; at 100 TB the window runs "
+    "per-source in parallel and skewed sources sub-bucket by hash(doc_id) "
+    "without changing the contract.",
+)
+def q_shard_pack(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    before_me = F.sum("n_chars").over(w) - F.col("n_chars")
+    return docs.select(
+        "doc_id", "source",
+        F.floor(before_me / F.lit(1000.0)).cast("long").alias("shard_id"))
+
+
+@query(
+    "quality_filter_median",
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS ws,
+                  text FROM documents),
+    m AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+           len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+           length(text) AS chars FROM t),
+    q AS (SELECT doc_id, lang,
+           floor((least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+                 + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5) / 10000 AS quality
+          FROM m),
+    med AS (SELECT lang, quantile_cont(quality, 0.5) AS med FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality FROM q JOIN med USING (lang)
+    WHERE q.quality >= med.med""",
+    "Relative quality filtering: keep documents at or above their "
+    "language's MEDIAN quality score (exact percentile, not a fixed "
+    "threshold — per-stratum adaptive filtering is how real pipelines "
+    "avoid hand-tuning cutoffs per language). One groupBy for the medians "
+    "(5 rows, broadcast back), one scan for the filter.",
+)
+def q_quality_filter_median(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    q = TX.with_quality(docs).select("doc_id", "lang", "quality")
+    med = q.groupBy("lang").agg(F.percentile("quality", 0.5).alias("med"))
+    return (q.join(F.broadcast(med), "lang")
+             .filter(F.col("quality") >= F.col("med"))
+             .select("doc_id", "lang", "quality"))
+
+
+@query(
     "knn_cosine",
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
