@@ -7,7 +7,7 @@ in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import stable_round, tokens
@@ -117,6 +117,33 @@ def corpus_prep(docs: DataFrame, min_tokens: int = 10,
                   .drop("__bad"))
     keepers = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return kept.join(keepers, ["fp", id_col]).select(id_col, "fp", "n_tokens")
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf from one tokenize+groupBy; df from a count_distinct over the same
+    exploded relation (Spark reuses the scan); idf = ln(N/df) with N
+    attached as a broadcast 1-row cross join — no driver round-trip. The
+    score is rounded BEFORE ranking and ties break on the term, so the
+    top-k set is deterministic and engine-independent. The rank filter
+    compiles to WindowGroupLimit: partial top-k runs map-side, so the
+    final sort shuffles at most k rows per document.
+    """
+    toks = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+                .filter(F.col("word") != ""))
+    tf = toks.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("word").agg(F.count_distinct(id_col).alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (tf.join(df_, "word").crossJoin(F.broadcast(n))
+                .select(F.col(id_col), "word",
+                        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
+                         .alias("tfidf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k)
+                  .select(id_col, "word", "tfidf", F.col("rn").cast("long").alias("rn")))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

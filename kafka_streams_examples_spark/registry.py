@@ -909,6 +909,54 @@ def q_quality_filter_median(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "reservoir_per_stratum",
+    "SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM ("
+    " SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY"
+    "  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'rsv'), 1, 15) AS BIGINT),"
+    "  doc_id) AS rn FROM documents) WHERE rn <= 20",
+    "Deterministic k-per-stratum uniform sample (the reproducible "
+    "reservoir): rank docs within each language by md5(doc_id||salt), keep "
+    "the 20 smallest. Hash order is a uniform permutation, so this IS a "
+    "uniform sample — but stable across runs and engines, unlike "
+    "reservoir sampling with RNG state. The rank<=k filter compiles to "
+    "WindowGroupLimit: each map task forwards at most k rows per stratum, "
+    "so the final per-stratum sort sees executors*k rows, not the corpus.",
+)
+def q_reservoir_per_stratum(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import md5_hash64
+    docs = table(spark, sf, "documents")
+    hk = md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("rsv")))
+    w = Window.partitionBy("lang").orderBy(hk.asc(), F.col("doc_id").asc())
+    return (docs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 20)
+                .select("doc_id", "lang", F.col("rn").cast("long").alias("rn")))
+
+
+@query(
+    "tfidf_top_terms",
+    f"""WITH toks AS (SELECT * FROM ({SQL_TOKENS}) WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT doc_id, word, tfidf, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, word ASC) AS rn
+      FROM scored) WHERE rn <= 3""",
+    "Top-3 characteristic terms per document by TF-IDF: tf and df from one "
+    "shared tokenize, idf's corpus size attached as a broadcast 1-row "
+    "cross join, score rounded BEFORE ranking with a term tiebreak so the "
+    "result is deterministic across engines. Rank filter -> "
+    "WindowGroupLimit (map-side partial top-k).",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.tfidf_top_terms(table(spark, sf, "documents"), k=3)
+
+
+@query(
     "knn_cosine",
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
