@@ -33,6 +33,37 @@ def test_cms_never_undercounts_and_is_exact_when_wide(spark, sf_dir):
     assert got_w == exact
 
 
+def test_cms_streaming_merge_equals_batch_build(spark, sf_dir, tmp_path):
+    """Per-micro-batch sketches folded via foreachBatch must equal the
+    one-shot batch sketch exactly (counter additivity), replaying events
+    as 3 separate files."""
+    from kafka_streams_examples_spark.operators.sketch import (
+        cms_streaming_update,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    state = str(tmp_path / "cms_state")
+    q = (stream.writeStream.outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(cms_streaming_update(state, "user_id",
+                                            depth=4, width=64))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["r"], r["bucket"]): r["cnt"]
+           for r in spark.read.parquet(state).collect()}
+    want = {(r["r"], r["bucket"]): r["cnt"]
+            for r in cms_build(ev, "user_id", depth=4, width=64).collect()}
+    assert got == want
+
+
 def test_cms_rejects_excess_depth(spark):
     df = spark.createDataFrame([(1,)], "k int")
     with pytest.raises(ValueError):
