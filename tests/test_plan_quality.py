@@ -1,0 +1,70 @@
+"""Repo-wide physical-plan invariants over every registry query.
+
+These are the plan properties the 100 TB design depends on, enforced as a
+regression gate rather than asserted in prose:
+
+1. No CartesianProduct anywhere — an accidental all-pairs join is the
+   classic silent scale-killer.
+2. BroadcastNestedLoopJoin only where a provably tiny side is broadcast by
+   design (documented allowlist below).
+3. No row-at-a-time Python evaluation (BatchEvalPython) — Python is allowed
+   only through Arrow-batched paths (ArrowEvalPython / mapInPandas), and
+   only in the multimodal codec queries.
+"""
+
+import pytest
+
+from kafka_streams_examples_spark.registry import QUERIES
+
+# BNLJ is the *correct* plan when one side is tiny and there is no equi-key:
+BNLJ_BY_DESIGN = {
+    # 1-row corpus-size scalar attached via broadcast cross join
+    "tfidf_top_terms",
+    # brute-force baseline: the bounded query set (20 vectors) broadcasts
+    # against the corpus by definition of exhaustive search
+    "knn_cosine",
+    # IVF routing: every corpus vector scores against the broadcast
+    # centroid set (small by construction) to pick nprobe buckets
+    "knn_ivf",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    sf = "/root/testdata/sf0.001"
+    out = {}
+    for name, spec in QUERIES.items():
+        df = spec.spark(spark, sf)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
+def test_bnlj_only_where_designed(plans):
+    offenders = [n for n, p in plans.items()
+                 if "BroadcastNestedLoopJoin" in p and n not in BNLJ_BY_DESIGN]
+    assert offenders == []
+    # and the allowlist must not rot: entries that stop using BNLJ should
+    # be removed so the gate stays tight
+    stale = [n for n in BNLJ_BY_DESIGN
+             if "BroadcastNestedLoopJoin" not in plans[n]]
+    assert stale == []
+
+
+def test_no_row_at_a_time_python(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_arrow_python_only_in_multimodal(plans):
+    arrow_users = {n for n, p in plans.items()
+                   if "ArrowEvalPython" in p or "MapInPandas" in p
+                   or "FlatMapGroupsInPandas" in p}
+    # multimodal decode + the sequential reservation machine are the only
+    # sanctioned Python islands; everything else must stay JVM-side
+    assert arrow_users <= {"media_features", "frame_sample",
+                           "inventory_reservation"}
