@@ -87,6 +87,39 @@ def test_connected_components_path_graph_multi_round(spark):
                    99: 99}  # isolated node keeps itself
 
 
+def test_connected_components_matches_union_find_on_random_graphs(spark):
+    """Cross-check the distributed fixpoint against a sequential union-find
+    on seeded random graphs (varied density, incl. isolated nodes)."""
+    import random
+
+    for seed, n_nodes, n_edges in [(1, 30, 10), (2, 30, 45), (3, 50, 25)]:
+        rng = random.Random(seed)
+        nodes = list(range(n_nodes))
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in nodes}
+
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(
+            spark.createDataFrame(edges or [(0, 0)], "d1 long, d2 long"),
+            spark.createDataFrame([(x,) for x in nodes], "doc_id long"),
+        ).collect()}
+        assert got == want, f"seed={seed}"
+
+
 def test_connected_components_no_edges(spark):
     nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
     empty = spark.createDataFrame([], "d1 long, d2 long")
