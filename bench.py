@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",
+    "embedding_lsh_pairs",
     "minhash_lsh_pairs",
     "simhash_hamming_pairs",
     "dedup_clusters",

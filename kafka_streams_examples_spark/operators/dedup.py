@@ -330,6 +330,70 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
                 .filter(F.col("hamming") <= max_hamming))
 
 
+def signlsh_weights(planes: int, dim: int, salt: str = "slsh") -> list[list[float]]:
+    """Deterministic random-hyperplane matrix, identical in every engine.
+
+    Entries are md5-derived values in [-1, 1] with 3-decimal resolution:
+    w[p][j] = (md5(salt:p:j) % 2001 - 1000) / 1000. Generated driver-side
+    once (planes x dim floats — a constant) and baked into the plan as
+    literals; the oracle bakes the same decimals, so sign bits can't drift
+    between engines via hash differences.
+    """
+    import hashlib
+    return [[(int(hashlib.md5(f"{salt}:{p}:{j}".encode()).hexdigest()[:15], 16)
+              % 2001 - 1000) / 1000.0
+             for j in range(dim)]
+            for p in range(planes)]
+
+
+def embedding_signlsh_pairs(emb: DataFrame, planes: int = 8, dim: int = 64,
+                            threshold: float = 0.25,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            salt: str = "slsh") -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH (random hyperplane) bucketing.
+
+    The unlabeled-corpus scale path: each vector's bucket is `planes` sign
+    bits of dot products against a fixed hyperplane matrix — a pure
+    codegen'd array fold per row, NO shuffle to assign buckets — and
+    candidates only meet inside a bucket (equi-join), never all-pairs.
+    Cosine similarity of two unit-ish vectors relates directly to the
+    probability their sign bits agree (Goemans-Williamson / Charikar
+    SimHash-for-vectors), so close pairs collide with high probability
+    while the expected bucket occupancy n/2^planes bounds the verify join.
+
+    Contrast with the blocked variant (embedding_near_dup_pairs needs a
+    label/cluster column) and IVF (needs trained centroids): sign-LSH
+    needs nothing but the vectors. Recall is probabilistic; raise recall
+    at scale by unioning a few salted repetitions (independent tables) or
+    multi-probing neighbor buckets — both stay equi-joins. Sign bits are
+    taken on the dot rounded to 6 decimals so the bucket id is identical
+    across engines.
+    """
+    W = signlsh_weights(planes, dim, salt)
+    v = F.col(vec_col)
+    bucket = None
+    for p in range(planes):
+        wp = F.array(*[F.lit(w) for w in W[p]])
+        dot = F.aggregate(
+            F.zip_with(v, wp, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(F.round(dot, 6) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    from ..functions import dot_product, l2_norm
+    tagged = emb.select(F.col(id_col), v.alias("__v"),
+                        bucket.cast("long").alias("__bk"),
+                        l2_norm(v).alias("__n"))
+    a = tagged.select(F.col(id_col).alias("d1"), F.col("__v").alias("v1"),
+                      F.col("__bk").alias("bk"), F.col("__n").alias("n1"))
+    b = tagged.select(F.col(id_col).alias("d2"), F.col("__v").alias("v2"),
+                      F.col("__bk").alias("bk"), F.col("__n").alias("n2"))
+    sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    return (a.join(b, ["bk"]).filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          src_col: str = "d1", dst_col: str = "d2",
                          id_col: str = "doc_id",

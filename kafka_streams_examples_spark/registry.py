@@ -1024,6 +1024,37 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
                                       threshold=0.25, bucket_col="label")
 
 
+def _signlsh_sql(planes: int = 8, dim: int = 64, threshold: float = 0.25) -> str:
+    w = D.signlsh_weights(planes, dim)
+    bits = " + ".join(
+        "(CASE WHEN round(list_dot_product(v, ["
+        + ", ".join(repr(x) for x in w[p])
+        + f"]::DOUBLE[]), 6) >= 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes))
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
+    SELECT a.vec_id AS d1, c.vec_id AS d2,
+           round(list_cosine_similarity(a.v, c.v), 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.v, c.v), 4) >= {threshold}"""
+
+
+@query(
+    "embedding_lsh_pairs",
+    _signlsh_sql(8, 64, 0.25),
+    "Embedding near-dup via sign-LSH (random hyperplanes): bucket = 8 sign "
+    "bits of codegen'd array-fold dot products against a fixed md5-derived "
+    "matrix baked as literals (identical in the oracle) — bucket "
+    "assignment is scan-only, candidates meet in an equi-join on the "
+    "bucket, cosine-verified. The no-metadata scale path: unlike "
+    "embedding_near_dup (needs a label) and knn_ivf (needs centroids), "
+    "this needs only the vectors.",
+)
+def q_embedding_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_signlsh_pairs(table(spark, sf, "embeddings"),
+                                     planes=8, dim=64, threshold=0.25)
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(
