@@ -93,6 +93,72 @@ def test_simhash_hamming_pairs_pigeonhole_recall(spark, sf_dir):
     assert got == truth  # exact recall AND precision, distances included
 
 
+def test_signlsh_salted_repetitions_raise_recall(spark, sf_dir):
+    """Sign-LSH recall is probabilistic per table; unioning independently
+    salted repetitions must only ADD pairs (monotone recall), and
+    everything found must clear the cosine threshold (precision exact by
+    construction). Verified against the all-pairs truth at small SF."""
+    from kafka_streams_examples_spark.functions import dot_product, l2_norm
+    from kafka_streams_examples_spark.operators.dedup import (
+        embedding_signlsh_pairs,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    one = {(r["d1"], r["d2"]) for r in embedding_signlsh_pairs(
+        emb, planes=8, dim=64, threshold=0.25, salt="s1").collect()}
+    two = one | {(r["d1"], r["d2"]) for r in embedding_signlsh_pairs(
+        emb, planes=8, dim=64, threshold=0.25, salt="s2").collect()}
+    assert one <= two and len(two) > len(one)  # second table adds recall
+
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("v1"),
+                   l2_norm("embedding").alias("n1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("v2"),
+                   l2_norm("embedding").alias("n2"))
+    sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    allp = (a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+             .select("d1", "d2", F.round(sim, 4).alias("c")).collect())
+    truth = {(r["d1"], r["d2"]) for r in allp if r["c"] >= 0.25}
+    assert two <= truth  # zero false positives
+
+    # collision probability rises with cosine (the Charikar guarantee):
+    # recall in the higher-similarity band must beat the lower band.
+    # (This synthetic corpus tops out near cos 0.48, so absolute recall of
+    # an 8-bit AND-only signature is single-digit % by design — the
+    # operator targets near-duplicates; repetitions/multi-probe are the
+    # recall knobs, as the docstring documents.)
+    lo = {(r["d1"], r["d2"]) for r in allp if 0.25 <= r["c"] < 0.35}
+    hi = {(r["d1"], r["d2"]) for r in allp if 0.35 <= r["c"] < 0.45}
+    assert len(two & hi) / len(hi) > len(two & lo) / len(lo)
+
+
+def test_new_operators_tolerate_empty_input(spark):
+    """Every scan-shaped training-pipeline operator must return an empty,
+    correctly-typed result on an empty corpus rather than crash."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        embedding_signlsh_pairs, simhash_hamming_pairs,
+    )
+    from kafka_streams_examples_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from kafka_streams_examples_spark.operators.sketch import (
+        cms_build, cms_lookup,
+    )
+    from kafka_streams_examples_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    ev = spark.createDataFrame([], "user_id long")
+
+    assert simhash_hamming_pairs(docs, bits=32, bands=4).count() == 0
+    assert tfidf_top_terms(docs).count() == 0
+    assert stratified_sample(docs, "lang", {"en": 0.5}, 1.0, "doc_id").count() == 0
+    assert embedding_signlsh_pairs(emb, planes=4, dim=64).count() == 0
+    sk = cms_build(ev, "user_id", depth=2, width=8)
+    assert sk.count() == 0
+    assert cms_lookup(sk, ev, "user_id", depth=2, width=8).count() == 0
+
+
 def test_simhash_hamming_pairs_rejects_bad_banding(spark):
     import pytest as _pytest
 
