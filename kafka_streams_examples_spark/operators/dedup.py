@@ -330,6 +330,32 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
                 .filter(F.col("hamming") <= max_hamming))
 
 
+def winnow_fingerprints(docs: DataFrame, w: int = 4, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints: distinct minima of each sliding window of
+    `w` consecutive shingle hashes (MOSS-style local fingerprinting).
+
+    Guarantees at least one shared fingerprint for any match of length
+    >= w + n - 1 tokens between two documents — positional, unlike MinHash
+    (whole-set sketch), so it localizes partial overlap. One ordered
+    window-min per doc + a distinct on (doc, int64): the shuffle carries
+    ids and hashes only. Trailing windows are frame-clipped (< w rows)
+    rather than dropped; both engines clip identically so the contract
+    stays deterministic.
+    """
+    sh = (docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+              .filter(F.size("toks") >= n)
+              .select(id_col,
+                      F.posexplode(word_shingles(F.col("toks"), n))
+                       .alias("pos", "s"))
+              .select(id_col, "pos", md5_hash64(F.col("s")).alias("h")))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+                 .rowsBetween(Window.currentRow, w - 1))
+    return (sh.select(F.col(id_col), F.min("h").over(win).alias("fp"))
+              .distinct())
+
+
 def signlsh_weights(planes: int, dim: int, salt: str = "slsh") -> list[list[float]]:
     """Deterministic random-hyperplane matrix, identical in every engine.
 

@@ -1055,6 +1055,31 @@ def q_embedding_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
                                      planes=8, dim=64, threshold=0.25)
 
 
+@query(
+    "winnow_fingerprints",
+    r"""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS ws
+                   FROM documents),
+    sh AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)
+                  AS BIGINT) AS h
+      FROM t, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+      WHERE len(ws) >= 3)
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM sh""",
+    "Winnowing (MOSS-style) local fingerprints: the minimum of every "
+    "sliding window of 4 consecutive 3-word-shingle hashes, distinct per "
+    "doc. Guarantees a shared fingerprint for any >=6-token overlap — the "
+    "positional complement to MinHash's whole-set sketch. One ordered "
+    "window-min + distinct over (id, int64); document text never "
+    "shuffles.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return D.winnow_fingerprints(table(spark, sf, "documents"), w=4, n=3)
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(

@@ -159,6 +159,25 @@ def test_new_operators_tolerate_empty_input(spark):
     assert cms_lookup(sk, ev, "user_id", depth=2, width=8).count() == 0
 
 
+def test_winnowing_guarantees_shared_fp_for_long_overlap(spark):
+    """Any match of length >= w + n - 1 = 6 tokens must yield at least one
+    shared fingerprint (the winnowing guarantee); disjoint docs share none."""
+    from kafka_streams_examples_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token common run
+    docs = spark.createDataFrame(
+        [(1, f"one two {shared} three four"),
+         (2, f"five six seven {shared} eight"),
+         (3, "completely different words entirely here nine ten")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, w=4, n=3).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]  # overlap detected
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
 def test_simhash_hamming_pairs_rejects_bad_banding(spark):
     import pytest as _pytest
 
