@@ -453,16 +453,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                 .persist(StorageLevel.MEMORY_AND_DISK))
     labels = nodes.select(F.col(id_col).alias("node"),
                           F.col(id_col).cast("long").alias("lbl"))
-    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (not just persist) truncates lineage each round:
+    # without it the plan grows by one join+agg per iteration and both
+    # Catalyst analysis time and the printed plan are O(rounds). On a
+    # cluster with executor churn swap for checkpoint() on a reliable dir
+    # — same contract.
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("lbl")))
         new_labels = (labels.union(msgs)
                             .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                            .persist(StorageLevel.MEMORY_AND_DISK))
+                            .localCheckpoint(eager=True))
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
