@@ -1800,3 +1800,195 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                   .alias("revenue"))
             .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@query(
+    "tpch_q4",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "            AND l_returnflag = 'R') "
+    "GROUP BY o_orderpriority",
+    "Order-priority checking (TPC-H Q4 shape, EXISTS adapted to the "
+    "returned-flag predicate since the fixture has no commit/receipt "
+    "dates): LEFT SEMI join — the probe side never duplicates orders, so "
+    "the count is per-order regardless of how many lineitems match. The "
+    "semi join builds on the FILTERED lineitem side and both filters are "
+    "pushed to the scans.",
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    orders = (table(spark, sf, "orders")
+              .filter((F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                      & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01"))))
+              .select("o_orderkey", "o_orderpriority"))
+    returned = (table(spark, sf, "lineitem")
+                .filter(F.col("l_returnflag") == "R").select("l_orderkey"))
+    return (orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                        "left_semi")
+                  .groupBy("o_orderpriority")
+                  .agg(F.count("*").alias("order_count")))
+
+
+@query(
+    "tpch_q6",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+    "count(*) AS n FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "Forecasting-revenue-change (TPC-H Q6): the pure scan-bound shape — "
+    "every predicate pushes to the parquet scan (PushedFilters carries all "
+    "four), no joins, one partial+final agg. At 100 TB this is the query "
+    "that proves filter pushdown + column pruning: only 4 of 11 lineitem "
+    "columns are read.",
+)
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+                      & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+                      & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                    .alias("revenue"),
+                   F.count("*").alias("n")))
+
+
+@query(
+    "tpch_q7",
+    "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM ("
+    " SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,"
+    "        year(l_shipdate) AS l_year,"
+    "        l_extendedprice * (1 - l_discount) AS volume"
+    " FROM supplier JOIN lineitem ON s_suppkey = l_suppkey"
+    " JOIN orders ON o_orderkey = l_orderkey"
+    " JOIN customer ON c_custkey = o_custkey"
+    " JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    " JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    " WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')"
+    "     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))"
+    "   AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"
+    ") GROUP BY supp_nation, cust_nation, l_year",
+    "Volume-shipping (TPC-H Q7 shape): bidirectional nation-pair flows. The "
+    "same `nation` dim enters the join twice under different aliases (n1 via "
+    "supplier, n2 via customer) — both broadcast; the disjunctive pair "
+    "predicate rides the joined row, and the year() bucketing groups the "
+    "result. The supplier dim is broadcast too; lineitem/orders/customer "
+    "strategy is AQE's call at real SFs.",
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                  & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))))
+          .select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"))
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+@query(
+    "tpch_q14",
+    "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'",
+    "Promotion-effect (TPC-H Q14): conditional aggregation over a broadcast "
+    "part join — one pass computes both the PROMO numerator and the total "
+    "denominator (no self-join, no second scan); the month filter is pushed "
+    "to the lineitem scan.",
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-09-01")))
+                  & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-10-01"))))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = table(spark, sf, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc)
+                                          .otherwise(0.0))
+                           / F.sum(disc), 4).alias("promo_revenue")))
+
+
+@query(
+    "tpch_q18",
+    "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+    "round(sum(l_quantity), 2) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+    "                     GROUP BY l_orderkey HAVING sum(l_quantity) > 200) "
+    "GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "Large-volume-customer (TPC-H Q18): the HAVING-subquery shape. The "
+    "qualifying-order set is computed once by a partial-agg-combined "
+    "groupBy and applied as a LEFT SEMI join BEFORE the wide 3-way join, "
+    "so only qualifying orders' lineitems ever join customer. Top-20 via "
+    "TakeOrderedAndProject.",
+)
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+             .filter(F.col("q") > 200).select("l_orderkey"))
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name")
+    qualifying = orders.join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        F.col("o_orderkey") == F.col("bk"), "left_semi")
+    return (li.join(qualifying, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                       "o_totalprice")
+              .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+              .orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20))
+
+
+@query(
+    "tpch_q19",
+    "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+    "count(*) AS n FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 "
+    "       AND l_quantity BETWEEN 1 AND 15) "
+    "   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 "
+    "       AND l_quantity BETWEEN 10 AND 25) "
+    "   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+    "       AND l_quantity BETWEEN 20 AND 35)",
+    "Discounted-revenue (TPC-H Q19 shape, adapted to the fixture's brand/"
+    "size columns): disjunctive mixed-side predicates. Catalyst extracts "
+    "the common l_quantity bounds [1,35] and pushes them to the lineitem "
+    "scan while the full OR-of-ANDs evaluates post-join on the broadcast "
+    "part row — the classic CNF-extraction test query.",
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 15))
+            | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 25))
+            | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 35)))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .filter(cond)
+              .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"),
+                   F.count("*").alias("n")))
