@@ -60,6 +60,12 @@ HEADLINE = [
 ]
 
 
+# Streaming bench pipelines — locked by tests/test_contracts.py so a
+# refactor cannot silently drop one (BENCH r3 set the baseline).
+STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
+                       "dedup_ttl", "interval_join")
+
+
 def stream_bench(spark, sf_dir: str) -> dict:
     """Streaming throughput: replay sf tables as file-stream micro-batches
     through the smoke pipelines (wordcount / windows / sessions / dedup /
@@ -102,6 +108,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
                 "key"),
             "append", n_events),
     }
+    assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
     out: dict[str, dict] = {}
     for name, (build, mode, rows_in) in cases.items():
         t0 = time.time()

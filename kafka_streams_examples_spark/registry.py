@@ -1870,9 +1870,10 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     "Volume-shipping (TPC-H Q7 shape): bidirectional nation-pair flows. The "
     "same `nation` dim enters the join twice under different aliases (n1 via "
     "supplier, n2 via customer) — both broadcast; the disjunctive pair "
-    "predicate rides the joined row, and the year() bucketing groups the "
-    "result. The supplier dim is broadcast too; lineitem/orders/customer "
-    "strategy is AQE's call at real SFs.",
+    "predicate rides the joined row, and the year() bucketing (cast to long "
+    "per the registry's counts-to-long convention) groups the result. Only "
+    "the bounded nation dims carry broadcast hints; supplier scales with SF, "
+    "so its strategy — like lineitem/orders/customer — is AQE's call.",
 )
 def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     li = (table(spark, sf, "lineitem")
@@ -1893,12 +1894,12 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     return (li
             .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
-                     F.year("l_shipdate").alias("l_year"))
+                     F.year("l_shipdate").cast("long").alias("l_year"))
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                   .alias("revenue")))
 
@@ -1992,3 +1993,206 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
                     .alias("revenue"),
                    F.count("*").alias("n")))
+
+
+@query(
+    "tpch_q2",
+    "WITH eu AS ("
+    " SELECT l_partkey, l_extendedprice, s_acctbal, s_name, n_name"
+    " FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    " JOIN nation ON s_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " WHERE r_name = 'EUROPE') "
+    "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, "
+    "round(min_price, 2) AS min_price "
+    "FROM eu JOIN (SELECT l_partkey AS mk, min(l_extendedprice) AS min_price"
+    "              FROM eu GROUP BY 1) m"
+    "  ON eu.l_partkey = m.mk AND eu.l_extendedprice = m.min_price "
+    "JOIN part ON p_partkey = eu.l_partkey "
+    "WHERE p_size BETWEEN 10 AND 40 "
+    "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+    "Minimum-cost-supplier (TPC-H Q2 shape, adapted: the fixture has no "
+    "partsupp, so the correlated MIN runs over lineitem prices restricted "
+    "to EUROPE suppliers — the same correlated-subquery-over-a-filtered-"
+    "domain structure as Q2's min(ps_supplycost)). The region restriction "
+    "is applied BEFORE the per-part MIN (one shared scan feeds both the "
+    "aggregate and the probe side), the min table joins back on "
+    "(partkey, exact price) — min is order-independent, so exact float "
+    "equality is engine-stable — and part is unhinted so AQE picks its "
+    "strategy (part scales with SF; cf. ADVICE r3 on supplier). "
+    "Deterministic top-100: every ORDER BY tie is broken by p_partkey and "
+    "min_price is functionally dependent on it.",
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    supp = table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_name", "s_acctbal")
+    nat = table(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    reg = (table(spark, sf, "region")
+           .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    part = (table(spark, sf, "part")
+            .filter(F.col("p_size").between(10, 40)).select("p_partkey"))
+    eu = (li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name"))
+    mins = (eu.groupBy(F.col("l_partkey").alias("mk"))
+              .agg(F.min("l_extendedprice").alias("min_price")))
+    return (eu.join(mins, (F.col("l_partkey") == F.col("mk"))
+                    & (F.col("l_extendedprice") == F.col("min_price")))
+              .join(part, F.col("l_partkey") == F.col("p_partkey"))
+              .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                      F.round("min_price", 2).alias("min_price"))
+              .distinct()
+              .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+              .limit(100))
+
+
+@query(
+    "tpch_q13",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    " SELECT c_custkey, count(o_orderkey) AS c_count"
+    " FROM customer LEFT JOIN orders"
+    "   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"
+    " GROUP BY c_custkey) GROUP BY c_count",
+    "Customer-distribution (TPC-H Q13): LEFT OUTER join with a join-side "
+    "predicate (the filter belongs ON the join, not WHERE — customers with "
+    "only urgent orders must still count as 0), count(o_orderkey) counts "
+    "matches only, then a second small aggregation over the distribution. "
+    "The outer join shuffles on custkey once; the c_count histogram is "
+    "tiny and partial-agg-combined.",
+)
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select("c_custkey")
+    orders = table(spark, sf, "orders").select("o_custkey", "o_orderkey",
+                                               "o_orderpriority")
+    per_cust = (cust.join(orders,
+                          (F.col("c_custkey") == F.col("o_custkey"))
+                          & (F.col("o_orderpriority") != "1-URGENT"),
+                          "left")
+                    .groupBy("c_custkey")
+                    .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count("*").alias("custdist")))
+
+
+@query(
+    "tpch_q15",
+    "WITH revenue AS ("
+    " SELECT l_suppkey AS supplier_no,"
+    "        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue"
+    " FROM lineitem"
+    " WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'"
+    " GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue "
+    "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+    "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)",
+    "Top-supplier (TPC-H Q15): the view + scalar-max shape. The quarterly "
+    "revenue aggregate is computed once; its 1-row MAX broadcasts back "
+    "against it (BroadcastNestedLoop over one row, not a re-scan), and "
+    "only the surviving supplier row(s) join the supplier dim. Revenue is "
+    "rounded to 2dp BEFORE the max/equality so float-sum ordering "
+    "differences between engines cannot split the maximum.",
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+                  & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01"))))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                   .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (rev.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+               .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+               .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query(
+    "tpch_q21",
+    "SELECT s_name, count(*) AS numwait FROM supplier "
+    "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+    "JOIN orders ON o_orderkey = l1.l_orderkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_1' "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey"
+    "            AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey"
+    "                AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+    "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20",
+    "Suppliers-who-kept-orders-waiting (TPC-H Q21 shape, adapted: "
+    "l_returnflag = 'R' stands in for receipt-after-commit since the "
+    "fixture has no commit/receipt dates). The classic EXISTS + NOT EXISTS "
+    "pair: LEFT SEMI on 'another supplier touched this order' and LEFT "
+    "ANTI on 'another supplier also returned' — the one anti-join shape "
+    "the registry lacked. Both correlated subqueries become same-key "
+    "self-joins on l_orderkey with a non-equi suppkey guard, so all three "
+    "lineitem passes shuffle on the same key and AQE can co-plan them; "
+    "nation is the only broadcast hint. Top-20 via TakeOrderedAndProject.",
+)
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1")))
+    orders = (table(spark, sf, "orders")
+              .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")))
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = (table(spark, sf, "nation")
+           .filter(F.col("n_name") == "NATION_1").select("n_nationkey"))
+    cand = (l1.join(orders, F.col("o1") == F.col("o_orderkey"), "left_semi")
+              .join(l2, (F.col("o1") == F.col("o2")) & (F.col("s1") != F.col("s2")),
+                    "left_semi")
+              .join(l3, (F.col("o1") == F.col("o3")) & (F.col("s1") != F.col("s3")),
+                    "left_anti"))
+    return (cand.join(supp, F.col("s1") == F.col("s_suppkey"))
+                .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+                .groupBy("s_name")
+                .agg(F.count("*").alias("numwait"))
+                .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+@query(
+    "tpch_q22",
+    "WITH sel AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS cntrycode,"
+    "                    c_acctbal"
+    "             FROM customer WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)), "
+    "cavg AS (SELECT round(avg(c_acctbal), 2) AS a FROM sel WHERE c_acctbal > 0.0) "
+    "SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal "
+    "FROM sel, cavg WHERE c_acctbal > a "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+    "                AND o_orderpriority = '1-URGENT') "
+    "GROUP BY cntrycode",
+    "Global-sales-opportunity (TPC-H Q22 shape, adapted: nationkey buckets "
+    "stand in for phone-prefix country codes). Scalar-subquery average "
+    "(computed once, broadcast as a 1-row cross join), threshold filter, "
+    "then LEFT ANTI against urgent orders — 'customers who never placed an "
+    "urgent order' (the fixture has no order-less customers at small SFs, "
+    "so the unrestricted anti join would be a trivial 0-row check). The "
+    "average is rounded to 2dp before the comparison so float-sum ordering "
+    "cannot flip a boundary row. Orders is filtered and projected to "
+    "o_custkey before the anti join.",
+)
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    sel = (table(spark, sf, "customer")
+           .filter(F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+           .select("c_custkey",
+                   F.col("c_nationkey").cast("bigint").alias("cntrycode"),
+                   "c_acctbal"))
+    cavg = (sel.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.round(F.avg("c_acctbal"), 2).alias("a")))
+    orders = (table(spark, sf, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (sel.join(F.broadcast(cavg))
+               .filter(F.col("c_acctbal") > F.col("a"))
+               .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+               .groupBy("cntrycode")
+               .agg(F.count("*").alias("numcust"),
+                    F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

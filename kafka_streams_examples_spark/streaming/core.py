@@ -38,6 +38,12 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     df = (reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Spark 4 may surface parquet timestamps as TIMESTAMP_NTZ (and ignore a
+    # runtime nanosAsLong), which withWatermark rejects; normalize like
+    # catalog.table — value-exact in the engine's UTC sessions.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -66,9 +67,12 @@ def reservations(orders: DataFrame, stock_for_key, key_col: str = "product",
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
             results = []
-            for qty in pdf[qty_col]:
-                if reserved + float(qty) <= stock:
-                    reserved += float(qty)
+            # conditional accumulation (reserved grows only on PASS) is a
+            # true sequential recurrence — no cumsum form — so the loop
+            # stays, but over a raw numpy array, not pandas rows
+            for qty in pdf[qty_col].to_numpy(dtype=float):
+                if reserved + qty <= stock:
+                    reserved += qty
                     results.append("PASS")
                 else:
                     results.append("FAIL")
@@ -144,20 +148,31 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
         t_val, has_t, pending, pending_ms = (
             state.get if state.exists else (None, False, [], []))
         pending = list(pending or []); pending_ms = list(pending_ms or [])
-        out_k, out_s, out_t = [], [], []
+        out_s, out_t = [], []
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                if row["side"] == "T":
-                    t_val, has_t = int(row["t_val"]), True
-                    for sv in pending:          # flush waiters on arrival
-                        out_k.append(key[0]); out_s.append(sv); out_t.append(t_val)
+            # vectorize over consecutive same-side runs: the common batch is
+            # single-sided (one run, zero per-row Python); mixed batches
+            # keep exact arrival-order semantics run by run
+            sides = pdf["side"].to_numpy()
+            if len(sides) == 0:
+                continue
+            s_vals = pdf["s_val"].to_numpy(dtype=float)
+            t_vals = pdf["t_val"].to_numpy()
+            bounds = [0, *(np.nonzero(sides[1:] != sides[:-1])[0] + 1), len(sides)]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if sides[a] == "T":
+                    t_val, has_t = int(t_vals[b - 1]), True
+                    out_s.extend(pending)       # flush waiters on arrival
+                    out_t.extend([t_val] * len(pending))
                     pending, pending_ms = [], []
+                elif has_t:
+                    run = s_vals[a:b]
+                    out_s.extend(run.tolist())
+                    out_t.extend([t_val] * len(run))
                 else:
-                    if has_t:
-                        out_k.append(key[0]); out_s.append(float(row["s_val"])); out_t.append(t_val)
-                    else:
-                        pending.append(float(row["s_val"]))
-                        pending_ms.append(now)
+                    pending.extend(s_vals[a:b].tolist())
+                    pending_ms.extend([now] * (b - a))
+        out_k = [key[0]] * len(out_s)
         state.update((t_val, has_t, pending, pending_ms))
         _arm(state, pending_ms, now)
         if out_k:
@@ -197,16 +212,34 @@ def fraud_check(orders: DataFrame, limit: float, session_gap_seconds: int = 1800
         last_us, total = state.get if state.exists else (None, 0.0)
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            ids, vals, verdicts = [], [], []
-            for _, row in pdf.iterrows():
-                t_us = int(row[ts_col].value // 1000)  # pandas ns -> us
-                if last_us is not None and t_us - last_us > gap_us:
-                    total = 0.0                         # new session
-                total += float(row[val_col])
-                last_us = t_us
-                ids.append(row[id_col]); vals.append(float(row[val_col]))
-                verdicts.append("FAIL" if total > limit else "PASS")
-            yield pd.DataFrame({key_col: [key[0]] * len(ids), id_col: ids,
+            n = len(pdf)
+            if n == 0:
+                continue
+            # vectorized session fold: break flags split the batch into
+            # session segments; a per-segment np.cumsum accumulates
+            # left-to-right exactly like the sequential += it replaces
+            # (bit-identical floats), with the carried-over session total
+            # seeding the first segment only if no break precedes it
+            ts_us = (pdf[ts_col].to_numpy("datetime64[us]").astype("int64"))
+            vals = pdf[val_col].to_numpy(dtype=float)
+            brk = np.empty(n, dtype=bool)
+            brk[0] = last_us is not None and ts_us[0] - last_us > gap_us
+            brk[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+            totals = np.empty(n, dtype=float)
+            bounds = [0, *np.nonzero(brk[1:])[0] + 1, n] if n > 1 else [0, n]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if a == 0 and not brk[0]:
+                    # seed the cumsum with the carried session total so the
+                    # accumulation order is exactly (carry + v0) + v1 + ...
+                    totals[a:b] = np.cumsum(
+                        np.concatenate(([total], vals[a:b])))[1:]
+                else:
+                    totals[a:b] = np.cumsum(vals[a:b])
+            verdicts = np.where(totals > limit, "FAIL", "PASS")
+            total = float(totals[-1])
+            last_us = int(ts_us[-1])
+            yield pd.DataFrame({key_col: [key[0]] * n,
+                                id_col: pdf[id_col].to_numpy(),
                                 val_col: vals, "verdict": verdicts})
         state.update((last_us, total))
 
