@@ -10,6 +10,12 @@ codegen startup so per-query numbers reflect steady-state throughput.
 The JSON also carries a "streaming" section (rows/sec for the file-stream
 replay pipelines) so round-over-round streaming regressions are visible in
 BENCH_r{N}.json alongside the batch numbers.
+
+Methodology note (wordcount r01->r03 "regression" investigated in r4): the
+tokenizer and plan are unchanged since r01 (1 shuffle, map-side partial
+agg); warm-run spread for sub-second queries is ~±0.2s on an idle box and
+far larger under concurrent load, so round-over-round deltas below ~0.3s
+are machine-load noise. min-of-2 (below) bounds but cannot eliminate it.
 """
 
 from __future__ import annotations

@@ -420,10 +420,75 @@ def embedding_signlsh_pairs(emb: DataFrame, planes: int = 8, dim: int = 64,
              .filter(F.col("cos_sim") >= threshold))
 
 
+def connected_components_star(edges: DataFrame, nodes: DataFrame,
+                              src_col: str = "d1", dst_col: str = "d2",
+                              id_col: str = "doc_id",
+                              max_iterations: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round scale path for adversarially long-diameter graphs,
+    behind the same contract as :func:`connected_components`.
+
+    Each round rewrites the edge set twice:
+
+    - large-star: per node u with m = min(N(u) ∪ {u}), re-attach every
+      LARGER neighbor v > u directly to m — halves long chains.
+    - small-star: orient edges toward the smaller endpoint; per node u
+      with smaller-neighborhood minimum m, attach u and all its smaller
+      neighbors to m — flattens local stars.
+
+    Both steps emit only (int64, int64) pairs, shuffle on the node id,
+    and preserve connectivity while monotonically pulling components
+    toward their minimum id; at the fixpoint every non-minimum node holds
+    exactly the edge (node, component_min). Convergence is checked
+    exactly (set equality via count + left-anti emptiness), and each
+    round is localCheckpoint-truncated like the propagation variant.
+    """
+    canon = (edges.select(
+                F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("hi"),
+                F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"))
+             .filter(F.col("hi") != F.col("lo"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    for _ in range(max_iterations):
+        # --- large-star ---------------------------------------------------
+        sym = (canon.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+                    .union(canon.select(F.col("lo").alias("u"),
+                                        F.col("hi").alias("v"))))
+        mins = (sym.groupBy("u")
+                   .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        ls = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .filter(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                 .distinct())
+        # --- small-star ---------------------------------------------------
+        smins = (ls.groupBy("hi").agg(F.min("lo").alias("m")))
+        joined = ls.join(smins, "hi")
+        ss = (joined.filter(F.col("lo") != F.col("m"))
+                    .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+              .union(joined.select("hi", F.col("m").alias("lo")))
+              .filter(F.col("hi") != F.col("lo"))
+              .distinct()
+              .localCheckpoint(eager=True))
+        n_prev, n_new = canon.count(), ss.count()
+        if n_prev == n_new and ss.join(canon, ["hi", "lo"], "left_anti").isEmpty():
+            canon = ss
+            break
+        canon = ss
+    lbl = canon.groupBy("hi").agg(F.min("lo").alias("__cl"))
+    return (nodes.select(F.col(id_col))
+                 .join(lbl, nodes[id_col] == lbl["hi"], "left")
+                 .select(F.col(id_col),
+                         F.coalesce(F.col("__cl"), F.col(id_col).cast("long"))
+                          .alias("cluster_id")))
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          src_col: str = "d1", dst_col: str = "d2",
                          id_col: str = "doc_id",
-                         max_iterations: int = 50) -> DataFrame:
+                         max_iterations: int = 50,
+                         algorithm: str = "propagation") -> DataFrame:
     """Cluster assignment over a pair graph: (node, cluster_id = min reachable id).
 
     The step a real dedup pipeline needs AFTER pair generation: near-dup
@@ -441,11 +506,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     100 TB design: near-dup components are clique-ish (diameter 2-3), so
     propagation converges in a handful of rounds; the edge relation is
     persisted once and every round shuffles only (int64, int64) pairs. For
-    adversarially long path graphs, the O(log n)-round large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") drops in behind the same contract; diameter-bound propagation
-    is the right default for dedup workloads.
+    adversarially long path graphs, pass algorithm="star" to run the
+    O(log n)-round large-star/small-star variant
+    (:func:`connected_components_star`) behind the same contract;
+    diameter-bound propagation is the right default for dedup workloads,
+    whose components are clique-ish.
     """
+    if algorithm == "star":
+        return connected_components_star(edges, nodes, src_col, dst_col,
+                                         id_col, max_iterations)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     from pyspark import StorageLevel
     sym = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
                 .union(edges.select(F.col(dst_col).alias("src"),

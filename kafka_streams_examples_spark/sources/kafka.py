@@ -61,7 +61,8 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
 
 
 def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
-                            confluent_framing: bool = True) -> DataFrame:
+                            confluent_framing: bool = True,
+                            on_error: str = "fail") -> DataFrame:
     """Typed rows from a Kafka-source-shaped DataFrame (S1+S8 runtime path,
     broker-independent): `value` is (Confluent-framed) binary Avro, decoded
     by the pure-Python codec; Kafka metadata columns that exist on the
@@ -77,7 +78,7 @@ def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
                  if c in df.columns)
     return decode_avro_rows(df, avsc, payload_col="value",
                             confluent_framing=confluent_framing,
-                            keep_cols=keep)
+                            keep_cols=keep, on_error=on_error)
 
 
 def kafka_sink_options(bootstrap_servers: str,

@@ -159,3 +159,48 @@ def test_stratified_sample_rate_change_isolated_to_stratum(spark, sf_dir):
     en_2 = {r["doc_id"] for r in
             s2.filter(F.col("lang") == "en").select("doc_id").collect()}
     assert en_1 < en_2  # 25% sample is a strict subset of the 75% sample
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """Large-star/small-star behind the same contract: identical output to
+    min-label propagation on seeded random graphs."""
+    import random
+
+    from kafka_streams_examples_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    for seed, n_nodes, n_edges in [(7, 40, 20), (8, 40, 60)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        edf = spark.createDataFrame(edges, "d1 long, d2 long")
+        ndf = spark.createDataFrame([(x,) for x in range(n_nodes)],
+                                    "doc_id long")
+        want = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components(edf, ndf).collect()}
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components_star(edf, ndf).collect()}
+        assert got == want, f"seed={seed}"
+
+
+def test_star_cc_path_graph_log_rounds(spark):
+    """The adversarial case propagation cannot handle: a 10k-node path has
+    diameter 10k, so min-label propagation needs ~10k rounds — the star
+    variant must finish (correctly) within 16 alternations, the O(log n)
+    bound. max_iterations=16 makes the round budget part of the assertion:
+    an unconverged run returns wrong labels."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10_000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = (connected_components(edges, nodes, max_iterations=16,
+                                algorithm="star")
+           .groupBy("cluster_id").count().collect())
+    assert len(got) == 1
+    assert got[0]["cluster_id"] == 0 and got[0]["count"] == n

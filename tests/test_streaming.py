@@ -436,3 +436,72 @@ def test_streaming_order_validation_end_to_end(spark, tmp_path):
     assert verdicts[("o2", "details")] == "FAIL"
     assert verdicts[("o2", "fraud")] == "FAIL"      # 500100 > 400k session
     assert verdicts[("o3", "inventory")] == "FAIL"
+
+
+def test_kafka_avro_payload_to_order_validation_end_to_end(spark, tmp_path):
+    """Broker-less Kafka choreography (EndToEndTest.java analog): orders are
+    Confluent-framed binary Avro payloads in Kafka-source-shaped records
+    (key/value/topic/partition/offset/timestamp), replayed as a file
+    stream. The pipeline spans framing -> pure-Python Avro decode
+    (mapInPandas on the STREAM) -> poison-pill skip -> the three-validator
+    fan-out -> memory sink — the full payload path a real broker would
+    feed, minus only the socket."""
+    from kafka_streams_examples_spark.sources.avro_codec import (
+        encode_record, frame_confluent,
+    )
+    from kafka_streams_examples_spark.sources.kafka import (
+        decode_kafka_avro_batch,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_order_validation,
+    )
+
+    avsc = """
+    {"type": "record", "name": "Order", "fields": [
+      {"name": "customer", "type": "string"},
+      {"name": "order_id", "type": "string"},
+      {"name": "order_value", "type": "double"},
+      {"name": "ts_us", "type": "long"}]}
+    """
+    base_us = int(ts("2024-01-01 10:00:00").timestamp() * 1_000_000)
+    orders = [
+        {"customer": "c1", "order_id": "o1", "order_value": 100.0,
+         "ts_us": base_us},
+        {"customer": "c1", "order_id": "o2", "order_value": 500000.0,
+         "ts_us": base_us + 60_000_000},
+        {"customer": "c2", "order_id": "o3", "order_value": 100.0,
+         "ts_us": base_us},
+    ]
+    payloads = [frame_confluent(7, encode_record(avsc, o)) for o in orders]
+    payloads.append(b"\x00\x00\x00\x00\x07garbage-not-avro")  # poison pill
+    kafka_rows = [
+        (f"k{i}", bytearray(p), "orders", 0, i, ts("2024-01-01 10:05:00"))
+        for i, p in enumerate(payloads)
+    ]
+    kafka_schema = ("key string, value binary, topic string, "
+                    "partition int, offset long, timestamp timestamp")
+    src = tmp_path / "kafka_orders"
+    spark.createDataFrame(kafka_rows, kafka_schema).coalesce(1) \
+         .write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(kafka_schema).parquet(str(src))
+    decoded = (decode_kafka_avro_batch(stream, avsc, on_error="null")
+               .filter(F.col("order_id").isNotNull())   # drop poison pill
+               .select("customer", "order_id", "order_value",
+                       F.timestamp_micros("ts_us").alias("ts")))
+    qty = spark.createDataFrame(
+        [("o1", 10.0), ("o2", 10.0), ("o3", 300.0)],
+        "order_id string, q double")
+    out = streaming_order_validation(decoded, qty)
+    name, q = run_to_memory(out, mode="update")
+    try:
+        rows_out = spark.table(name).collect()
+    finally:
+        q.stop()
+    verdicts = {(r["order_id"], r["validator"]): r["verdict"] for r in rows_out}
+    # poison pill contributed nothing; 3 orders x 3 validators exactly once
+    assert len(verdicts) == 9 and len(rows_out) == 9
+    assert verdicts[("o2", "details")] == "FAIL"        # >450k
+    assert verdicts[("o2", "fraud")] == "FAIL"          # session 500100 > 400k
+    assert verdicts[("o3", "inventory")] == "FAIL"      # q>250
+    assert all(v == "PASS" for (oid, _), v in verdicts.items() if oid == "o1")
