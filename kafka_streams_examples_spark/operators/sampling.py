@@ -56,3 +56,34 @@ def stratified_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == value,
                       F.lit(int(round(r * _SCALE)))).otherwise(rate)
     return df.filter(_keep(F.col(key_col), rate, salt))
+
+
+def global_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
+                   bucket_bits: int = 10) -> DataFrame:
+    """Deterministic dense global shuffle order for training-data batching.
+
+    Every row gets a position 1..N in the total order (hash(seed|key),
+    key) — a reproducible corpus shuffle that any worker can recompute.
+
+    Scale path: a single global row_number() would sort on ONE partition.
+    Instead the 60-bit portable hash is range-bucketed by its top
+    `bucket_bits` bits (contiguous hash ranges -> bucket-major order IS
+    global order), rows get a row_number within their bucket, and each
+    bucket's global offset comes from a tiny cumulative count table
+    (2^bucket_bits rows) broadcast back — the range-partitioned sort
+    pattern, ~uniform buckets by hash construction, no driver collect.
+    """
+    from pyspark.sql import Window
+
+    h = md5_hash64(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    d = df.select(F.col(key_col), h.alias("__h"),
+                  F.shiftright(h, 60 - bucket_bits).alias("__b"))
+    counts = d.groupBy("__b").agg(F.count("*").alias("__c"))
+    offsets = counts.select(
+        "__b",
+        (F.sum("__c").over(Window.orderBy("__b")) - F.col("__c")).alias("__off"))
+    win = Window.partitionBy("__b").orderBy("__h", key_col)
+    return (d.withColumn("__rn", F.row_number().over(win))
+             .join(F.broadcast(offsets), "__b")
+             .select(F.col(key_col),
+                     (F.col("__off") + F.col("__rn")).cast("long").alias("pos")))

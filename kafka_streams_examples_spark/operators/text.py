@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import stable_round, tokens
+from ..functions import stable_round, tokens, word_shingles
 
 # Tiny deterministic stopword profiles (shared verbatim with the DuckDB
 # oracle). Real language-id would use char-ngram profiles; the heuristic
@@ -156,3 +156,65 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     minhash_signatures = the bounded sketch over them."""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Context-window packing: overlapping fixed-size token chunks.
+
+    The training-data step between cleaning and batching: every document
+    becomes ceil(n/stride) chunks of up to `chunk_tokens` tokens whose
+    starts advance by `stride` (overlap = chunk_tokens - stride). All
+    array expressions (sequence/posexplode/slice) — codegen'd fan-out at
+    scan speed, no Python; output size is a fixed ~chunk/stride multiple
+    of the input, so the operator streams at 100 TB without state.
+    """
+    toks = tokens(text_col)
+    d = docs.select(F.col(id_col), toks.alias("__toks"),
+                    F.size(toks).alias("__n"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)),
+                        F.lit(stride))
+    return (d.select(F.col(id_col), F.col("__toks"), F.col("__n"),
+                     F.posexplode(starts).alias("chunk_id", "__start"))
+             .select(F.col(id_col),
+                     F.col("chunk_id").cast("long").alias("chunk_id"),
+                     F.concat_ws(" ", F.slice("__toks", F.col("__start") + 1,
+                                              chunk_tokens))
+                      .alias("chunk_text"),
+                     F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start"))
+                      .cast("long").alias("n_chunk_tokens")))
+
+
+def bigram_doc_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-frequency novelty signal per document.
+
+    Builds the corpus bigram document-frequency table once (tokenize scan
+    -> distinct per-doc bigrams -> groupBy df), joins it back to each
+    document's bigrams, and reports per doc: distinct bigram count, how
+    many are corpus-unique (df = 1 — novel phrasing), and the mean df
+    (high = boilerplate). All rational arithmetic (int sums / counts), so
+    the oracle comparison is exact; stable_round only formats avg_df.
+    Shuffles carry (bigram, doc_id) pairs and the df table joins on the
+    bigram key — no all-pairs stage, same shape as the TF-IDF operator.
+    """
+    toks = tokens(text_col)
+    bg = (docs.select(F.col(id_col), toks.alias("__toks"))
+              .filter(F.size("__toks") >= 2)
+              .select(F.col(id_col),
+                      F.explode(word_shingles(F.col("__toks"), 2)).alias("b"))
+              .distinct())
+    dfreq = bg.groupBy("b").agg(F.count_distinct(id_col).alias("df"))
+    per = (bg.join(dfreq, "b")
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_bigrams"),
+                  F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                   .cast("long").alias("n_singleton"),
+                  stable_round(F.avg("df"), 4).alias("avg_df")))
+    return (docs.select(F.col(id_col))
+                .join(per, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                        F.coalesce("n_singleton", F.lit(0)).alias("n_singleton"),
+                        F.coalesce("avg_df", F.lit(0.0)).alias("avg_df")))

@@ -2196,3 +2196,96 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
                .groupBy("cntrycode")
                .agg(F.count("*").alias("numcust"),
                     F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@query(
+    "dedup_clusters_star",
+    f"""WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node)
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node""",
+    "dedup_clusters via the large-star/small-star edge rewrite "
+    "(operators/dedup.py:connected_components_star; Kiveris et al. "
+    "SoCC'14) instead of min-label propagation: O(log n) rounds "
+    "regardless of component diameter — the variant a 100 TB graph with "
+    "unknown diameter runs. Same recursive-CTE oracle as dedup_clusters, "
+    "so the driver hash-verifies that both algorithms reach the identical "
+    "fixpoint on the LSH pair graph.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                jaccard_threshold=0.2)
+    cc = D.connected_components(pairs, docs.select("doc_id"),
+                                algorithm="star")
+    return cc.select("doc_id",
+                     F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+@query(
+    "doc_chunks",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws"
+    "           FROM documents) "
+    "SELECT doc_id, CAST(u.i / 48 AS BIGINT) AS chunk_id, "
+    "array_to_string(list_slice(ws, u.i + 1, u.i + 64), ' ') AS chunk_text, "
+    "CAST(least(64, len(ws) - u.i) AS BIGINT) AS n_chunk_tokens "
+    "FROM t, unnest(generate_series(0, len(ws) - 1, 48)) u(i)",
+    "Context-window chunking (operators/text.py:chunk_documents): every "
+    "document fans out into 64-token chunks on a 48-token stride (16-token "
+    "overlap) — the training-data step between cleaning and batching. "
+    "Pure array expressions (sequence/posexplode/slice) at scan speed; "
+    "output volume is a fixed ~4/3 multiple of input tokens, stateless at "
+    "any scale.",
+)
+def q_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.chunk_documents(table(spark, sf, "documents"),
+                              chunk_tokens=64, stride=48)
+
+
+@query(
+    "bigram_novelty",
+    "WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ws"
+    "           FROM documents), "
+    "bg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS b "
+    "       FROM t, unnest(generate_series(1, len(ws) - 1)) u(i) "
+    "       WHERE len(ws) >= 2), "
+    "dfreq AS (SELECT b, count(DISTINCT doc_id) AS df FROM bg GROUP BY b), "
+    "per AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+    "        CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton, "
+    "        floor(avg(df) * 1e4 + 0.5) / 1e4 AS avg_df "
+    "        FROM bg JOIN dfreq USING (b) GROUP BY bg.doc_id) "
+    "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, "
+    "coalesce(n_singleton, 0) AS n_singleton, coalesce(avg_df, 0.0) AS avg_df "
+    "FROM documents d LEFT JOIN per USING (doc_id)",
+    "Corpus-frequency novelty scoring (operators/text.py:bigram_doc_stats): "
+    "per-document distinct bigrams, corpus-unique bigrams (df=1), and mean "
+    "bigram document frequency (high = boilerplate) — the phrase-level "
+    "quality/dedup signal next to TF-IDF. One tokenize scan feeds both the "
+    "df table and the probe side; all arithmetic is rational so the oracle "
+    "is exact.",
+)
+def q_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.bigram_doc_stats(table(spark, sf, "documents"))
+
+
+@query(
+    "global_shuffle",
+    "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos "
+    "FROM (SELECT doc_id, CAST('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    "      AS BIGINT) AS h FROM documents)",
+    "Deterministic dense corpus shuffle (operators/sampling.py:"
+    "global_shuffle): reproducible training order = rank in (portable "
+    "60-bit hash, key). The oracle is the naive single-window row_number; "
+    "the engine computes the identical order via range-bucketed two-phase "
+    "ranking (top hash bits -> contiguous buckets, per-bucket row_number "
+    "+ broadcast cumulative offsets), so no single-partition global sort "
+    "exists at 100 TB.",
+)
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    return SAMP.global_shuffle(table(spark, sf, "documents"), "doc_id")

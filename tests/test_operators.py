@@ -130,3 +130,42 @@ def test_flagship_pipelines(spark, sf_dir):
         assert ov.count() == table(spark, sf_dir, "orders").count()
     finally:
         ov.unpersist()
+
+
+def test_chunk_documents_boundaries(spark):
+    from kafka_streams_examples_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"),                      # shorter than one chunk
+         (2, " ".join(f"t{i}" for i in range(64))),   # exactly one chunk size
+         (3, " ".join(f"t{i}" for i in range(100)))], # 3 chunks
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_id"]): r
+            for r in chunk_documents(docs, 64, 48).collect()}
+    assert rows[(1, 0)]["n_chunk_tokens"] == 3
+    assert rows[(1, 0)]["chunk_text"] == "a b c"
+    # n=64: starts 0 and 48 (48 < 64), second chunk is the 16-token tail
+    assert rows[(2, 1)]["n_chunk_tokens"] == 16
+    # n=100: starts 0, 48, 96; overlap check — chunk 1 starts at token 48
+    assert rows[(3, 1)]["chunk_text"].split()[0] == "t48"
+    assert rows[(3, 2)]["n_chunk_tokens"] == 4
+    assert max(c for d, c in rows if d == 3) == 2
+
+
+def test_global_shuffle_matches_naive_window(spark):
+    """Two-phase range-bucketed ranking must equal the single-window
+    row_number (the oracle form) and be a dense permutation."""
+    from pyspark.sql import Window
+
+    from kafka_streams_examples_spark.functions import md5_hash64
+    from kafka_streams_examples_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = {r["doc_id"]: r["pos"]
+           for r in global_shuffle(df, "doc_id").collect()}
+    h = md5_hash64(F.concat_ws("|", F.lit("s0"), F.col("doc_id").cast("string")))
+    want = {r["doc_id"]: r["pos"] for r in df.select(
+        "doc_id", F.row_number().over(Window.orderBy(h, "doc_id")).alias("pos")
+    ).collect()}
+    assert got == want
+    assert sorted(got.values()) == list(range(1, 501))
