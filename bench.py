@@ -63,6 +63,12 @@ HEADLINE = [
     "stratified_sample",
     "quality_score",
     "media_features",
+    # r4 additions: anti/semi TPC-H shapes + chunking/shuffle/novelty ops
+    "tpch_q18",
+    "tpch_q21",
+    "doc_chunks",
+    "bigram_novelty",
+    "global_shuffle",
 ]
 
 

@@ -2289,3 +2289,254 @@ def q_bigram_novelty(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     return SAMP.global_shuffle(table(spark, sf, "documents"), "doc_id")
+
+
+@query(
+    "tpch_q8",
+    "SELECT o_year, round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume"
+    "                              ELSE 0 END) / sum(volume), 4) AS mkt_share "
+    "FROM (SELECT year(o_orderdate) AS o_year,"
+    "             l_extendedprice * (1 - l_discount) AS volume,"
+    "             n1.n_name AS supp_nation"
+    "      FROM part JOIN lineitem ON p_partkey = l_partkey"
+    "      JOIN orders ON l_orderkey = o_orderkey"
+    "      JOIN customer ON o_custkey = c_custkey"
+    "      JOIN supplier ON l_suppkey = s_suppkey"
+    "      JOIN nation n1 ON s_nationkey = n1.n_nationkey"
+    "      JOIN nation n2 ON c_nationkey = n2.n_nationkey"
+    "      JOIN region ON n2.n_regionkey = r_regionkey"
+    "      WHERE r_name = 'ASIA' AND p_type = 'PROMO') "
+    "GROUP BY o_year",
+    "National-market-share (TPC-H Q8 shape): the conditional-share "
+    "aggregate — one pass computes the target nation's numerator and the "
+    "all-nations denominator per year. nation enters twice (supplier side "
+    "feeds the CASE, customer side feeds the region filter); only the "
+    "bounded dims (nation x2, region, filtered part) are hint-broadcast, "
+    "fact joins are AQE's call. o_year cast to long per convention.",
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    part = (table(spark, sf, "part")
+            .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"),
+                    F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"),
+                    F.col("n_regionkey").alias("n2_rkey"))
+    reg = (table(spark, sf, "region")
+           .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+              .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+              .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+              .join(F.broadcast(reg), F.col("n2_rkey") == F.col("r_regionkey"))
+              .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(F.round(
+                  F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                         .otherwise(0.0)) / F.sum(vol), 4).alias("mkt_share")))
+
+
+@query(
+    "tpch_q9",
+    "SELECT n_name AS nation, o_year, round(sum(amount), 2) AS sum_profit "
+    "FROM (SELECT n_name, year(o_orderdate) AS o_year,"
+    "             l_extendedprice * (1 - l_discount)"
+    "               - 0.1 * p_retailprice * l_quantity AS amount"
+    "      FROM part JOIN lineitem ON p_partkey = l_partkey"
+    "      JOIN supplier ON l_suppkey = s_suppkey"
+    "      JOIN orders ON l_orderkey = o_orderkey"
+    "      JOIN nation ON s_nationkey = n_nationkey"
+    "      WHERE p_name LIKE '%red%') "
+    "GROUP BY n_name, o_year",
+    "Product-type-profit (TPC-H Q9 shape, adapted: the fixture has no "
+    "partsupp, so supply cost is modeled as 10% of p_retailprice per "
+    "unit). LIKE-filtered part dim broadcast into the fact join, profit "
+    "expression evaluated row-wise pre-aggregation, grouped by supplier "
+    "nation x order year — the classic profit-rollup plan.",
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    part = (table(spark, sf, "part")
+            .filter(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nat = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(F.round(F.sum(amount), 2).alias("sum_profit")))
+
+
+@query(
+    "tpch_q11",
+    "WITH pv AS (SELECT l_partkey, sum(l_extendedprice) AS val"
+    "            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+    "            JOIN nation ON s_nationkey = n_nationkey"
+    "            WHERE n_name = 'NATION_2' GROUP BY l_partkey) "
+    "SELECT l_partkey, round(val, 2) AS val FROM pv, "
+    "(SELECT sum(val) AS total FROM pv) t "
+    "WHERE val > 0.002 * total",
+    "Important-stock identification (TPC-H Q11 shape, adapted to lineitem "
+    "value since the fixture has no partsupp): per-part value within one "
+    "nation's suppliers, kept only where it exceeds a fraction of the "
+    "GLOBAL total — the group-vs-global-scalar HAVING shape. The total is "
+    "a 1-row re-aggregation of the same grouped result (computed once, "
+    "broadcast), not a second scan.",
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey",
+                                             "l_extendedprice")
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (table(spark, sf, "nation")
+           .filter(F.col("n_name") == "NATION_2").select("n_nationkey"))
+    pv = (li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("l_partkey")
+            .agg(F.sum("l_extendedprice").alias("val")))
+    total = pv.agg(F.sum("val").alias("total"))
+    return (pv.join(F.broadcast(total))
+              .filter(F.col("val") > 0.002 * F.col("total"))
+              .select("l_partkey", F.round("val", 2).alias("val")))
+
+
+@query(
+    "tpch_q12",
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_linestatus",
+    "Shipping-mode priority (TPC-H Q12 shape, l_linestatus standing in for "
+    "the fixture's missing shipmode): the two-conditional-counts-in-one-"
+    "pass aggregate; the year filter pushes to the lineitem scan and only "
+    "(orderkey, linestatus) survive the projection into the join.",
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+                  & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))))
+          .select("l_orderkey", "l_linestatus"))
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                   F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query(
+    "tpch_q16",
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "WHERE p_brand <> 'Brand#9' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+    "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p_brand, p_type, p_size",
+    "Parts-supplier-relationship (TPC-H Q16 shape, adapted: negative "
+    "account balance stands in for the complaints LIKE filter): the "
+    "NOT IN exclusion becomes a LEFT ANTI join against the (tiny, "
+    "broadcast) excluded-supplier set BEFORE the count-distinct "
+    "aggregation, so excluded suppliers never enter the shuffle.",
+)
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    part = (table(spark, sf, "part")
+            .filter((F.col("p_brand") != "Brand#9")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (table(spark, sf, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                    "left_anti")
+              .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct("l_suppkey").cast("bigint")
+                    .alias("supplier_cnt")))
+
+
+@query(
+    "tpch_q17",
+    "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem JOIN part ON p_partkey = l_partkey "
+    "JOIN (SELECT l_partkey AS ak, 0.2 * avg(l_quantity) AS threshold"
+    "      FROM lineitem GROUP BY l_partkey) a ON p_partkey = ak "
+    "WHERE p_brand = 'Brand#3' AND l_quantity < threshold",
+    "Small-quantity-order revenue (TPC-H Q17): the correlated per-group "
+    "scalar — each lineitem compares against 0.2x the average quantity OF "
+    "ITS PART. The per-part average is one partial-agg groupBy joined "
+    "back on partkey (no re-scan per row); the brand filter prunes the "
+    "probe side before the join.",
+)
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = (table(spark, sf, "part")
+            .filter(F.col("p_brand") == "Brand#3").select("p_partkey"))
+    avgs = (li.groupBy(F.col("l_partkey").alias("ak"))
+              .agg((0.2 * F.avg("l_quantity")).alias("threshold")))
+    return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+              .join(avgs, F.col("l_partkey") == F.col("ak"))
+              .filter(F.col("l_quantity") < F.col("threshold"))
+              .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                    .alias("avg_yearly")))
+
+
+@query(
+    "tpch_q20",
+    "SELECT s_name, s_acctbal FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE n_name = 'NATION_3' "
+    "AND s_suppkey IN ("
+    " SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey"
+    " WHERE p_type = 'PROMO'"
+    "   AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'"
+    " GROUP BY l_suppkey HAVING sum(l_quantity) > 100) "
+    "ORDER BY s_name",
+    "Potential-part-promotion (TPC-H Q20 shape, adapted: shipped PROMO "
+    "quantity stands in for the partsupp availability check): the nested "
+    "semi-join chain — an aggregated HAVING subquery feeds a LEFT SEMI "
+    "into the nation-filtered supplier dim. The quantity aggregation runs "
+    "over the FILTERED lineitem scan (both pushed filters), and only "
+    "qualifying suppkeys reach the semi join.",
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    li = (table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+                  & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01"))))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    part = (table(spark, sf, "part")
+            .filter(F.col("p_type") == "PROMO").select("p_partkey"))
+    qualifying = (li.join(F.broadcast(part),
+                          F.col("l_partkey") == F.col("p_partkey"))
+                    .groupBy("l_suppkey")
+                    .agg(F.sum("l_quantity").alias("q"))
+                    .filter(F.col("q") > 100).select("l_suppkey"))
+    supp = table(spark, sf, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nat = (table(spark, sf, "nation")
+           .filter(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    return (supp.join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+                .select("s_name", "s_acctbal")
+                .orderBy("s_name"))

@@ -29,6 +29,9 @@ BNLJ_BY_DESIGN = {
     # 1-row scalar-average subquery attached via broadcast cross join
     # before the threshold filter (TPC-H Q22's correlated scalar)
     "tpch_q22",
+    # 1-row global-total re-aggregation broadcast against the grouped
+    # result it came from (TPC-H Q11's group-vs-global HAVING)
+    "tpch_q11",
 }
 
 
