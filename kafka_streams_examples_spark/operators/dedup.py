@@ -449,7 +449,8 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                 F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"))
              .filter(F.col("hi") != F.col("lo"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
+    n_prev = canon.count()          # materializes the lazy checkpoint
     for _ in range(max_iterations):
         # --- large-star ---------------------------------------------------
         sym = (canon.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -470,12 +471,13 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
               .union(joined.select("hi", F.col("m").alias("lo")))
               .filter(F.col("hi") != F.col("lo"))
               .distinct()
-              .localCheckpoint(eager=True))
-        n_prev, n_new = canon.count(), ss.count()
+              # lazy: the count below materializes the checkpoint (one job)
+              .localCheckpoint(eager=False))
+        n_new = ss.count()
         if n_prev == n_new and ss.join(canon, ["hi", "lo"], "left_anti").isEmpty():
             canon = ss
             break
-        canon = ss
+        canon, n_prev = ss, n_new
     lbl = canon.groupBy("hi").agg(F.min("lo").alias("__cl"))
     return (nodes.select(F.col(id_col))
                  .join(lbl, nodes[id_col] == lbl["hi"], "left")
@@ -522,28 +524,39 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                 .union(edges.select(F.col(dst_col).alias("src"),
                                     F.col(src_col).alias("dst")))
                 .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).cast("long").alias("lbl"))
+    # iterate ONLY over edge-touched nodes: singletons (the vast majority
+    # of a deduped corpus at scale) never change label, so they rejoin as
+    # self-labeled rows after convergence instead of riding every round's
+    # shuffle
+    labels = (sym.select(F.col("src").alias("node"))
+                 .distinct()
+                 .select("node", F.col("node").cast("long").alias("lbl")))
     # localCheckpoint (not just persist) truncates lineage each round:
     # without it the plan grows by one join+agg per iteration and both
-    # Catalyst analysis time and the printed plan are O(rounds). On a
-    # cluster with executor churn swap for checkpoint() on a reliable dir
-    # — same contract.
-    labels = labels.localCheckpoint(eager=True)
+    # Catalyst analysis time and the printed plan are O(rounds). Lazy
+    # checkpoint + the convergence aggregate = ONE job per round (the agg
+    # materializes the checkpoint as a side effect). On a cluster with
+    # executor churn swap for checkpoint() on a reliable dir — same
+    # contract.
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("lbl")))
         new_labels = (labels.union(msgs)
                             .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                            .localCheckpoint(eager=True))
+                            .localCheckpoint(eager=False))
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     sym.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+    return (nodes.select(F.col(id_col))
+                 .join(labels, nodes[id_col] == labels["node"], "left")
+                 .select(F.col(id_col),
+                         F.coalesce(F.col("lbl"), F.col(id_col).cast("long"))
+                          .alias("cluster_id")))
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,

@@ -98,3 +98,49 @@ def test_topk_matches_naive(spark, rows, k):
     for r in got.collect():
         got_m.setdefault(r["g"], []).append((-r["v"], r["uid"]))
     assert {g: sorted(v) for g, v in got_m.items()} == want
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40),
+    min_size=1, max_size=8)
+
+
+def naive_chunks(text, chunk, stride):
+    import re
+    # re.split('\s+') matches Spark split semantics incl. the '' tokens a
+    # leading/trailing-space text produces
+    toks = re.split(r"\s+", text.lower())
+    out = []
+    for cid, start in enumerate(range(0, max(len(toks), 1), stride)):
+        sl = toks[start:start + chunk]
+        out.append((cid, " ".join(sl), len(sl)))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts)
+def test_chunk_documents_matches_naive(spark, docs):
+    from kafka_streams_examples_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = sorted((r["doc_id"], r["chunk_id"], r["chunk_text"],
+                  r["n_chunk_tokens"])
+                 for r in chunk_documents(df, chunk_tokens=5, stride=3).collect())
+    want = sorted((i, cid, txt, n)
+                  for i, t in enumerate(docs)
+                  for cid, txt, n in naive_chunks(t, 5, 3))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10_000),
+                min_size=1, max_size=60, unique=True))
+def test_global_shuffle_is_dense_permutation(spark, keys):
+    from kafka_streams_examples_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = global_shuffle(df, "doc_id").collect()
+    assert sorted(r["pos"] for r in got) == list(range(1, len(keys) + 1))
+    # reproducible: same seed -> identical assignment
+    again = {r["doc_id"]: r["pos"] for r in global_shuffle(df, "doc_id").collect()}
+    assert again == {r["doc_id"]: r["pos"] for r in got}
