@@ -2038,10 +2038,12 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
             .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
             .select("l_partkey", "l_extendedprice", "s_acctbal", "s_name", "n_name"))
-    mins = (eu.groupBy(F.col("l_partkey").alias("mk"))
-              .agg(F.min("l_extendedprice").alias("min_price")))
-    return (eu.join(mins, (F.col("l_partkey") == F.col("mk"))
-                    & (F.col("l_extendedprice") == F.col("min_price")))
+    # correlated MIN as a window over the SAME partition: one shuffle on
+    # l_partkey and a single pass over eu, instead of a groupBy + self
+    # equi-join (which scans eu twice and sort-merges it against itself)
+    w = Window.partitionBy("l_partkey")
+    return (eu.withColumn("min_price", F.min("l_extendedprice").over(w))
+              .filter(F.col("l_extendedprice") == F.col("min_price"))
               .join(part, F.col("l_partkey") == F.col("p_partkey"))
               .select("s_acctbal", "s_name", "n_name", "p_partkey",
                       F.round("min_price", 2).alias("min_price"))
@@ -2390,12 +2392,14 @@ def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     "            JOIN nation ON s_nationkey = n_nationkey"
     "            WHERE n_name = 'NATION_2' GROUP BY l_partkey) "
     "SELECT l_partkey, round(val, 2) AS val FROM pv, "
-    "(SELECT sum(val) AS total FROM pv) t "
-    "WHERE val > 0.002 * total",
+    "(SELECT sum(val) AS total, count(*) AS np FROM pv) t "
+    "WHERE val > 2.0 * total / np",
     "Important-stock identification (TPC-H Q11 shape, adapted to lineitem "
     "value since the fixture has no partsupp): per-part value within one "
-    "nation's suppliers, kept only where it exceeds a fraction of the "
-    "GLOBAL total — the group-vs-global-scalar HAVING shape. The total is "
+    "nation's suppliers, kept only where it exceeds 2x the average "
+    "per-part value — the group-vs-global-scalar HAVING shape with a "
+    "scale-invariant threshold (a fixed fraction-of-total dilutes to 0 "
+    "rows as the part count grows with SF). The (total, count) scalar is "
     "a 1-row re-aggregation of the same grouped result (computed once, "
     "broadcast), not a second scan.",
 )
@@ -2409,9 +2413,9 @@ def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
             .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("l_partkey")
             .agg(F.sum("l_extendedprice").alias("val")))
-    total = pv.agg(F.sum("val").alias("total"))
+    total = pv.agg(F.sum("val").alias("total"), F.count("*").alias("np"))
     return (pv.join(F.broadcast(total))
-              .filter(F.col("val") > 0.002 * F.col("total"))
+              .filter(F.col("val") > 2.0 * F.col("total") / F.col("np"))
               .select("l_partkey", F.round("val", 2).alias("val")))
 
 
