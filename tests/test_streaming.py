@@ -505,3 +505,45 @@ def test_kafka_avro_payload_to_order_validation_end_to_end(spark, tmp_path):
     assert verdicts[("o2", "fraud")] == "FAIL"          # session 500100 > 400k
     assert verdicts[("o3", "inventory")] == "FAIL"      # q>250
     assert all(v == "PASS" for (oid, _), v in verdicts.items() if oid == "o1")
+
+
+def test_global_store_updater_refresh_mid_stream(spark, tmp_path):
+    """T6 global store updater (GlobalStoresExample.java:219-248): each
+    micro-batch must see the dimension AS OF that batch. Batch 1 joins
+    the v1 prices; the dim is then overwritten (the updater's put) and
+    batch 2 must join the v2 prices."""
+    from kafka_streams_examples_spark.streaming.globalstore import (
+        GlobalStoreEnricher,
+    )
+
+    dim = tmp_path / "dim"
+    src = tmp_path / "orders"
+    out = tmp_path / "enriched"
+    spark.createDataFrame([("widget", 10.0), ("bolt", 2.0)],
+                          "product string, price double") \
+         .write.mode("overwrite").parquet(str(dim))
+    spark.createDataFrame([("o1", "widget")],
+                          "order_id string, product string") \
+         .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("order_id string, product string") \
+                  .parquet(str(src))
+    q = (stream.writeStream.outputMode("append")
+               .foreachBatch(GlobalStoreEnricher(
+                   spark, str(dim), ["product"], str(out)))
+               .start())
+    try:
+        q.processAllAvailable()
+        # the updater puts a new value: overwrite the dim, then more orders
+        spark.createDataFrame([("widget", 99.0), ("bolt", 2.0)],
+                              "product string, price double") \
+             .write.mode("overwrite").parquet(str(dim))
+        spark.createDataFrame([("o2", "widget")],
+                              "order_id string, product string") \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    prices = {r["order_id"]: r["price"]
+              for r in spark.read.parquet(str(out)).collect()}
+    assert prices == {"o1": 10.0, "o2": 99.0}
