@@ -547,3 +547,39 @@ def test_global_store_updater_refresh_mid_stream(spark, tmp_path):
     prices = {r["order_id"]: r["price"]
               for r in spark.read.parquet(str(out)).collect()}
     assert prices == {"o1": 10.0, "o2": 99.0}
+
+
+def test_application_reset_reprocesses_from_scratch(spark, tmp_path):
+    """§2.8 app reset (ApplicationResetExample.java:95-118 +
+    streams.cleanUp()): deleting the checkpoint AND the state dir, then
+    rerunning, must reprocess every input from offset zero and converge
+    to the identical final state — the reset contract that makes
+    reprocessing safe."""
+    import shutil
+
+    from kafka_streams_examples_spark.streaming.ktable import KTableMaterializer
+
+    src, state, ckpt = tmp_path / "src", tmp_path / "state", tmp_path / "ckpt"
+    schema = "user string, region string, ts timestamp"
+    spark.createDataFrame([("alice", "europe", ts("2024-01-01 10:00:00")),
+                           ("bob", "americas", ts("2024-01-01 10:30:00")),
+                           ("alice", "asia", ts("2024-01-01 11:00:00"))],
+                          schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        mat = KTableMaterializer(spark, str(state), ["user"], "ts")
+        q = (spark.readStream.schema(schema).parquet(str(src))
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", str(ckpt))
+             .foreachBatch(mat).start())
+        q.processAllAvailable()
+        q.stop()
+        return {r["user"]: r["region"] for r in mat.state().collect()}
+
+    first = run_once()
+    assert first == {"alice": "asia", "bob": "americas"}
+    # the reset: wipe checkpoint + local state (streams.cleanUp()), rerun
+    shutil.rmtree(ckpt)
+    shutil.rmtree(state)
+    assert run_once() == first
