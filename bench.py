@@ -75,7 +75,7 @@ HEADLINE = [
 # Streaming bench pipelines — locked by tests/test_contracts.py so a
 # refactor cannot silently drop one (BENCH r3 set the baseline).
 STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
-                       "dedup_ttl", "interval_join")
+                       "dedup_ttl", "interval_join", "fraud_check")
 
 
 def stream_bench(spark, sf_dir: str) -> dict:
@@ -94,6 +94,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
         interval_join_stream, session_counts, streaming_wordcount,
         windowed_counts,
     )
+    from kafka_streams_examples_spark.streaming.stateful import fraud_check
 
     n_docs = table(spark, sf_dir, "documents").count()
     n_events = table(spark, sf_dir, "events").count()
@@ -119,6 +120,16 @@ def stream_bench(spark, sf_dir: str) -> dict:
                             .alias("r_ts")),
                 "key"),
             "append", n_events),
+        # applyInPandasWithState path: per-customer sequential session
+        # spend (the vectorized segment-cumsum fold in streaming/stateful)
+        "fraud_check": (
+            lambda: fraud_check(
+                ev().select(F.col("user_id").cast("string").alias("customer"),
+                            F.col("event_id").cast("string").alias("order_id"),
+                            F.col("value").alias("order_value"),
+                            F.col("ts")),
+                limit=1000.0),
+            "update", n_events),
     }
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
     out: dict[str, dict] = {}

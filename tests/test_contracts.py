@@ -52,6 +52,6 @@ def test_bench_streaming_section_locked():
     # refactor can't silently drop one (VERDICT r3 item 8).
     import bench
     expected = {"wordcount", "windowed_counts", "session_counts",
-                "dedup_ttl", "interval_join"}
+                "dedup_ttl", "interval_join", "fraud_check"}
     have = set(bench.STREAMING_PIPELINES)
     assert expected <= have, f"streaming bench lost: {expected - have}"
