@@ -2544,3 +2544,92 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
                       "left_semi")
                 .select("s_name", "s_acctbal")
                 .orderBy("s_name"))
+
+
+@query(
+    "quality_deciles",
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS ws,
+                  text FROM documents),
+    m AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+           len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+           length(text) AS chars FROM t),
+    q AS (SELECT doc_id, lang,
+           floor((least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+                 + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5) / 10000 AS quality
+          FROM m)
+    SELECT doc_id, lang, quality,
+           CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS BIGINT)
+             AS decile
+    FROM q""",
+    "Quality decile bucketing: every document gets its within-language "
+    "decile (1 = worst, 10 = best) by the shared quality score — the "
+    "curriculum/mixing knob real pipelines sort corpora by. ntile over a "
+    "(quality, doc_id) total order is deterministic and engine-portable; "
+    "one window shuffle per language partition.",
+)
+def q_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    q = TX.with_quality(docs).select("doc_id", "lang", "quality")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return q.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+
+
+@query(
+    "funnel_conversion",
+    "WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events"
+    "           WHERE event_type = 'signup' GROUP BY user_id), "
+    "p AS (SELECT e.user_id FROM events e JOIN s USING (user_id)"
+    "      WHERE e.event_type = 'purchase' AND e.ts > s.s_ts"
+    "        AND e.ts <= s.s_ts + INTERVAL 7 DAY"
+    "      GROUP BY e.user_id) "
+    "SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup, "
+    "CAST((SELECT count(*) FROM p) AS BIGINT) AS n_converted",
+    "Funnel conversion (sequence matching over an event stream): users "
+    "whose first signup is followed by a purchase within 7 days. The "
+    "signup anchor is one groupBy-min; the conversion check joins events "
+    "back on user and filters on the per-user anchor — correlated "
+    "sequence predicates as plain join+filter, no per-user state. Both "
+    "legs are exact integer counts.",
+)
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
+    s = (ev.filter(F.col("event_type") == "signup")
+           .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .join(s, "user_id")
+           .filter((F.col("ts") > F.col("s_ts"))
+                   & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")))
+           .select("user_id").distinct())
+    return (s.agg(F.count("*").alias("n_signup"))
+             .crossJoin(p.agg(F.count("*").alias("n_converted"))))
+
+
+@query(
+    "retention_cohorts",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort"
+    "           FROM events GROUP BY user_id), "
+    "act AS (SELECT DISTINCT e.user_id, f.cohort,"
+    "        CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS BIGINT)"
+    "          AS wk"
+    "        FROM events e JOIN f USING (user_id)) "
+    "SELECT cohort, wk, CAST(count(*) AS BIGINT) AS users "
+    "FROM act GROUP BY cohort, wk",
+    "Weekly cohort retention: users bucketed by the week of their first "
+    "event, activity counted per (cohort, weeks-since-cohort) — the "
+    "retention-matrix shape every product warehouse computes. Week "
+    "arithmetic stays in exact day integers (both engines truncate weeks "
+    "to Monday), the first-event anchor is one groupBy-min joined back, "
+    "and the distinct collapses repeat activity before the count.",
+)
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "ts")
+    f = (ev.groupBy("user_id")
+           .agg(F.date_trunc("week", F.min("ts")).alias("cohort")))
+    act = (ev.join(f, "user_id")
+             .select("user_id", "cohort",
+                     (F.datediff(F.date_trunc("week", F.col("ts")),
+                                 F.col("cohort")) / 7)
+                     .cast("bigint").alias("wk"))
+             .distinct())
+    return act.groupBy("cohort", "wk").agg(F.count("*").cast("bigint").alias("users"))
