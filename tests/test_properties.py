@@ -144,3 +144,36 @@ def test_global_shuffle_is_dense_permutation(spark, keys):
     # reproducible: same seed -> identical assignment
     again = {r["doc_id"]: r["pos"] for r in global_shuffle(df, "doc_id").collect()}
     assert again == {r["doc_id"]: r["pos"] for r in got}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30),
+                min_size=1, max_size=6))
+def test_bigram_doc_stats_matches_naive(spark, docs):
+    import re
+
+    from kafka_streams_examples_spark.operators.text import bigram_doc_stats
+
+    per_doc_bgs = {}
+    for i, t in enumerate(docs):
+        ws = re.split(r"\s+", t.lower())
+        per_doc_bgs[i] = {f"{a} {b}" for a, b in zip(ws, ws[1:])} \
+            if len(ws) >= 2 else set()
+    dfreq = {}
+    for bgs in per_doc_bgs.values():
+        for b in bgs:
+            dfreq[b] = dfreq.get(b, 0) + 1
+    import math
+    want = {}
+    for i, bgs in per_doc_bgs.items():
+        if bgs:
+            avg = sum(dfreq[b] for b in bgs) / len(bgs)
+            avg = math.floor(avg * 1e4 + 0.5) / 1e4
+            want[i] = (len(bgs), sum(1 for b in bgs if dfreq[b] == 1), avg)
+        else:
+            want[i] = (0, 0, 0.0)
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_singleton"], r["avg_df"])
+           for r in bigram_doc_stats(df).collect()}
+    assert got == want

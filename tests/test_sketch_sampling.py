@@ -204,3 +204,10 @@ def test_star_cc_path_graph_log_rounds(spark):
            .groupBy("cluster_id").count().collect())
     assert len(got) == 1
     assert got[0]["cluster_id"] == 0 and got[0]["count"] == n
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    nodes = spark.createDataFrame([(1,)], "doc_id long")
+    edges = spark.createDataFrame([], "d1 long, d2 long")
+    with pytest.raises(ValueError):
+        connected_components(edges, nodes, algorithm="bogus")
