@@ -427,7 +427,8 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
     O(log n)-round scale path for adversarially long-diameter graphs,
-    behind the same contract as :func:`connected_components`.
+    behind the same contract as :func:`connected_components` (including
+    its output-domain contract: one row per ``nodes`` row, no more).
 
     Each round rewrites the edge set twice:
 
@@ -497,6 +498,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     pairs (from LSH/Jaccard/SimHash) form a graph; each connected component
     is one duplicate cluster, and the canonical representative is the
     minimum doc id in the component.
+
+    Output-domain contract (both variants): the result has EXACTLY one row
+    per row of ``nodes`` — edge endpoints absent from ``nodes`` still
+    participate in label propagation (they carry connectivity) but are not
+    emitted, and nodes untouched by any edge come back self-labeled. For
+    dedup pipelines endpoints ⊆ nodes by construction; callers that want
+    labels for bare endpoints must union them into ``nodes``.
 
     Algorithm: iterative min-label propagation. labels start as self; each
     round every node takes min(own label, neighbors' labels) — a join on

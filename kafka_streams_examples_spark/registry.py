@@ -2486,19 +2486,20 @@ def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     "WHERE p_brand = 'Brand#3' AND l_quantity < threshold",
     "Small-quantity-order revenue (TPC-H Q17): the correlated per-group "
     "scalar — each lineitem compares against 0.2x the average quantity OF "
-    "ITS PART. The per-part average is one partial-agg groupBy joined "
-    "back on partkey (no re-scan per row); the brand filter prunes the "
-    "probe side before the join.",
+    "ITS PART. The broadcast brand filter restricts lineitem FIRST (the "
+    "avg over a part's lineitems is unchanged by restricting to that "
+    "part's rows), then the per-part average is a window over the "
+    "already-partitioned rows: one shuffle of ~p_brand-selectivity of the "
+    "fact, no unfiltered full-fact aggregate, no second join.",
 )
 def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice")
     part = (table(spark, sf, "part")
             .filter(F.col("p_brand") == "Brand#3").select("p_partkey"))
-    avgs = (li.groupBy(F.col("l_partkey").alias("ak"))
-              .agg((0.2 * F.avg("l_quantity")).alias("threshold")))
+    w = Window.partitionBy("l_partkey")
     return (li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-              .join(avgs, F.col("l_partkey") == F.col("ak"))
+              .withColumn("threshold", 0.2 * F.avg("l_quantity").over(w))
               .filter(F.col("l_quantity") < F.col("threshold"))
               .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
                     .alias("avg_yearly")))
@@ -2587,22 +2588,24 @@ def q_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
     "CAST((SELECT count(*) FROM p) AS BIGINT) AS n_converted",
     "Funnel conversion (sequence matching over an event stream): users "
     "whose first signup is followed by a purchase within 7 days. The "
-    "signup anchor is one groupBy-min; the conversion check joins events "
-    "back on user and filters on the per-user anchor — correlated "
-    "sequence predicates as plain join+filter, no per-user state. Both "
-    "legs are exact integer counts.",
+    "signup anchor is one groupBy-min; purchases left-join the anchor and "
+    "a per-user MAX(converted-flag) + one global conditional aggregate "
+    "produce both counts in a single pass — no scalar-count cross join, "
+    "and the anchor/probe/re-group all share the user_id partitioning.",
 )
 def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").select("user_id", "event_type", "ts")
     s = (ev.filter(F.col("event_type") == "signup")
            .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
     p = (ev.filter(F.col("event_type") == "purchase")
-           .join(s, "user_id")
-           .filter((F.col("ts") > F.col("s_ts"))
-                   & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")))
-           .select("user_id").distinct())
-    return (s.agg(F.count("*").alias("n_signup"))
-             .crossJoin(p.agg(F.count("*").alias("n_converted"))))
+           .select("user_id", F.col("ts").alias("p_ts")))
+    conv = ((F.col("p_ts") > F.col("s_ts"))
+            & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")))
+    per_user = (s.join(p, "user_id", "left")
+                  .groupBy("user_id")
+                  .agg(F.max(F.when(conv, 1).otherwise(0)).alias("converted")))
+    return per_user.agg(F.count("*").cast("bigint").alias("n_signup"),
+                        F.sum("converted").cast("bigint").alias("n_converted"))
 
 
 @query(

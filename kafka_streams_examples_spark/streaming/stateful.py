@@ -161,10 +161,14 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
             bounds = [0, *(np.nonzero(sides[1:] != sides[:-1])[0] + 1), len(sides)]
             for a, b in zip(bounds[:-1], bounds[1:]):
                 if sides[a] == "T":
+                    # waiters flush with the FIRST table value of the run —
+                    # the value that would have flushed them in per-row
+                    # order; later Ts in the run only update the cache
+                    if pending:
+                        out_s.extend(pending)
+                        out_t.extend([int(t_vals[a])] * len(pending))
+                        pending, pending_ms = [], []
                     t_val, has_t = int(t_vals[b - 1]), True
-                    out_s.extend(pending)       # flush waiters on arrival
-                    out_t.extend([t_val] * len(pending))
-                    pending, pending_ms = [], []
                 elif has_t:
                     run = s_vals[a:b]
                     out_s.extend(run.tolist())
@@ -220,7 +224,9 @@ def fraud_check(orders: DataFrame, limit: float, session_gap_seconds: int = 1800
             # left-to-right exactly like the sequential += it replaces
             # (bit-identical floats), with the carried-over session total
             # seeding the first segment only if no break precedes it
-            ts_us = (pdf[ts_col].to_numpy("datetime64[us]").astype("int64"))
+            # int64 ns // 1000 floors (datetime64[us] casts truncate toward
+            # zero, which differs for pre-1970 sub-microsecond timestamps)
+            ts_us = pdf[ts_col].to_numpy("datetime64[ns]").astype("int64") // 1000
             vals = pdf[val_col].to_numpy(dtype=float)
             brk = np.empty(n, dtype=bool)
             brk[0] = last_us is not None and ts_us[0] - last_us > gap_us

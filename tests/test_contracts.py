@@ -33,18 +33,26 @@ def test_plans_md_covers_every_registry_query():
     assert missing == [], f"PLANS.md stale — regenerate: {missing}"
 
 
-def test_driver_window_prioritizes_unverified_queries():
-    # The driver hash-checks only the first 50 entries of queries() in
-    # iteration order. Anything without a driver-green row (including new
-    # queries) must sort ahead of the long-green set.
+def test_driver_window_covers_every_stale_signature():
+    # Freshness invariant (VERDICT r4 item 1): every query whose latest
+    # driver signature does NOT postdate its last code change must land in
+    # the driver's 50-query window this round, so that after the round each
+    # query's signature is newer than its code. Mechanical, not judged.
     import __spark_entry__ as E
-    names = list(E.queries())
-    seen_green = False
-    for n in names:
-        if n in E._DRIVER_GREEN:
-            seen_green = True
-        else:
-            assert not seen_green, f"unverified query {n!r} ordered after green ones"
+    window = list(E.queries())[:50]
+    stale = E.stale_names()
+    assert len(stale) <= 50, (
+        f"{len(stale)} stale signatures cannot fit one 50-query window")
+    missing = [n for n in stale if n not in window]
+    assert missing == [], f"stale-signature queries outside window: {missing}"
+
+
+def test_driver_window_ordering_is_deterministic():
+    # The ordering is a pure function of the signature/staleness tables —
+    # stable across calls and independent of anything runtime.
+    import __spark_entry__ as E
+    assert list(E.queries()) == list(E.queries())
+    assert set(E._SIGNED_ROUND) <= set(E.queries())
 
 
 def test_bench_streaming_section_locked():

@@ -32,9 +32,6 @@ BNLJ_BY_DESIGN = {
     # 1-row global-total re-aggregation broadcast against the grouped
     # result it came from (TPC-H Q11's group-vs-global HAVING)
     "tpch_q11",
-    # two 1-row scalar counts (signups, conversions) cross-joined into
-    # the single output row
-    "funnel_conversion",
 }
 
 

@@ -86,6 +86,45 @@ def test_join_wait_immediate_and_buffered(spark, tmp_path):
     assert got[("k2", 2.5)] == 20
 
 
+def test_join_wait_multi_table_run_flushes_with_first_value(spark, tmp_path):
+    # Regression (r4 advice): a micro-batch carrying 2+ consecutive table
+    # records for a key with buffered stream records must flush the waiters
+    # with the FIRST arriving table value of the run (per-row arrival
+    # semantics), while later stream records see the LAST (latest) value.
+    s_dir, t_dir = tmp_path / "s", tmp_path / "t"
+    t_dir.mkdir()          # table side starts empty — but the dir must exist
+    spark.createDataFrame([("k1", 1.0), ("k1", 2.0)],
+                          "key string, value double") \
+         .coalesce(1).write.mode("append").parquet(str(s_dir))
+    s = spark.readStream.schema("key string, value double").parquet(str(s_dir))
+    t = spark.readStream.schema("key string, value long").parquet(str(t_dir))
+    name, q = run_to_memory(join_wait(s, t, wait_seconds=300), mode="update",
+                            wait=False)
+    try:
+        # batch 1 buffers both stream rows (no table side yet); wait until
+        # the query has actually consumed them so the T run is a later batch
+        import time as _t
+        deadline = _t.time() + 60
+        while sum(p["numInputRows"] for p in q.recentProgress) < 2:
+            if _t.time() > deadline:
+                raise TimeoutError("stream batch never consumed")
+            _t.sleep(0.3)
+        # batch 2: two table records for k1 in ONE file (one source
+        # partition -> arrival order preserved): 10 then 20
+        spark.createDataFrame([("k1", 10), ("k1", 20)],
+                              "key string, value long") \
+             .coalesce(1).write.mode("append").parquet(str(t_dir))
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 2)
+        # batch 3: a fresh stream record joins against the cached LAST value
+        spark.createDataFrame([("k1", 3.0)], "key string, value double") \
+             .coalesce(1).write.mode("append").parquet(str(s_dir))
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 3)
+    finally:
+        q.stop()
+    got = {r["stream_value"]: r["table_value"] for r in rows}
+    assert got == {1.0: 10, 2.0: 10, 3.0: 20}
+
+
 def test_reservation_batch_invariants(spark, sf_dir):
     # registry inventory_reservation: reserved total per part never exceeds
     # stock, and a FAIL implies the line would have exceeded capacity
