@@ -96,14 +96,22 @@ def stream_bench(spark, sf_dir: str) -> dict:
     )
     from kafka_streams_examples_spark.streaming.stateful import fraud_check
 
-    n_docs = table(spark, sf_dir, "documents").count()
+    from kafka_streams_examples_spark.functions import tokens
+
+    # wordcount's work unit is the post-flatMap token (each word is one
+    # record after flatMapValues, WordCountLambdaExample.java:197) — r4
+    # reported 2.7k rows/s vs 46-70k siblings purely because the
+    # denominator counted pre-explode documents (5k docs vs 270k tokens at
+    # sf0.1); the pipeline itself moves >100k tokens/s
+    n_tokens = (table(spark, sf_dir, "documents")
+                .select(F.explode(tokens(F.col("text")))).count())
     n_events = table(spark, sf_dir, "events").count()
     ev = lambda: stream_table(spark, sf_dir, "events")  # noqa: E731
 
     cases = {
         "wordcount": (
             lambda: streaming_wordcount(stream_table(spark, sf_dir, "documents")),
-            "complete", n_docs),
+            "complete", n_tokens),
         "windowed_counts": (lambda: windowed_counts(ev()), "append", n_events),
         "session_counts": (lambda: session_counts(ev()), "append", n_events),
         "dedup_ttl": (

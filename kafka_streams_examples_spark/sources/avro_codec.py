@@ -221,7 +221,8 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
                      payload_col: str = "value",
                      confluent_framing: bool = False,
                      keep_cols: tuple[str, ...] = (),
-                     on_error: str = "fail") -> DataFrame:
+                     on_error: str = "fail",
+                     schema_resolver=None) -> DataFrame:
     """Decode a binary Avro payload column into typed columns.
 
     Arrow-batched mapInPandas: the schema (avro_to_struct) is resolved
@@ -235,12 +236,28 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
     a truncated/garbage payload yields an all-null row instead of failing
     the task — filter on a non-nullable field to drop-and-count, exactly
     like the JSON path. Default "fail" surfaces corruption loudly.
+
+    schema_resolver — the Schema-Registry lookup-by-id hook: a callable
+    ``schema_id -> avsc`` (dict.__getitem__ in tests; an HTTP registry
+    client on a real cluster). When given, each record is decoded with the
+    WRITER schema its Confluent frame header names, then projected onto
+    ``avsc`` (the READER schema) by field name, filling absent fields from
+    the reader's defaults — the generic-record case where one topic
+    carries multiple schema versions (TopArticlesLambdaExample.java:
+    163-167). Resolved schemas are cached per worker, so the resolver is
+    hit once per (worker, schema id). Requires confluent_framing (the id
+    lives in the frame); a resolver failure follows ``on_error``.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    if schema_resolver is not None and not confluent_framing:
+        raise ValueError("schema_resolver requires confluent_framing "
+                         "(the schema id is read from the frame header)")
     schema = json.loads(avsc) if isinstance(avsc, str) else avsc
+    reader_fields = (schema.get("fields", [])
+                     if isinstance(schema, dict) else [])
     # nullable-ized: a null payload (tombstone) yields an all-null row, so
     # even avro-non-nullable fields must admit null in the output schema
     avro_fields = [T.StructField(f.name, f.dataType, True, f.metadata)
@@ -258,6 +275,14 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
     null_row = {n: None for n in names}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolved: dict[int, dict | list | str] = {}
+
+        def writer_schema(sid: int):
+            if sid not in resolved:
+                s = schema_resolver(sid)
+                resolved[sid] = json.loads(s) if isinstance(s, str) else s
+            return resolved[sid]
+
         for pdf in batches:
             rows = []
             for payload in pdf[payload_col]:
@@ -265,9 +290,18 @@ def decode_avro_rows(df: DataFrame, avsc: str | dict,
                     rows.append(null_row)
                     continue
                 try:
-                    body = (unframe_confluent(bytes(payload))[1]
-                            if confluent_framing else bytes(payload))
-                    rows.append(decode_record(schema, body))
+                    if confluent_framing:
+                        sid, body = unframe_confluent(bytes(payload))
+                    else:
+                        sid, body = -1, bytes(payload)
+                    if schema_resolver is None:
+                        rows.append(decode_record(schema, body))
+                    else:
+                        rec = decode_record(writer_schema(sid), body)
+                        # reader projection: by name, defaults for absences
+                        rows.append({f["name"]: rec.get(f["name"],
+                                                        f.get("default"))
+                                     for f in reader_fields})
                 except Exception:
                     if on_error == "fail":
                         raise

@@ -62,11 +62,18 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, topics: str,
 
 def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
                             confluent_framing: bool = True,
-                            on_error: str = "fail") -> DataFrame:
+                            on_error: str = "fail",
+                            schema_resolver=None) -> DataFrame:
     """Typed rows from a Kafka-source-shaped DataFrame (S1+S8 runtime path,
     broker-independent): `value` is (Confluent-framed) binary Avro, decoded
     by the pure-Python codec; Kafka metadata columns that exist on the
     input (key/topic/partition/offset/timestamp) ride along unchanged.
+
+    schema_resolver (``schema_id -> avsc``) makes the frame header's
+    schema id actually select the writer schema — the Schema Registry
+    lookup path for topics carrying mixed schema versions; records are
+    then projected onto `avsc` as the reader schema (see
+    avro_codec.decode_avro_rows).
 
     This is the decode half of SpecificAvroIntegrationTest.java — the same
     DataFrame shape `spark.read.format("kafka")` produces, so it applies
@@ -78,7 +85,8 @@ def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
                  if c in df.columns)
     return decode_avro_rows(df, avsc, payload_col="value",
                             confluent_framing=confluent_framing,
-                            keep_cols=keep, on_error=on_error)
+                            keep_cols=keep, on_error=on_error,
+                            schema_resolver=schema_resolver)
 
 
 def kafka_sink_options(bootstrap_servers: str,

@@ -188,6 +188,75 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def ordered_concat(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", val_col: str = "event_type",
+                   tie_col: str = "event_id", sep: str = " ",
+                   lateness_seconds: int | None = None) -> DataFrame:
+    """A3 reduce (ordered concatenation), streaming mode — the analog of
+    registry `reduce_concat` (ReduceTest.java:112-114) whose fold order is
+    EVENT time, not arrival time.
+
+    The batch oracle is ``string_agg(val ORDER BY ts, tie)``; a naive
+    streaming reduce folds in arrival order and diverges whenever records
+    cross micro-batch boundaries out of order. Here state per key holds the
+    (ts_us, tie, val) triples seen so far; each batch merges its rows and
+    re-emits the concatenation in (ts, tie) order, so ANY arrival
+    permutation converges to the batch-oracle string. State is O(events
+    per key) — the same asymptotics as the reference's reduce, whose
+    accumulator IS the concatenated string.
+
+    Late-data policy: with ``lateness_seconds`` set, a record older than
+    (max event time seen for its key − lateness) is dropped — the
+    per-key analog of watermark grace (W7); ``None`` accepts everything
+    (the reference's reduce has no lateness bound).
+
+    Update-mode output: one row per (batch, key) carrying the current
+    full sequence — per-batch conflation of the reference's per-record
+    emission, like running_counts.
+    """
+    out_schema = T.StructType([
+        T.StructField(key_col, T.LongType()),
+        T.StructField("type_seq", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("tie", T.ArrayType(T.LongType())),
+        T.StructField("val", T.ArrayType(T.StringType())),
+    ])
+    late_us = None if lateness_seconds is None else lateness_seconds * 1_000_000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        ts_l, tie_l, val_l = state.get if state.exists else ([], [], [])
+        ts_a = np.asarray(ts_l, dtype=np.int64)
+        tie_a = np.asarray(tie_l, dtype=np.int64)
+        val_a = np.asarray(val_l, dtype=object)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts_new = pdf[ts_col].to_numpy("datetime64[ns]").astype("int64") // 1000
+            tie_new = pdf[tie_col].to_numpy(dtype=np.int64)
+            val_new = pdf[val_col].to_numpy(dtype=object)
+            if late_us is not None:
+                hi = max(int(ts_a.max()) if len(ts_a) else np.iinfo(np.int64).min,
+                         int(ts_new.max()))
+                keep = ts_new >= hi - late_us
+                ts_new, tie_new, val_new = ts_new[keep], tie_new[keep], val_new[keep]
+            ts_a = np.concatenate([ts_a, ts_new])
+            tie_a = np.concatenate([tie_a, tie_new])
+            val_a = np.concatenate([val_a, val_new])
+        # event-time fold order: primary ts, secondary tie (lexsort keys
+        # are listed least-significant first)
+        order = np.lexsort((tie_a, ts_a))
+        ts_a, tie_a, val_a = ts_a[order], tie_a[order], val_a[order]
+        state.update((ts_a.tolist(), tie_a.tolist(), val_a.tolist()))
+        yield pd.DataFrame({key_col: [key[0]],
+                            "type_seq": [sep.join(map(str, val_a))]})
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def fraud_check(orders: DataFrame, limit: float, session_gap_seconds: int = 1800,
                 key_col: str = "customer", val_col: str = "order_value",
                 id_col: str = "order_id", ts_col: str = "ts") -> DataFrame:

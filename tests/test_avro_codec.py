@@ -214,3 +214,75 @@ def test_decode_avro_rows_dataframe(spark):
     assert rows[0]["content"] == "hello"
     assert rows[1]["content"] is None and rows[1]["is_new"] is False
     assert rows[2]["is_new"] is None
+
+
+ARTICLE_V1 = {
+    "type": "record", "name": "Article", "fields": [
+        {"name": "page", "type": "string"},
+        {"name": "user", "type": "string"},
+    ],
+}
+ARTICLE_V2 = {
+    "type": "record", "name": "Article", "fields": [
+        {"name": "page", "type": "string"},
+        {"name": "user", "type": "string"},
+        {"name": "industry", "type": "string", "default": "unknown"},
+    ],
+}
+
+
+def test_schema_resolver_mixed_schema_topic(spark):
+    """Schema-Registry lookup-by-id: one topic, two schema versions — the
+    frame header's schema id selects the writer schema and records project
+    onto the reader schema (v2), filling v1's missing field from the
+    reader default (the generic-record case,
+    TopArticlesLambdaExample.java:163-167)."""
+    from kafka_streams_examples_spark.sources.kafka import (
+        decode_kafka_avro_batch,
+    )
+
+    registry = {1: ARTICLE_V1, 2: ARTICLE_V2}
+    rows = [
+        (frame_confluent(1, encode_record(
+            ARTICLE_V1, {"page": "p1", "user": "alice"})),),
+        (frame_confluent(2, encode_record(
+            ARTICLE_V2, {"page": "p2", "user": "bob",
+                         "industry": "news"})),),
+        (frame_confluent(1, encode_record(
+            ARTICLE_V1, {"page": "p3", "user": "carol"})),),
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    out = decode_kafka_avro_batch(df, ARTICLE_V2,
+                                  schema_resolver=registry.__getitem__)
+    got = {r["page"]: r for r in out.collect()}
+    assert got["p1"]["industry"] == "unknown"     # v1 -> reader default
+    assert got["p2"]["industry"] == "news"        # v2 -> real value
+    assert got["p3"]["user"] == "carol"
+    # a v1 record decoded with the WRONG (single, reader) schema would have
+    # misparsed — prove the resolver path differs from fixed-schema decode
+    import pytest
+    with pytest.raises(Exception):
+        decode_kafka_avro_batch(df, ARTICLE_V2).collect()
+
+
+def test_schema_resolver_unknown_id(spark):
+    """An unregistered schema id follows on_error: fail loudly by default,
+    null-row with on_error='null'."""
+    import pytest
+
+    payload = frame_confluent(99, encode_record(
+        ARTICLE_V1, {"page": "p", "user": "u"}))
+    df = spark.createDataFrame([(payload,)], "value binary")
+    registry = {1: ARTICLE_V1}
+    with pytest.raises(Exception):
+        decode_avro_rows(df, ARTICLE_V2, confluent_framing=True,
+                         schema_resolver=registry.__getitem__).collect()
+    got = decode_avro_rows(df, ARTICLE_V2, confluent_framing=True,
+                           on_error="null",
+                           schema_resolver=registry.__getitem__).collect()
+    assert len(got) == 1 and got[0]["page"] is None
+    # and the id must come from a frame: resolver without framing is a
+    # contract error
+    with pytest.raises(ValueError):
+        decode_avro_rows(df, ARTICLE_V2, confluent_framing=False,
+                         schema_resolver=registry.__getitem__)

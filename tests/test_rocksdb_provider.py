@@ -1,0 +1,116 @@
+"""Stateful streaming under the RocksDB state-store provider.
+
+The reference runs its stores on RocksDB (MicroserviceUtils.java:90-108
+tunes memtables via CustomRocksDBConfig); COVERAGE §2.8 maps that to
+`spark.sql.streaming.stateStore.*`. These tests prove the claim by running
+each class of stateful operator — HDFS-default tests elsewhere, RocksDB
+here — on the provider a real cluster would use at 100 TB state sizes.
+The provider class is read per query start, so a runtime conf toggle on
+the shared session is enough.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.streaming.core import (
+    await_rows, run_to_memory, stream_table,
+)
+from kafka_streams_examples_spark.streaming.dedup import dedup_stream
+from kafka_streams_examples_spark.streaming.pipelines import session_counts
+from kafka_streams_examples_spark.streaming.stateful import (
+    fraud_check, running_counts,
+)
+
+_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB = ("org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider")
+
+
+@pytest.fixture()
+def rocks(spark):
+    try:
+        old = spark.conf.get(_KEY)
+    except Exception:
+        old = None
+    spark.conf.set(_KEY, _ROCKSDB)
+    yield spark
+    if old is None:
+        spark.conf.unset(_KEY)
+    else:
+        spark.conf.set(_KEY, old)
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_running_counts_on_rocksdb(rocks, tmp_path):
+    spark = rocks
+    src = tmp_path / "src"
+    spark.createDataFrame([("a",), ("a",), ("b",)], "word string") \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("word string").parquet(str(src))
+    name, q = run_to_memory(running_counts(stream, "word"), mode="update")
+    try:
+        # provider actually engaged? the progress report names it
+        provider = q.lastProgress["stateOperators"][0][
+            "customMetrics"] if q.lastProgress else {}
+        spark.createDataFrame([("a",)], "word string") \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    latest = {}
+    for r in rows:
+        latest[r["word"]] = max(latest.get(r["word"], 0), r["count"])
+    assert latest == {"a": 3, "b": 1}
+    # RocksDB-only metrics prove the provider swap took effect
+    assert any(k.startswith("rocksdb") for k in provider), provider
+
+
+def test_fraud_check_on_rocksdb(rocks, tmp_path):
+    spark = rocks
+    src = tmp_path / "orders"
+    rows = [("c1", "o1", 600.0, ts("2024-01-01 10:00:00")),
+            ("c1", "o2", 500.0, ts("2024-01-01 10:10:00")),   # session total 1100 -> FAIL
+            ("c1", "o3", 100.0, ts("2024-01-01 12:00:00")),   # new session -> PASS
+            ("c2", "o4", 50.0, ts("2024-01-01 10:00:00"))]
+    spark.createDataFrame(
+        rows, "customer string, order_id string, order_value double, ts timestamp") \
+        .coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "customer string, order_id string, order_value double, ts timestamp") \
+        .parquet(str(src))
+    name, q = run_to_memory(fraud_check(stream, limit=1000.0), mode="update")
+    try:
+        got = {r["order_id"]: r["verdict"] for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {"o1": "PASS", "o2": "FAIL", "o3": "PASS", "o4": "PASS"}
+
+
+def test_dedup_and_session_windows_on_rocksdb(rocks, sf_dir):
+    spark = rocks
+    ev = stream_table(spark, sf_dir, "events")
+    name, q = run_to_memory(
+        dedup_stream(ev.select("event_id", "ts"), ["event_id"]), mode="append")
+    try:
+        n_dedup = spark.table(name).count()
+    finally:
+        q.stop()
+    ev2 = stream_table(spark, sf_dir, "events")
+    name2, q2 = run_to_memory(session_counts(ev2), mode="append")
+    try:
+        n_sessions = spark.table(name2).count()
+    finally:
+        q2.stop()
+    from kafka_streams_examples_spark.catalog import table
+    n_unique = table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert n_dedup == n_unique
+    assert n_sessions > 0

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_examples_spark.streaming.core import await_rows, run_to_memory
 from kafka_streams_examples_spark.streaming.stateful import (
-    join_wait, reservations, running_counts,
+    join_wait, ordered_concat, reservations, running_counts,
 )
 
 
@@ -123,6 +123,68 @@ def test_join_wait_multi_table_run_flushes_with_first_value(spark, tmp_path):
         q.stop()
     got = {r["stream_value"]: r["table_value"] for r in rows}
     assert got == {1.0: 10, 2.0: 10, 3.0: 20}
+
+
+def test_ordered_concat_converges_from_shuffled_arrival(spark, sf_dir, tmp_path):
+    # A3 streaming analog: pipe the events table in a RANDOMIZED order
+    # split across 4 micro-batches; the per-key sequence must still
+    # converge to the batch oracle's event-time-ordered concatenation.
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    (ev.orderBy(F.hash("event_id"))          # deterministic disorder vs ts
+       .repartition(4)
+       .write.parquet(str(tmp_path / "shuffled")))
+    schema = spark.read.parquet(str(tmp_path / "shuffled")).schema
+    stream = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "shuffled")))
+    name, q = run_to_memory(ordered_concat(stream), mode="update")
+    try:
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    # sequences only grow (no lateness bound) -> the longest string per key
+    # is the final state, independent of sink row order
+    got: dict[int, str] = {}
+    for r in rows:
+        if len(r["type_seq"]) >= len(got.get(r["user_id"], "")):
+            got[r["user_id"]] = r["type_seq"]
+    want = {r["user_id"]: r["type_seq"]
+            for r in QUERIES["reduce_concat"].spark(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_ordered_concat_lateness_policy(spark, tmp_path):
+    # W7 analog: with lateness_seconds set, a record older than the key's
+    # max event time minus the bound is dropped; in-bound stragglers are
+    # still spliced into event-time position.
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 7, "a"),
+         (2, ts("2024-01-01 10:30:00"), 7, "b")],
+        "event_id long, ts timestamp, user_id long, event_type string") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string") \
+        .parquet(str(src))
+    name, q = run_to_memory(ordered_concat(stream, lateness_seconds=3600),
+                            mode="update")
+    try:
+        # straggler at 10:10 (within 1h of 10:30) -> spliced between a and b;
+        # 08:00 (beyond the bound) -> dropped
+        spark.createDataFrame(
+            [(3, ts("2024-01-01 10:10:00"), 7, "c"),
+             (4, ts("2024-01-01 08:00:00"), 7, "x")],
+            "event_id long, ts timestamp, user_id long, event_type string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    final = max((r["type_seq"] for r in rows), key=len)
+    assert final == "a c b"
 
 
 def test_reservation_batch_invariants(spark, sf_dir):
