@@ -75,7 +75,8 @@ HEADLINE = [
 # Streaming bench pipelines — locked by tests/test_contracts.py so a
 # refactor cannot silently drop one (BENCH r3 set the baseline).
 STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
-                       "dedup_ttl", "interval_join", "fraud_check")
+                       "dedup_ttl", "interval_join", "fraud_check",
+                       "ordered_concat")
 
 
 def stream_bench(spark, sf_dir: str) -> dict:
@@ -94,7 +95,9 @@ def stream_bench(spark, sf_dir: str) -> dict:
         interval_join_stream, session_counts, streaming_wordcount,
         windowed_counts,
     )
-    from kafka_streams_examples_spark.streaming.stateful import fraud_check
+    from kafka_streams_examples_spark.streaming.stateful import (
+        fraud_check, ordered_concat,
+    )
 
     from kafka_streams_examples_spark.functions import tokens
 
@@ -137,6 +140,12 @@ def stream_bench(spark, sf_dir: str) -> dict:
                             F.col("value").alias("order_value"),
                             F.col("ts")),
                 limit=1000.0),
+            "update", n_events),
+        # event-time-ordered per-key fold (A3 streaming analog): state grows
+        # with events/key, so this times the sort-merge-state path
+        "ordered_concat": (
+            lambda: ordered_concat(
+                ev().select("event_id", "ts", "user_id", "event_type")),
             "update", n_events),
     }
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"

@@ -146,6 +146,52 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
                   .select(id_col, "word", "tfidf", F.col("rn").cast("long").alias("rn")))
 
 
+def decontaminate(docs: DataFrame, contaminants: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  src_col: str = "src_id", frag_col: str = "frag",
+                  w: int = 4, n: int = 3) -> DataFrame:
+    """Benchmark decontamination: find every document containing any
+    benchmark fragment as a token-aligned contiguous run.
+
+    The training-pipeline step that keeps eval sets out of the corpus.
+    Naive shape is contains(text, frag) over docs x frags — a full-corpus
+    scan per fragment. The scale path here is candidate-driven:
+
+    1. winnowing fingerprints (MOSS) of corpus and fragments with shared
+       (w, n): any token-aligned match of >= w+n-1 tokens is GUARANTEED a
+       shared selected fingerprint, so the fp equi-join produces a
+       candidate superset — int64 hashes shuffle, never text;
+    2. candidates verify exactly with a space-padded `contains` on the
+       whitespace-normalized text (padding anchors token boundaries), the
+       fragment side broadcast.
+
+    `contaminants` is (src_col, frag_col); fragments must be >= w+n-1
+    tokens or the completeness guarantee does not cover them. Output:
+    (id_col, src_col), one row per (document, fragment-source) hit —
+    including a fragment's own source document, a built-in sanity row.
+    """
+    from .dedup import winnow_fingerprints
+
+    doc_fp = winnow_fingerprints(docs, w=w, n=n,
+                                 text_col=text_col, id_col=id_col)
+    frag_fp = (winnow_fingerprints(
+                   contaminants.select(F.col(src_col).alias(id_col),
+                                       F.col(frag_col).alias(text_col)),
+                   w=w, n=n, text_col=text_col, id_col=id_col)
+               .withColumnRenamed(id_col, src_col))
+    cand = doc_fp.join(frag_fp, "fp").select(id_col, src_col).distinct()
+    ntext = F.concat_ws(
+        " ", F.filter(tokens(text_col), lambda x: x != ""))
+    norm = docs.select(F.col(id_col), ntext.alias("__ntext"))
+    return (cand.join(norm, id_col)
+                .join(F.broadcast(contaminants.select(src_col, frag_col)),
+                      src_col)
+                .filter(F.contains(
+                    F.concat(F.lit(" "), F.col("__ntext"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col(frag_col), F.lit(" "))))
+                .select(id_col, src_col))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lower-cased text.

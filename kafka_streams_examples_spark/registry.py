@@ -1080,6 +1080,37 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_fingerprints(table(spark, sf, "documents"), w=4, n=3)
 
 
+@query(
+    "decontaminate",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    norm AS (SELECT doc_id, array_to_string(ws, ' ') AS ntext FROM tk),
+    cont AS (SELECT doc_id AS src_id, array_to_string(list_slice(ws, 11, 40), ' ') AS frag
+             FROM tk WHERE doc_id % 97 = 0 AND len(ws) >= 40)
+    SELECT n.doc_id, c.src_id
+    FROM norm n, cont c
+    WHERE contains(' ' || n.ntext || ' ', ' ' || c.frag || ' ')""",
+    "Benchmark decontamination: flag every document containing a "
+    "benchmark fragment as a token-aligned run (the fragments here are "
+    "30-token slices of every 97th document — a deterministic stand-in "
+    "benchmark set). The oracle is the naive all-pairs contains; the "
+    "Spark plan is candidate-driven: shared winnowing fingerprints "
+    "(MOSS guarantee covers every >=6-token overlap, so candidates are "
+    "a provable superset) equi-join on int64 hashes, then the tiny "
+    "fragment set broadcasts for the exact space-padded contains "
+    "verify — document text never enters a shuffle.",
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tk = F.filter(tokens(F.col("text")), lambda x: x != "")
+    cont = (docs.select(F.col("doc_id").alias("src_id"), tk.alias("ws"))
+                .filter(((F.col("src_id") % 97) == 0) & (F.size("ws") >= 40))
+                .select("src_id",
+                        F.concat_ws(" ", F.slice("ws", 11, 30)).alias("frag")))
+    return TX.decontaminate(docs, cont)
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(

@@ -188,3 +188,25 @@ def test_simhash_hamming_pairs_rejects_bad_banding(spark):
         simhash_hamming_pairs(docs, bits=30, bands=4)
     with _pytest.raises(ValueError):
         simhash_hamming_pairs(docs, bits=32, bands=4, max_hamming=4)
+
+
+def test_decontaminate_token_aligned_containment(spark):
+    """Candidate-driven decontamination equals the naive contains oracle:
+    a verbatim inclusion hits (any source doc), a char-level-but-not-
+    token-aligned overlap does NOT, unrelated text does not."""
+    from kafka_streams_examples_spark.operators.text import decontaminate
+
+    frag = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, f"intro words here {frag} trailing tail words"),
+         # token-misaligned: 'xalpha' shares the char suffix but the
+         # padded contains must reject it
+         (2, f"intro x{frag} trailing"),
+         (3, "totally unrelated content about something else entirely"),
+         # extra whitespace must normalize away before matching
+         (4, f"padded   {frag.replace(' ', '  ')}   end")],
+        "doc_id long, text string")
+    cont = spark.createDataFrame([(100, frag)], "src_id long, frag string")
+    got = {(r["doc_id"], r["src_id"])
+           for r in decontaminate(docs, cont).collect()}
+    assert got == {(1, 100), (4, 100)}

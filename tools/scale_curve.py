@@ -1,0 +1,76 @@
+"""Measure the scale-sensitive queries across sf0.01 / sf0.1 / sf1 and
+write SCALE_r{N}.json — the evidence that wall time grows ~linearly in SF
+(the 100 TB design claim, measured instead of argued).
+
+sf1 comes from tools/scale_data.py (density-preserving 10x of sf0.1).
+Each query runs twice per SF (min-of-2, same methodology as bench.py) with
+a noop sink. The report carries, per query, wall seconds per SF plus the
+step ratios r_01_to_1 = t(0.1)/t(0.01) and r_1_to_10 = t(1)/t(0.1); with
+10x data per step, a ratio well above 10 that keeps growing marks a
+super-linear plan (CC's O(rounds) term and fixed per-job overhead at tiny
+SFs are the two documented distortions: overhead makes small-SF ratios
+LOOK sub-linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streams_examples_spark.registry import QUERIES
+from kafka_streams_examples_spark.session import get_spark
+
+# the queries whose 100 TB story depends on sub-quadratic pair/iteration
+# behavior, plus the shuffle-heavy TPC-H shapes
+CURVE = [
+    "dedup_clusters", "dedup_clusters_star",
+    "minhash_lsh_pairs", "simhash_hamming_pairs",
+    "ngram_jaccard_capped", "embedding_lsh_pairs", "embedding_near_dup",
+    "knn_ivf", "global_shuffle", "music_charts",
+    "tpch_q9", "tpch_q18", "tpch_q21",
+]
+
+SFS = [("0.01", "/root/testdata/sf0.01"),
+       ("0.1", "/root/testdata/sf0.1"),
+       ("1", ".scale/sf1")]
+
+
+def main(out_path: str = "SCALE_r05.json") -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
+    QUERIES["tpch_q1"].spark(spark, SFS[0][1]).count()          # warmup
+
+    report: dict[str, dict] = {}
+    for name in CURVE:
+        row: dict[str, float] = {}
+        for sf, sf_dir in SFS:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                QUERIES[name].spark(spark, sf_dir) \
+                    .write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            row[f"sec_sf{sf}"] = round(best, 3)
+            print(f"{name} sf{sf}: {best:.2f}s", flush=True)
+        row["r_01_to_1"] = round(row["sec_sf0.1"] / row["sec_sf0.01"], 2)
+        row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
+        report[name] = row
+
+    payload = {
+        "method": "min-of-2 noop-sink wall per SF; sf1 = density-preserving "
+                  "10x of sf0.1 (tools/scale_data.py); 10x data per step, "
+                  "so step ratio ~<=10 = at-most-linear",
+        "cpus": cpus,
+        "queries": report,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r05.json")

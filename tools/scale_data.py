@@ -1,0 +1,99 @@
+"""Synthesize sf1 from the driver's sf0.1 tables (10x replication with
+key offsets) so the scale-sensitive queries can be measured on a real
+sf0.01 -> 0.1 -> 1 curve without touching the read-only testdata dirs.
+
+Density-preserving construction — the property a linear-scaling test
+needs is "10x the volume at the SAME dup/match density per row":
+
+- every key column gets ``replica * STRIDE`` added, consistently across
+  fact and dimension (FKs keep joining: replica k's lineitem joins
+  replica k's orders/part/supplier, all replicas share nation/region);
+- documents: every token is suffixed ``x{k}`` for replica k>0 — an
+  injective token rename, so WITHIN a replica every pairwise
+  shingle/minhash/simhash similarity is exactly the original, while
+  ACROSS replicas token sets are disjoint (no manufactured near-dup
+  families, which would grow pair output quadratically and measure the
+  data, not the plan);
+- embeddings: replica k circularly shifts the vector by k positions — an
+  orthogonal transform, so within-replica cosines are bit-preserved and
+  a vector vs its shifted copy decorrelates; labels offset per replica so
+  label-block sizes stay constant (more blocks, not bigger blocks);
+- events: ids/users offset, timestamps unchanged (same time range at 10x
+  traffic — windows get denser, the realistic scale-up).
+
+Output: ``.scale/sf1/*.parquet`` under the repo root (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kafka_streams_examples_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+STRIDE = 10_000_000
+REPLICAS = 10
+
+# key columns to offset, per table (nation/region stay shared dims)
+KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _replica(df: DataFrame, name: str, k: int) -> DataFrame:
+    out = df
+    for c in KEYS.get(name, []):
+        out = out.withColumn(c, (F.col(c) + F.lit(k * STRIDE)).cast("long"))
+    if name == "documents" and k > 0:
+        # injective token rename: similarity structure preserved within
+        # the replica, disjoint shingles across replicas
+        out = out.withColumn("text",
+                             F.regexp_replace("text", r"(\w+)", f"$1x{k}"))
+    if name == "embeddings":
+        if k > 0:
+            dim = len(df.select("embedding").first()[0])
+            shift = k % dim
+            if shift:
+                out = out.withColumn(
+                    "embedding",
+                    F.concat(F.slice("embedding", shift + 1, dim - shift),
+                             F.slice("embedding", 1, shift)))
+        out = out.withColumn("label",
+                             (F.col("label") + F.lit(k * 1000)).cast("int"))
+    return out
+
+
+def main(dest: str = ".scale/sf1") -> None:
+    spark = get_spark("scale-data", cpus=os.cpu_count() or 8,
+                      shuffle_partitions=32)
+    os.makedirs(dest, exist_ok=True)
+    for name in ["region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents", "embeddings"]:
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if name in ("region", "nation"):
+            scaled = src
+        else:
+            scaled = _replica(src, name, 0)
+            for k in range(1, REPLICAS):
+                scaled = scaled.unionByName(_replica(src, name, k))
+        # one flat parquet FILE per table, like the driver's layout
+        # (catalog.table reads {dir}/{name}.parquet; a directory works too)
+        scaled.repartition(8).write.mode("overwrite") \
+              .parquet(f"{dest}/{name}.parquet")
+        print(f"{name}: {spark.read.parquet(f'{dest}/{name}.parquet').count()} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1")
