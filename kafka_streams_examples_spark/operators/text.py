@@ -192,6 +192,52 @@ def decontaminate(docs: DataFrame, contaminants: DataFrame,
                 .select(id_col, src_col))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     dup_token_max: float = 0.5,
+                     top_bigram_max: float = 0.2) -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules quality
+    filter family): duplicate-token fraction and top-bigram share, plus
+    the combined `repetitive` flag at the given thresholds.
+
+    Degenerate machine-generated text repeats itself; these two signals
+    catch the common failure shapes (token loops, phrase loops) that
+    length/stopword quality scores miss. dup_token_frac is pure array
+    arithmetic at scan speed; top-bigram share explodes bigrams into a
+    per-(doc, bigram) count and takes the per-doc max — two shuffles,
+    both linear in token volume and both on (int64 id, small string), so
+    the operator streams at corpus scale (the O(n^2)-per-row pure-expr
+    alternative would not).
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.size(toks).cast("bigint").alias("n_tokens"))
+    stats = base.select(
+        id_col, "n_tokens",
+        stable_round(
+            F.when(F.col("n_tokens") > 0,
+                   1.0 - F.size(F.array_distinct("__toks"))
+                   / F.col("n_tokens").cast("double"))
+             .otherwise(0.0), 4).alias("dup_token_frac"),
+        F.col("__toks").alias("__toks"))
+    bg = (stats.filter(F.col("n_tokens") >= 2)
+               .select(id_col,
+                       F.explode(word_shingles(F.col("__toks"), 2)).alias("bg"))
+               .groupBy(id_col, "bg").agg(F.count("*").alias("c"))
+               .groupBy(id_col)
+               .agg(stable_round(F.max("c") / F.sum("c").cast("double"), 4)
+                    .alias("top_bigram_share")))
+    return (stats.drop("__toks")
+                 .join(bg, id_col, "left")
+                 .select(id_col, "n_tokens", "dup_token_frac",
+                         F.coalesce("top_bigram_share", F.lit(0.0))
+                          .alias("top_bigram_share"))
+                 .withColumn("repetitive",
+                             (F.col("dup_token_frac") > dup_token_max)
+                             | (F.col("top_bigram_share") > top_bigram_max)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lower-cased text.

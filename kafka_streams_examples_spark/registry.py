@@ -1111,6 +1111,41 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return TX.decontaminate(docs, cont)
 
 
+@query(
+    "repetition_stats",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+             CASE WHEN len(ws) > 0
+                  THEN floor((1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))
+                             * 10000 + 0.5) / 10000
+                  ELSE 0.0 END AS dup_token_frac,
+             ws FROM tk),
+    bgs AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+            FROM base, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2),
+    cnt AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg),
+    share AS (SELECT doc_id,
+              floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000
+                AS top_bigram_share
+              FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+           coalesce(s.top_bigram_share, 0.0) AS top_bigram_share,
+           (b.dup_token_frac > 0.5 OR coalesce(s.top_bigram_share, 0.0) > 0.2)
+             AS repetitive
+    FROM base b LEFT JOIN share s USING (doc_id)""",
+    "Within-document repetition signals (the Gopher-rules quality-filter "
+    "family): duplicate-token fraction (pure array arithmetic, scan "
+    "speed) and top-bigram share (bigram explode -> per-(doc,bigram) "
+    "count -> per-doc max; two linear shuffles on (id, small string)), "
+    "with the combined repetitive flag. Catches token/phrase loops that "
+    "length/stopword quality scores miss.",
+)
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.repetition_stats(table(spark, sf, "documents"))
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(

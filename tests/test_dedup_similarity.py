@@ -210,3 +210,21 @@ def test_decontaminate_token_aligned_containment(spark):
     got = {(r["doc_id"], r["src_id"])
            for r in decontaminate(docs, cont).collect()}
     assert got == {(1, 100), (4, 100)}
+
+
+def test_repetition_stats_flags_loops(spark):
+    """Gopher-style repetition: a token loop and a phrase loop flag, while
+    varied text does not; empty text yields zeroed signals."""
+    from kafka_streams_examples_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),                  # token loop
+         (2, "buy now buy now buy now buy now buy now"),        # phrase loop
+         (3, "a varied sentence with many distinct useful words"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["repetitive"] and got[1]["dup_token_frac"] > 0.8
+    assert got[2]["repetitive"] and got[2]["top_bigram_share"] > 0.4
+    assert not got[3]["repetitive"]
+    assert got[4]["n_tokens"] == 0 and not got[4]["repetitive"]
