@@ -177,3 +177,29 @@ def test_bigram_doc_stats_matches_naive(spark, docs):
     got = {r["doc_id"]: (r["n_bigrams"], r["n_singleton"], r["avg_df"])
            for r in bigram_doc_stats(df).collect()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=1, max_size=6))
+def test_repetition_stats_matches_naive(spark, docs):
+    """dup-token fraction and top-bigram share vs a python reference on a
+    tiny alphabet (maximally repetitive inputs by construction)."""
+    from collections import Counter
+
+    from kafka_streams_examples_spark.operators.text import repetition_stats
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    got = {r["doc_id"]: r for r in repetition_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    for i, t in rows:
+        toks = [w for w in t.lower().split() if w]
+        n = len(toks)
+        dup = 0.0 if n == 0 else round(1.0 - len(set(toks)) / n, 4)
+        bgs = Counter(zip(toks, toks[1:]))
+        share = 0.0 if not bgs else round(max(bgs.values())
+                                          / sum(bgs.values()), 4)
+        r = got[i]
+        assert r["n_tokens"] == n
+        assert abs(r["dup_token_frac"] - dup) < 1e-9
+        assert abs(r["top_bigram_share"] - share) < 1e-9
