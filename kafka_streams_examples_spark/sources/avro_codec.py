@@ -217,6 +217,61 @@ def unframe_confluent(payload: bytes) -> tuple[int, bytes]:
 # DataFrame integration
 
 
+def encode_avro_rows(df: DataFrame, avsc: str | dict,
+                     schema_id: int | None = None,
+                     out_col: str = "value",
+                     keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Encode typed columns into a binary Avro payload column — the sink
+    half of S5+S8 (`to_avro` without the spark-avro jar), inverse of
+    :func:`decode_avro_rows`.
+
+    The avsc record's fields are read from the row by name; with
+    schema_id set, payloads get the Confluent frame (magic + id) so a
+    registry-aware consumer — including our own resolver-driven decoder —
+    reads them back. Same Arrow-batched mapInPandas plumbing as decode:
+    Python touches only the payload bytes. keep_cols ride along (e.g. the
+    Kafka message key / a dynamic-routing topic column).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = json.loads(avsc) if isinstance(avsc, str) else avsc
+    field_names = [f["name"] for f in schema.get("fields", [])]
+    in_fields = {f.name: f for f in df.schema.fields}
+    missing = [c for c in field_names if c not in in_fields]
+    if missing:
+        raise ValueError(f"avro fields absent from DataFrame: {missing}")
+    out_schema = T.StructType(
+        [in_fields[c] for c in keep_cols]
+        + [T.StructField(out_col, T.BinaryType())])
+
+    def _clean(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for rec in pdf[field_names].to_dict("records"):
+                body = encode_record(
+                    schema, {k: _clean(v) for k, v in rec.items()})
+                payloads.append(frame_confluent(schema_id, body)
+                                if schema_id is not None else body)
+            out = pd.DataFrame({out_col: payloads})
+            for i, c in enumerate(keep_cols):
+                out.insert(i, c, pdf[c].values)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def decode_avro_rows(df: DataFrame, avsc: str | dict,
                      payload_col: str = "value",
                      confluent_framing: bool = False,

@@ -89,6 +89,22 @@ def decode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
                             schema_resolver=schema_resolver)
 
 
+def encode_kafka_avro_batch(df: DataFrame, avsc: str | dict,
+                            schema_id: int,
+                            key_col: str | None = "key") -> DataFrame:
+    """Kafka-sink-shaped (key, value) frame from typed rows: the value
+    column is Confluent-framed binary Avro (S5 produce path,
+    SpecificAvroIntegrationTest.java's write half). Feed the result to
+    `writeStream.format("kafka")` with :func:`kafka_sink_options`; a
+    `topic` column present on the input rides along for dynamic routing
+    (S6)."""
+    from .avro_codec import encode_avro_rows
+
+    keep = tuple(c for c in (key_col, "topic")
+                 if c is not None and c in df.columns)
+    return encode_avro_rows(df, avsc, schema_id=schema_id, keep_cols=keep)
+
+
 def kafka_sink_options(bootstrap_servers: str,
                        topic: str | None = None) -> dict[str, str]:
     """Sink options; omit `topic` when the DataFrame carries a per-row

@@ -286,3 +286,31 @@ def test_schema_resolver_unknown_id(spark):
     with pytest.raises(ValueError):
         decode_avro_rows(df, ARTICLE_V2, confluent_framing=False,
                          schema_resolver=registry.__getitem__)
+
+
+def test_encode_decode_dataframe_roundtrip(spark):
+    """Sink-then-source round trip through the DataFrame codecs: typed
+    rows -> Confluent-framed binary (encode_kafka_avro_batch) -> typed
+    rows (decode_kafka_avro_batch with a resolver), values and nulls
+    preserved; key and dynamic-routing topic columns ride along."""
+    from kafka_streams_examples_spark.sources.kafka import (
+        decode_kafka_avro_batch, encode_kafka_avro_batch,
+    )
+
+    rows = [("k0", "t-low", "alice", True, "body"),
+            ("k1", "t-high", "bob", False, None)]
+    df = spark.createDataFrame(
+        rows, "key string, topic string, user string, is_new boolean, "
+              "content string")
+    framed = encode_kafka_avro_batch(df, WIKIFEED_AVSC, schema_id=7)
+    assert set(framed.columns) == {"key", "topic", "value"}
+    back = decode_kafka_avro_batch(framed, WIKIFEED_AVSC,
+                                   schema_resolver={7: WIKIFEED_AVSC}.__getitem__)
+    got = {r["key"]: r for r in back.collect()}
+    assert got["k0"]["user"] == "alice" and got["k0"]["content"] == "body"
+    assert got["k1"]["is_new"] is False and got["k1"]["content"] is None
+    assert got["k1"]["topic"] == "t-high"     # dynamic routing column intact
+    # and a field missing from the frame is a loud error, not silence
+    import pytest
+    with pytest.raises(ValueError):
+        encode_kafka_avro_batch(df.drop("user"), WIKIFEED_AVSC, schema_id=7)

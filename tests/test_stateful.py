@@ -232,3 +232,40 @@ def test_fraud_check_session_semantics(spark, tmp_path):
         q.stop()
     assert got == {"o1": "PASS", "o2": "FAIL", "o3": "PASS",
                    "o4": "PASS", "o5": "FAIL"}
+
+
+def test_ordered_concat_recovers_from_checkpoint(spark, tmp_path):
+    # §2.8 recovery for the applyInPandasWithState path: kill the query,
+    # deliver more (earlier-timestamped!) data, restart from the SAME
+    # checkpoint — state reloads and the late record still splices into
+    # event-time position. foreachBatch sink (memory sinks don't support
+    # checkpoint recovery); each incarnation appends to its own list.
+    src, ckpt = tmp_path / "ev", tmp_path / "ckpt"
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 7, "a"),
+         (2, ts("2024-01-01 10:20:00"), 7, "c")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    def start(sink: list):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        return (ordered_concat(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", str(ckpt))
+                .foreachBatch(lambda df, _id: sink.extend(df.collect()))
+                .start())
+
+    run1: list = []
+    q = start(run1)
+    q.processAllAvailable()
+    q.stop()
+    assert [r["type_seq"] for r in run1] == ["a c"]
+    spark.createDataFrame([(3, ts("2024-01-01 10:10:00"), 7, "b")], schema) \
+         .coalesce(1).write.mode("append").parquet(str(src))
+    run2: list = []
+    q = start(run2)
+    q.processAllAvailable()
+    q.stop()
+    # run 2 reprocesses only the late record; its output must already
+    # carry the recovered prefix with 'b' spliced between 'a' and 'c'
+    assert [r["type_seq"] for r in run2] == ["a b c"]
