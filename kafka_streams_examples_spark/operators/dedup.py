@@ -118,26 +118,51 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
     """MinHash signature per document (portable md5+affine permutations).
 
     One md5 per shingle reduced to h < 2^30, then num_hashes affine
-    permutations (A*h+B) % P — 8x less hashing than md5-per-permutation and
-    the groupBy shuffles int64 signature components instead of 32-char hex
-    digests. The affine map of an md5-mixed value stays uniform mod the
-    prime P, and the identical arithmetic runs in DuckDB, which is what
-    makes this oracle-verifiable. distinct() runs on (doc_id, h) — 8-byte
-    keys — so full shingle text never shuffles.
+    permutations (A*h+B) % P — 8x less hashing than md5-per-permutation.
+    The affine map of an md5-mixed value stays uniform mod the prime P,
+    and the identical arithmetic runs in DuckDB, which is what makes this
+    oracle-verifiable.
+
+    Two physical forms, same values (min over the same multiset):
+    standalone (shingle_hashes=None) computes per-row array minima — ZERO
+    exchanges, signatures at scan speed; with a caller-supplied exploded
+    relation it aggregates that instead (min is duplicate-insensitive, so
+    the raw multiset needs no dedup shuffle), which is what
+    minhash_lsh_pairs uses to share one tokenize/hash pipeline between
+    signatures and the Jaccard verify.
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError(f"num_hashes > {len(MINHASH_A)} needs more constants")
-    # MIN over permutations is duplicate-insensitive -> raw multiset input,
-    # no dedup shuffle; the only exchange is the groupBy itself
-    sh = (shingle_hashes if shingle_hashes is not None
-          else minhash_shingle_hashes(docs, n=n, text_col=text_col,
-                                      id_col=id_col, distinct=False))
+    if shingle_hashes is None:
+        # standalone path: ZERO shuffles. One array fold per row carries
+        # all num_hashes running minima (aggregate + zip_with/least), so
+        # signatures are scan-side — each shingle is md5'd once and the
+        # doc never leaves its input partition. Values are bit-identical
+        # to the explode+groupBy form (min over the same multiset); that
+        # form remains below for callers sharing the exploded relation
+        # (minhash_lsh_pairs reuses it for the Jaccard verify).
+        toks = tokens(text_col)
+        d = (docs.select(F.col(id_col), toks.alias("__toks"))
+                 .filter(F.size("__toks") >= n)
+                 .select(F.col(id_col),
+                         F.transform(word_shingles(F.col("__toks"), n),
+                                     lambda s: md5_hash64(s) % MINHASH_M)
+                          .alias("__hs")))
+        return d.select(id_col, *[
+            F.array_min(F.transform(
+                "__hs",
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                          % MINHASH_P)).alias(f"mh{i}")
+            for i in range(num_hashes)])
+    # shared-relation path: MIN over permutations is duplicate-insensitive
+    # -> raw multiset input, no dedup shuffle; the only exchange is the
+    # groupBy itself
     aggs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
          .alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return shingle_hashes.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,

@@ -612,7 +612,8 @@ _MINHASH_AGGS_SQL = ", ".join(
     f" FROM ({SQL_SHINGLES})) GROUP BY doc_id",
     "MinHash signatures: one portable md5 per 3-word shingle reduced to "
     "h < 2^30, then 8 affine permutations (A*h+B) %% P — 8x less hashing "
-    "than md5-per-permutation, int64 shuffle instead of hex strings.",
+    "than md5-per-permutation, computed as per-row array minima: zero "
+    "exchanges, signatures at scan speed.",
 )
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     return D.minhash_signatures(table(spark, sf, "documents"), num_hashes=8, n=3)
