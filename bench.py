@@ -69,6 +69,9 @@ HEADLINE = [
     "doc_chunks",
     "bigram_novelty",
     "global_shuffle",
+    # r5 additions: decontamination + repetition quality signals
+    "decontaminate",
+    "repetition_stats",
 ]
 
 

@@ -32,6 +32,8 @@ CURVE = [
     "ngram_jaccard_capped", "embedding_lsh_pairs", "embedding_near_dup",
     "knn_ivf", "global_shuffle", "music_charts",
     "tpch_q9", "tpch_q18", "tpch_q21",
+    # r5 additions (candidate-driven containment; linear bigram explode)
+    "decontaminate", "repetition_stats",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
