@@ -72,6 +72,17 @@ def doc_shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text",
     the self-join both move 8-byte keys instead of n-word strings, and the
     join compares longs. xxhash64 collisions are negligible at any
     realistic corpus size (~n^2/2^64).
+
+    Deliberately NOT the "zero-shuffle" per-row array_distinct form:
+    (doc_id, shingle) duplicates only occur within a document, so a
+    per-row array_distinct before the explode would dedup without any
+    exchange — but this relation feeds a self-join (twice) plus the
+    per-doc sizes aggregate, and the global distinct's exchange is the
+    materialization point AQE reuses for all three consumers. Measured
+    same-session at sf0.1: distinct 1.63s vs scan-side 2.73s for the full
+    Jaccard pipeline — one shuffle + exchange reuse beats recomputing the
+    tokenize/shingle pipeline per consumer, locally and on a cluster
+    (one pass over the text, 8-byte rows over the wire).
     """
     return (docs
             .select(F.col(id_col), tokens(text_col).alias("toks"))
