@@ -157,6 +157,18 @@ def test_new_operators_tolerate_empty_input(spark):
     sk = cms_build(ev, "user_id", depth=2, width=8)
     assert sk.count() == 0
     assert cms_lookup(sk, ev, "user_id", depth=2, width=8).count() == 0
+    # r5 operators: empty corpus AND empty benchmark set both degrade to
+    # empty typed results
+    from kafka_streams_examples_spark.operators.text import (
+        decontaminate, repetition_stats,
+    )
+    cont = spark.createDataFrame([], "src_id long, frag string")
+    assert decontaminate(docs, cont).count() == 0
+    assert repetition_stats(docs).count() == 0
+    some = spark.createDataFrame([(1, "hello world text")],
+                                 "doc_id long, text string")
+    assert decontaminate(some, cont).count() == 0   # empty benchmark set
+    assert repetition_stats(some).count() == 1
 
 
 def test_winnowing_guarantees_shared_fp_for_long_overlap(spark):

@@ -121,6 +121,30 @@ def test_fraud_check_on_rocksdb(rocks, tmp_path):
     assert got == {"o1": "PASS", "o2": "FAIL", "o3": "PASS", "o4": "PASS"}
 
 
+def test_ordered_concat_array_state_on_rocksdb(rocks, tmp_path):
+    """ordered_concat keeps ARRAY-typed state (three parallel arrays) —
+    exercise that state shape through the RocksDB provider across two
+    batches with an out-of-order straggler."""
+    spark = rocks
+    src = tmp_path / "ev"
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 7, "a"),
+         (2, ts("2024-01-01 10:20:00"), 7, "c")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    from kafka_streams_examples_spark.streaming.stateful import ordered_concat
+    name, q = run_to_memory(ordered_concat(stream), mode="update")
+    try:
+        spark.createDataFrame([(3, ts("2024-01-01 10:10:00"), 7, "b")], schema) \
+             .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert max((r["type_seq"] for r in rows), key=len) == "a b c"
+
+
 def test_dedup_and_session_windows_on_rocksdb(rocks, sf_dir):
     spark = rocks
     ev = stream_table(spark, sf_dir, "events")
