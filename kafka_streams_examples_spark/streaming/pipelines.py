@@ -157,3 +157,37 @@ def streaming_order_validation(orders: DataFrame, qty: DataFrame,
              .select("order_id", F.lit("fraud").alias("validator"),
                      F.col("verdict")))
     return details.unionByName(inv).unionByName(fraud)
+
+
+def streaming_corpus_filter(docs: DataFrame, min_tokens: int = 10,
+                            max_nonalnum_ratio: float = 0.4,
+                            ttl: str = "10 minutes",
+                            text_col: str = "text", id_col: str = "doc_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """Streaming analog of operators.text.corpus_prep: the same one-pass
+    quality gate (token floor + non-alphanumeric ceiling), then content
+    dedup as first-ARRIVAL-wins per fingerprint within the watermark TTL
+    (the T2 dedup machinery keyed on content fp instead of event id).
+
+    Contract difference vs the batch operator, by design: batch keeps the
+    MIN doc id per fingerprint (deterministic over a static corpus); a
+    stream cannot know the future minimum, so it keeps the first arrival —
+    the fingerprint SET and kept-count are identical, the representative
+    id may differ. State is one fp per distinct surviving document,
+    evicted by the watermark.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    bad_ratio = (F.length(F.regexp_replace(F.lower(F.col(text_col)),
+                                           "[a-z0-9 ]", ""))
+                 / F.length(F.col(text_col)))
+    scored = docs.select(
+        F.col(id_col), F.col(ts_col),
+        F.md5(norm).alias("fp"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        bad_ratio.alias("__bad"))
+    kept = (scored.filter((F.col("n_tokens") >= min_tokens)
+                          & (F.col("__bad") <= max_nonalnum_ratio))
+                  .drop("__bad"))
+    return (kept.withWatermark(ts_col, ttl)
+                .dropDuplicatesWithinWatermark(["fp"])
+                .select(id_col, "fp", "n_tokens"))

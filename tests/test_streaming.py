@@ -583,3 +583,29 @@ def test_application_reset_reprocesses_from_scratch(spark, tmp_path):
     shutil.rmtree(ckpt)
     shutil.rmtree(state)
     assert run_once() == first
+
+
+def test_streaming_corpus_filter_matches_batch_fingerprints(spark, sf_dir, tmp_path):
+    """Streaming corpus prep keeps exactly the batch operator's
+    fingerprint set (same quality gate, same distinct-content survivors);
+    only the kept representative id may differ (first arrival vs min id)."""
+    from kafka_streams_examples_spark.operators.text import corpus_prep
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_corpus_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    (docs.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 10:00:00")))
+         .repartition(3).write.parquet(str(tmp_path / "docs_src")))
+    schema = spark.read.parquet(str(tmp_path / "docs_src")).schema
+    stream = (spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "docs_src")))
+    name, q = run_to_memory(streaming_corpus_filter(stream), mode="append")
+    try:
+        got = spark.table(name).collect()
+    finally:
+        q.stop()
+    want = corpus_prep(docs).collect()
+    assert {r["fp"] for r in got} == {r["fp"] for r in want}
+    assert len(got) == len(want)
