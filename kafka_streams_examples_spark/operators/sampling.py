@@ -58,6 +58,38 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(_keep(F.col(key_col), rate, salt))
 
 
+def weighted_upsample(df: DataFrame, strata_col: str,
+                      weights: Mapping[str, float], default_weight: float,
+                      key_col: str, salt: str = "",
+                      epoch_col: str = "epoch") -> DataFrame:
+    """Deterministic fractional epoch mixing ("2.5 epochs of wiki, 0.3 of
+    crawl"): each row is repeated floor(w) times, plus one more iff its
+    hash falls under frac(w) — the upsampling dual of stratified_sample,
+    with the same scan-side no-coordination properties.
+
+    Output carries `epoch_col` (0-based copy index) so downstream
+    shuffles (global_shuffle on (key, epoch)) spread the copies apart
+    rather than batching them adjacently. Expected row count per stratum
+    is exactly weight * n; re-runs are byte-identical; changing one
+    stratum's weight leaves every other stratum's copies untouched.
+    Integer fan-out is a `sequence`+`explode` array expression — no
+    shuffle, no state, linear output.
+    """
+    whole = F.lit(int(default_weight))
+    frac = F.lit(int(round((default_weight % 1) * _SCALE)))
+    for value, w in sorted(weights.items()):
+        whole = F.when(F.col(strata_col) == value, F.lit(int(w))).otherwise(whole)
+        frac = F.when(F.col(strata_col) == value,
+                      F.lit(int(round((w % 1) * _SCALE)))).otherwise(frac)
+    extra = _keep(F.col(key_col), frac, salt).cast("int")
+    n_copies = (whole + extra).alias("__n")
+    return (df.withColumn("__n", n_copies)
+              .filter(F.col("__n") > 0)
+              .withColumn(epoch_col,
+                          F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+              .drop("__n"))
+
+
 def global_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
                    bucket_bits: int = 10) -> DataFrame:
     """Deterministic dense global shuffle order for training-data batching.

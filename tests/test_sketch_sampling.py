@@ -211,3 +211,40 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     edges = spark.createDataFrame([], "d1 long, d2 long")
     with pytest.raises(ValueError):
         connected_components(edges, nodes, algorithm="bogus")
+
+
+def test_weighted_upsample_fractional_epochs(spark):
+    """weighted_upsample: floor(w) copies per row plus a hash-chosen
+    extra at rate frac(w); deterministic re-run to re-run, stratum
+    independence, epoch index dense per row."""
+    from kafka_streams_examples_spark.operators.sampling import (
+        weighted_upsample,
+    )
+
+    rows = [(i, "wiki" if i < 200 else "crawl") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_upsample(df, "source", {"wiki": 2.5, "crawl": 0.3},
+                            default_weight=1.0, key_col="doc_id").cache()
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expected: wiki 200*2.5 = 500 +- hash noise; crawl 200*0.3 = 60 +-
+    assert 440 <= by_src["wiki"] <= 560
+    assert 35 <= by_src["crawl"] <= 90
+    # every wiki row appears exactly 2 or 3 times, crawl 0 or 1
+    copies = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(copies[i] in (2, 3) for i in range(200))
+    assert all(copies.get(i, 0) in (0, 1) for i in range(200, 400))
+    # epoch index dense 0..n-1 per row
+    mx = out.filter(F.col("doc_id") == 0).agg(
+        F.min("epoch"), F.max("epoch"), F.count("*")).first()
+    assert mx[0] == 0 and mx[2] == mx[1] + 1
+    # deterministic
+    out2 = weighted_upsample(df, "source", {"wiki": 2.5, "crawl": 0.3},
+                             default_weight=1.0, key_col="doc_id")
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+    # stratum independence: changing crawl's weight leaves wiki identical
+    out3 = weighted_upsample(df, "source", {"wiki": 2.5, "crawl": 0.9},
+                             default_weight=1.0, key_col="doc_id")
+    assert (out.filter("source = 'wiki'").exceptAll(
+        out3.filter("source = 'wiki'")).count() == 0)
