@@ -584,6 +584,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     # contract.
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # ONE propagation step per materialized round, deliberately: folding
+    # two join+min steps per checkpoint halves job launches but doubles
+    # the join work wasted past convergence — measured 5.46s vs 3.6s at
+    # sf0.1 (dedup components are clique-ish and converge in 2-3 steps,
+    # so the overshoot dominates). Double-stepping only pays on
+    # long-diameter graphs, and those take algorithm="star" instead.
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("lbl")))
