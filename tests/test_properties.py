@@ -203,3 +203,40 @@ def test_repetition_stats_matches_naive(spark, docs):
         assert r["n_tokens"] == n
         assert abs(r["dup_token_frac"] - dup) < 1e-9
         assert abs(r["top_bigram_share"] - share) < 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_decontaminate_matches_naive(spark, data):
+    """Candidate-driven decontamination == brute-force padded contains on
+    random corpora: exercises the MOSS guarantee (every token-aligned
+    match of >= w+n-1 tokens shares a winnowing fingerprint) end to end,
+    including repeated-token runs that stress shingle degeneracy."""
+    from kafka_streams_examples_spark.operators.text import decontaminate
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = data.draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=0, max_size=30),
+        min_size=1, max_size=6))
+    frags = []
+    for fi in range(data.draw(st.integers(min_value=1, max_value=3))):
+        src = data.draw(st.integers(min_value=0, max_value=len(docs) - 1))
+        toks = docs[src]
+        length = data.draw(st.integers(min_value=6, max_value=12))
+        if len(toks) >= length:
+            start = data.draw(st.integers(min_value=0,
+                                          max_value=len(toks) - length))
+            frags.append((100 + fi, " ".join(toks[start:start + length])))
+    # plus a fragment from outside the corpus vocabulary (never matches)
+    frags.append((999, " ".join(["zz"] * 6)))
+
+    sdocs = spark.createDataFrame([(i, " ".join(t)) for i, t in enumerate(docs)],
+                                  "doc_id long, text string")
+    scont = spark.createDataFrame(frags, "src_id long, frag string")
+    got = {(r["doc_id"], r["src_id"])
+           for r in decontaminate(sdocs, scont).collect()}
+    want = {(i, sid)
+            for i, toks in enumerate(docs)
+            for sid, frag in frags
+            if f" {frag} " in f" {' '.join(toks)} "}
+    assert got == want
