@@ -63,3 +63,29 @@ def test_bench_streaming_section_locked():
                 "dedup_ttl", "interval_join", "fraud_check"}
     have = set(bench.STREAMING_PIPELINES)
     assert expected <= have, f"streaming bench lost: {expected - have}"
+
+
+def test_scale_curve_list_is_subset_of_registry():
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import scale_curve
+    from kafka_streams_examples_spark.registry import QUERIES
+    missing = [n for n in scale_curve.CURVE if n not in QUERIES]
+    assert missing == []
+    assert len(set(scale_curve.CURVE)) == len(scale_curve.CURVE)
+
+
+def test_scale_artifacts_show_no_superlinear_step():
+    # SCALE_r*.json is committed evidence; a step ratio above 10 on a
+    # 10x-data step would mean a super-linear plan shipped as "linear".
+    import glob
+    import json
+
+    paths = sorted(glob.glob("SCALE_r*.json"))
+    assert paths, "scale evidence missing"
+    with open(paths[-1]) as f:
+        data = json.load(f)
+    bad = {n: row for n, row in data["queries"].items()
+           if row.get("r_1_to_10", 0) > 10 or row.get("r_01_to_1", 0) > 10}
+    assert bad == {}, f"super-linear step ratios: {bad}"
