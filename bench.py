@@ -69,9 +69,12 @@ HEADLINE = [
     "doc_chunks",
     "bigram_novelty",
     "global_shuffle",
-    # r5 additions: decontamination + repetition quality signals
+    # r5 additions: decontamination + repetition quality signals,
+    # PII scrubbing, IVF codebook training
     "decontaminate",
     "repetition_stats",
+    "pii_redact",
+    "kmeans_train",
 ]
 
 

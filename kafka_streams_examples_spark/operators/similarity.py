@@ -97,3 +97,69 @@ def ivf_knn(queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 2,
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return _rank_topk(cand.select("q_id", "c_id", F.round(sim, 6).alias("__sim")), k)
+
+
+def _sq_dist(a, b):
+    """Squared Euclidean distance of two array<double> columns — a
+    codegen'd zip_with fold, JVM-side (the inner loop of Lloyd's step)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means with deterministic init — trains the coarse
+    quantizer that `ivf_knn` routes through (the codebook-building half of
+    an IVF index, so the ANN path no longer depends on a provided label).
+
+    Init: the k lowest-id vectors (TakeOrderedAndProject — no global
+    sort). Each iteration: assign every vector to its nearest centroid
+    (k-row centroid table broadcast against the corpus scan; per-vector
+    rank prune), then recompute centroids as per-dimension means via
+    posexplode + regroup — the same two-shuffle shape as
+    `centroids_from_labels`, linear in n*dim and independent of k. The
+    loop runs a FIXED iteration count (no convergence collect), so the
+    whole operator is `iters + 1` passes over the corpus; at 100 TB each
+    iteration's centroid table is k*dim doubles — trivially broadcastable
+    — and the corpus is never shuffled, only (cid, dim, x) triples.
+
+    Distances and centroid components round through stable_round so the
+    argmin is reproducible across engines (ties break toward the lower
+    centroid id). Returns the final assignment:
+    (vec_id, cluster, dist) with dist = squared L2, rounded to 4.
+    """
+    from ..functions import stable_round
+
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
+    seeds = v.orderBy("vec_id").limit(k)
+    cents = (seeds
+             .withColumn("cid",
+                         (F.row_number().over(Window.orderBy("vec_id")) - 1)
+                         .cast("long"))
+             .select("cid", F.col("e").alias("cent")))
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        pairs = v.join(F.broadcast(cent_df), F.lit(True))
+        d = stable_round(_sq_dist(F.col("e"), F.col("cent")), 6)
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (pairs.select("vec_id", "e", "cid", d.alias("d"))
+                     .withColumn("__rn", F.row_number().over(w))
+                     .filter(F.col("__rn") == 1).drop("__rn"))
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        dims = assigned.select("cid", F.posexplode("e").alias("dim", "x"))
+        means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+        cents = (means.groupBy("cid")
+                      .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                            .alias("__dm"))
+                      .select("cid",
+                              F.transform("__dm",
+                                          lambda s: stable_round(s["m"], 6))
+                               .alias("cent")))
+    final = assign(cents)
+    return final.select("vec_id",
+                        F.col("cid").alias("cluster"),
+                        stable_round(F.col("d"), 4).alias("dist"))

@@ -310,3 +310,37 @@ def bigram_doc_stats(docs: DataFrame, text_col: str = "text",
                         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                         F.coalesce("n_singleton", F.lit(0)).alias("n_singleton"),
                         F.coalesce("avg_df", F.lit(0.0)).alias("avg_df")))
+
+
+# PII patterns, shared verbatim with the DuckDB oracle. Dialect-neutral:
+# no lookarounds or backreferences, so Java regex (Spark) and RE2 (DuckDB)
+# agree; \b is the ASCII word boundary in both. Order matters and is part
+# of the contract: each pattern is counted on the text AS ALREADY MASKED
+# by the patterns before it (an email's digits must not double-count as a
+# phone fragment), then masked itself.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training corpora: mask emails, IPv4 addresses and
+    phone-shaped digit runs, reporting per-document match counts.
+
+    Pure nested regexp_count/regexp_replace Column expressions — the whole
+    operator runs at scan speed inside whole-stage codegen with nothing
+    shuffled but the final projection, so at 100 TB it is bounded by the
+    parquet scan exactly like the anonymizer (P12,
+    MixAndMatchLambdaIntegrationTest.java:58-91) it generalizes.
+    """
+    exprs: list = [F.col(id_col)]
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        exprs.append(F.regexp_count(cur, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    exprs.append(cur.alias("redacted"))
+    return docs.select(*exprs)

@@ -1010,6 +1010,59 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_knn(emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2)
 
 
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Lloyd's iterations unrolled as CTE pairs (assign a{i} / update c{i+1}).
+
+    Same arithmetic as operators/similarity.kmeans_train: squared-L2
+    distances and centroid means pass through the engine-portable
+    floor(x*1eD + 0.5)/1eD rounding before any comparison, ties break
+    toward the lower centroid id."""
+    def dist(cent_rel: str) -> str:
+        return ("floor(list_sum(list_transform(generate_series(1, len(v.e)), "
+                f"i -> (v.e[i] - {cent_rel}.cent[i]) * (v.e[i] - {cent_rel}.cent[i])))"
+                " * 1e6 + 0.5) / 1e6")
+
+    def assign(i: int) -> str:
+        return (f"a{i} AS (SELECT vec_id, e, cid, d FROM ("
+                f"  SELECT vec_id, e, cid, d, row_number() OVER "
+                f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ("
+                f"    SELECT v.vec_id, v.e, c.cid, {dist('c')} AS d"
+                f"    FROM v CROSS JOIN c{i} c)) WHERE rn = 1)")
+
+    def update(i: int) -> str:
+        return (f"c{i + 1} AS (SELECT cid, "
+                f"list(floor(m * 1e6 + 0.5) / 1e6 ORDER BY dim) AS cent FROM ("
+                f"  SELECT cid, dim, avg(e[dim]) AS m"
+                f"  FROM a{i}, unnest(generate_series(1, len(e))) AS u(dim)"
+                f"  GROUP BY cid, dim) GROUP BY cid)")
+
+    steps = ", ".join(f"{assign(i)}, {update(i)}" for i in range(iters))
+    return f"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS cent
+           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})),
+    {steps},
+    {assign(iters)}
+    SELECT vec_id, cid AS cluster, floor(d * 1e4 + 0.5) / 1e4 AS dist FROM a{iters}"""
+
+
+@query(
+    "kmeans_train",
+    _kmeans_sql(k=8, iters=2),
+    "Lloyd's k-means (k=8, 2 fixed iterations, lowest-id seeds) over the "
+    "embedding corpus — trains the coarse quantizer the IVF index routes "
+    "through, removing knn_ivf's dependence on a provided label. Per "
+    "iteration: the k*dim-double centroid table broadcasts against the "
+    "corpus scan (rank-pruned argmin), then per-dimension means recompute "
+    "via posexplode + regroup; only (cid, dim, x) triples ever shuffle, "
+    "never vectors, and the fixed iteration count means no driver-side "
+    "convergence collect. Oracle unrolls the same iterations as CTEs with "
+    "identical engine-portable rounding.",
+)
+def q_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.kmeans_train(table(spark, sf, "embeddings"), k=8, iters=2)
+
+
 @query(
     "embedding_near_dup",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1145,6 +1198,64 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return TX.repetition_stats(table(spark, sf, "documents"))
+
+
+def _pii_sql() -> str:
+    """Oracle for pii_redact: identical deterministic PII injection (the
+    synthetic corpus carries no natural PII, so every 5th/7th/11th doc
+    gets an email / IPv4 / phone derived from its id — both engines build
+    the same augmented text), then the same ordered count-and-mask
+    cascade as operators/text.PII_PATTERNS."""
+    from .operators.text import PII_PATTERNS
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    cur = "text"
+    cols = []
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+                    f" AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    cols.append(f"{cur} AS redacted")
+    return (f"WITH aug AS (SELECT doc_id, {aug} AS text FROM documents) "
+            f"SELECT doc_id, {', '.join(cols)} FROM aug")
+
+
+@query(
+    "pii_redact",
+    _pii_sql(),
+    "PII redaction: mask emails, IPv4 addresses and phone-shaped digit "
+    "runs with per-document match counts — the scrubbing pass every "
+    "training corpus gets before tokenization. Counts respect mask order "
+    "(each pattern counted on the text as masked by its predecessors). "
+    "Pure nested regexp expressions at scan speed — generalizes the "
+    "reference's regex anonymizer (P12, "
+    "MixAndMatchLambdaIntegrationTest.java:58-91). The corpus is "
+    "synthetic, so a deterministic id-derived PII injection (shared "
+    "verbatim with the oracle) provides the matches.",
+)
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com"))).otherwise(""),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                        F.lit(".0."), (did % 100).cast("string"))).otherwise(""),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+    )
+    return TX.pii_redact(docs.select("doc_id", aug.alias("text")))
 
 
 def _lang_sql() -> str:

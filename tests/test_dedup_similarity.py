@@ -240,3 +240,99 @@ def test_repetition_stats_flags_loops(spark):
     assert got[2]["repetitive"] and got[2]["top_bigram_share"] > 0.4
     assert not got[3]["repetitive"]
     assert got[4]["n_tokens"] == 0 and not got[4]["repetitive"]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    """Known PII strings mask to placeholders with per-type counts; the
+    cascade order means an email's digits never double-count as phone/IP."""
+    from kafka_streams_examples_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "write to bob@corp.io or alice.smith@mail.co.uk now"),
+         (2, "server 192.168.0.1 and 10.0.0.255 up"),
+         (3, "call 555-1234 today"),
+         (4, "mix x9@a.io from 1.2.3.4 dial 987-6543"),
+         (5, "no pii here"),
+         (6, "id 123-4567 beside 1.2.3.4")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (2, 0, 0)
+    assert got[1]["redacted"] == "write to <EMAIL> or <EMAIL> now"
+    assert (got[2]["n_email"], got[2]["n_ip"]) == (0, 2)
+    assert got[2]["redacted"] == "server <IP> and <IP> up"
+    assert got[3]["n_phone"] == 1 and got[3]["redacted"] == "call <PHONE> today"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[4]["redacted"] == "mix <EMAIL> from <IP> dial <PHONE>"
+    assert (got[5]["n_email"], got[5]["n_ip"], got[5]["n_phone"]) == (0, 0, 0)
+    assert got[5]["redacted"] == "no pii here"
+    # IP masked before the phone pass: "1.2.3.4" cannot leave a phone match
+    assert (got[6]["n_ip"], got[6]["n_phone"]) == (1, 1)
+    assert got[6]["redacted"] == "id <PHONE> beside <IP>"
+
+
+def _kmeans_reference(vecs: dict, k: int, iters: int) -> dict:
+    """Plain-Python replica of kmeans_train's contract (same seeds, same
+    engine-portable rounding, same lower-cid tie-break)."""
+    import numpy as np
+
+    def rnd(x, d):
+        return np.floor(np.asarray(x, dtype=float) * 10 ** d + 0.5) / 10 ** d
+
+    ids = sorted(vecs)
+    cents = {c: np.asarray(vecs[i], dtype=float) for c, i in enumerate(ids[:k])}
+
+    def assign():
+        out = {}
+        for i in ids:
+            d = {c: float(rnd(((np.asarray(vecs[i], dtype=float) - cent) ** 2).sum(), 6))
+                 for c, cent in cents.items()}
+            out[i] = min(d, key=lambda c: (d[c], c))
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        cents = {c: rnd(np.mean([np.asarray(vecs[i], dtype=float)
+                                 for i in ids if a[i] == c], axis=0), 6)
+                 for c in sorted(set(a.values()))}
+    a = assign()
+    # the operator (and its oracle) round the already-6-rounded assignment
+    # distance to 4 — replicate the double rounding exactly
+    return {i: (a[i], float(rnd(rnd(((np.asarray(vecs[i], dtype=float)
+                                      - cents[a[i]]) ** 2).sum(), 6), 4)))
+            for i in ids}
+
+
+def test_kmeans_train_matches_reference_and_separates_clusters(spark):
+    from kafka_streams_examples_spark.operators.similarity import kmeans_train
+
+    # three well-separated 2-D blobs; ids interleaved so the three seeds
+    # (lowest ids) start one-per-blob
+    pts = {0: [0.0, 0.0], 1: [10.0, 10.0], 2: [-10.0, 5.0],
+           3: [0.2, 0.0], 4: [10.2, 10.0], 5: [-10.2, 5.0],
+           6: [0.0, 0.2], 7: [10.0, 10.2], 8: [-10.0, 5.2],
+           9: [0.1, 0.1], 10: [10.1, 10.1], 11: [-10.1, 5.1]}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_train(df, k=3, iters=2).collect()}
+    ref = _kmeans_reference(pts, k=3, iters=2)
+    assert got == ref
+    # and the blobs come out as exactly the intended groups
+    by_cluster = {}
+    for i, (c, _) in got.items():
+        by_cluster.setdefault(c, set()).add(i)
+    assert sorted(map(frozenset, by_cluster.values()), key=min) == [
+        frozenset({0, 3, 6, 9}), frozenset({1, 4, 7, 10}),
+        frozenset({2, 5, 8, 11})]
+
+
+def test_kmeans_train_on_corpus_is_deterministic_and_bounded(spark, sf_dir):
+    from kafka_streams_examples_spark.operators.similarity import kmeans_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = kmeans_train(emb, k=8, iters=2).collect()
+    assert len(a) == emb.count()
+    clusters = {r["cluster"] for r in a}
+    assert clusters <= set(range(8)) and len(clusters) > 1
+    assert all(r["dist"] >= 0.0 for r in a)

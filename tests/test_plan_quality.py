@@ -32,6 +32,9 @@ BNLJ_BY_DESIGN = {
     # 1-row global-total re-aggregation broadcast against the grouped
     # result it came from (TPC-H Q11's group-vs-global HAVING)
     "tpch_q11",
+    # Lloyd's assignment step: the k-row (k*dim doubles) centroid table
+    # broadcasts against the corpus scan each iteration by construction
+    "kmeans_train",
 }
 
 
