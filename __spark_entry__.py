@@ -81,6 +81,9 @@ _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "dedup_clusters", "session_windows", "dedup_ttl", "tfidf_top_terms",
     "quality_filter_median", "stratified_sample", "reservoir_per_stratum",
     "lang_id", "quality_score", "tpch_q17", "funnel_conversion",
+    # r5 late: the similarity family moved to engine-portable rounding
+    # (stable_round both sides) after knn_cosine/knn_ivf's r03 signatures
+    "knn_cosine", "knn_ivf",
 )
 
 

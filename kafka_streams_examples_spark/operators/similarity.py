@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot_product, l2_norm
+from ..functions import dot_product, l2_norm, stable_round
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -31,7 +31,7 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k)
                   .select("q_id", "c_id",
-                          F.round(F.col("__sim"), 4).alias("cos_sim"),
+                          stable_round(F.col("__sim"), 4).alias("cos_sim"),
                           F.col("rnk").cast("long").alias("rnk")))
 
 
@@ -47,7 +47,7 @@ def brute_force_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     if exclude_self:
         pairs = pairs.filter(F.col("q_id") != F.col("c_id"))
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
-    return _rank_topk(pairs.select("q_id", "c_id", F.round(sim, 6).alias("__sim")), k)
+    return _rank_topk(pairs.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
 
 
 def centroids_from_labels(corpus: DataFrame, id_col: str = "vec_id",
@@ -85,7 +85,7 @@ def ivf_knn(queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 2,
             / (F.col("q_norm") * F.col("cent_norm")))
     wq = Window.partitionBy("q_id").orderBy(F.col("__cs").desc(), F.col("centroid_id"))
     routed = (qc.select("q_id", "q_vec", "q_norm", "centroid_id",
-                        F.round(csim, 6).alias("__cs"))
+                        stable_round(csim, 6).alias("__cs"))
                 .withColumn("__r", F.row_number().over(wq))
                 .filter(F.col("__r") <= nprobe)
                 .select("q_id", "q_vec", "q_norm",
@@ -96,7 +96,7 @@ def ivf_knn(queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 2,
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
-    return _rank_topk(cand.select("q_id", "c_id", F.round(sim, 6).alias("__sim")), k)
+    return _rank_topk(cand.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
 
 
 def _sq_dist(a, b):
@@ -128,8 +128,6 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
     centroid id). Returns the final assignment:
     (vec_id, cluster, dist) with dist = squared L2, rounded to 4.
     """
-    from ..functions import stable_round
-
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))

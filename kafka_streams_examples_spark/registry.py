@@ -961,9 +961,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     "knn_cosine",
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
     c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-    scored AS (SELECT q_id, c_id, round(list_cosine_similarity(qv, cv), 6) AS s6
+    scored AS (SELECT q_id, c_id, floor(list_cosine_similarity(qv, cv) * 1e6 + 0.5) / 1e6 AS s6
                FROM q CROSS JOIN c WHERE q_id <> c_id)
-    SELECT q_id, c_id, round(s6, 4) AS cos_sim, rnk FROM (
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
       SELECT q_id, c_id, s6, row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
       FROM scored) t WHERE rnk <= 5""",
     "Brute-force cosine top-5 for 20 query vectors: broadcast query set, "
@@ -987,16 +987,16 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
       SELECT q_id, centroid_id FROM (
         SELECT q.q_id, c.centroid_id,
           row_number() OVER (PARTITION BY q.q_id
-            ORDER BY round(list_cosine_similarity(q.qv, c.centroid), 6) DESC,
+            ORDER BY floor(list_cosine_similarity(q.qv, c.centroid) * 1e6 + 0.5) / 1e6 DESC,
                      c.centroid_id) AS r
         FROM q CROSS JOIN cents c) WHERE r <= 2),
     cand AS (
       SELECT q.q_id, c.vec_id AS c_id,
-             round(list_cosine_similarity(q.qv, c.v), 6) AS s6
+             floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5) / 1e6 AS s6
       FROM routed r JOIN q ON q.q_id = r.q_id
       JOIN e c ON c.label = r.centroid_id
       WHERE q.q_id <> c.vec_id)
-    SELECT q_id, c_id, round(s6, 4) AS cos_sim, rnk FROM (
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
       SELECT q_id, c_id, s6,
         row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
       FROM cand) t WHERE rnk <= 5""",
@@ -1010,8 +1010,9 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_knn(emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2)
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Lloyd's iterations unrolled as CTE pairs (assign a{i} / update c{i+1}).
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+    """Lloyd's iterations unrolled as CTE pairs (assign a{i} / update c{i+1});
+    returns the WITH-body ending at a{iters} (the final assignment).
 
     Same arithmetic as operators/similarity.kmeans_train: squared-L2
     distances and centroid means pass through the engine-portable
@@ -1037,13 +1038,18 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
                 f"  GROUP BY cid, dim) GROUP BY cid)")
 
     steps = ", ".join(f"{assign(i)}, {update(i)}" for i in range(iters))
-    return f"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    return f"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS cent
            FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})),
     {steps},
-    {assign(iters)}
-    SELECT vec_id, cid AS cluster, floor(d * 1e4 + 0.5) / 1e4 AS dist FROM a{iters}"""
+    {assign(iters)}"""
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    return (f"WITH {_kmeans_ctes(k, iters)} "
+            f"SELECT vec_id, cid AS cluster, floor(d * 1e4 + 0.5) / 1e4 AS dist "
+            f"FROM a{iters}")
 
 
 @query(
@@ -1061,6 +1067,66 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
 )
 def q_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.kmeans_train(table(spark, sf, "embeddings"), k=8, iters=2)
+
+
+def _ivf_trained_sql(k: int = 8, iters: int = 2, nprobe: int = 2,
+                     topk: int = 5) -> str:
+    """Oracle for the full self-trained IVF pipeline: the kmeans CTEs
+    produce the partition labels, then the knn_ivf routing/rerank runs
+    over them exactly as in the `knn_ivf` oracle (centroid = mean of the
+    assigned vectors, cosines rounded to 6 before ranking)."""
+    return f"""WITH {_kmeans_ctes(k, iters)},
+    lab AS (SELECT vec_id, cid AS label, e FROM a{iters}),
+    parts AS (SELECT label AS centroid_id, dim, e[dim] AS x
+              FROM lab, unnest(generate_series(1, len(e))) AS t(dim)),
+    cents AS (SELECT centroid_id, list(m ORDER BY dim) AS centroid
+              FROM (SELECT centroid_id, dim, avg(x) AS m FROM parts GROUP BY 1, 2)
+              GROUP BY centroid_id),
+    q AS (SELECT vec_id AS q_id, e AS qv FROM lab WHERE vec_id < 20),
+    routed AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY floor(list_cosine_similarity(q.qv, c.centroid) * 1e6 + 0.5) / 1e6 DESC,
+                     c.centroid_id) AS r
+        FROM q CROSS JOIN cents c) WHERE r <= {nprobe}),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS c_id,
+             floor(list_cosine_similarity(q.qv, c.e) * 1e6 + 0.5) / 1e6 AS s6
+      FROM routed r JOIN q ON q.q_id = r.q_id
+      JOIN lab c ON c.label = r.centroid_id
+      WHERE q.q_id <> c.vec_id)
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= {topk}"""
+
+
+@query(
+    "knn_ivf_trained",
+    _ivf_trained_sql(k=8, iters=2, nprobe=2, topk=5),
+    "The complete self-contained IVF pipeline: kmeans_train builds the "
+    "codebook (no provided label), its assignments partition the corpus, "
+    "and queries route through the nprobe=2 nearest trained centroids "
+    "before the exact bucket-confined rerank — train -> partition -> "
+    "prune -> rerank as ONE composed plan. At 100 TB the assignment step "
+    "writes the corpus partitioned by cluster id once, and every "
+    "subsequent query batch prunes >75% of the data on disk (the "
+    "on-disk-pruning behavior is tested for the label-routed variant in "
+    "test_ivf_partitioned_corpus_prunes_on_disk).",
+)
+def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    # materialize the training output once (lazy localCheckpoint — the
+    # deployment story is "write the assignment table once, query many");
+    # without it the kmeans lineage re-executes for every consumer branch
+    # (queries, corpus, centroid recompute) in this composed plan
+    lab = (SIM.kmeans_train(emb, k=8, iters=2)
+              .select("vec_id", F.col("cluster").alias("label"))
+              .localCheckpoint(eager=False))
+    corpus = emb.select("vec_id", "embedding").join(lab, "vec_id")
+    return SIM.ivf_knn(corpus.filter(F.col("vec_id") < 20), corpus,
+                       k=5, nprobe=2)
 
 
 @query(
