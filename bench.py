@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_stats",
     "pii_redact",
     "kmeans_train",
+    "knn_multiprobe",
 ]
 
 

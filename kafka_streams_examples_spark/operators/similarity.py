@@ -161,3 +161,74 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
     return final.select("vec_id",
                         F.col("cid").alias("cluster"),
                         stable_round(F.col("d"), 4).alias("dist"))
+
+
+def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                           planes: int = 8, dim: int = 64, probes: int = 3,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           salt: str = "slsh",
+                           exclude_self: bool = True) -> DataFrame:
+    """Multi-probe sign-LSH kNN (Lv et al., VLDB'07 multi-probe idea on
+    Charikar hyperplane LSH): the third ANN tier, needing neither a label
+    (embedding_near_dup) nor a trained codebook (knn_ivf) — just the
+    vectors.
+
+    Corpus side: each vector's bucket is `planes` sign bits of dot
+    products against the fixed md5-derived hyperplane matrix
+    (operators.dedup.signlsh_weights) — a pure codegen'd fold per row, NO
+    shuffle to assign buckets, so at 100 TB the corpus would be written
+    partitioned by bucket once and probed with partition pruning.
+
+    Query side: probe the query's own bucket plus the buckets at Hamming
+    distance 1 on its `probes - 1` lowest-|margin| planes — the planes
+    where the sign bit is least confident are exactly the ones a true
+    neighbor most likely landed on the other side of. Probing multiplies
+    recall without the bucket-count explosion of repeated salted tables;
+    candidates still only meet in an equi-join on the bucket id. Margins
+    and cosines round through the engine-portable stable_round so probe
+    choice and ranking are reproducible across engines (ties: lower plane
+    index, then lower candidate id).
+    """
+    from .dedup import signlsh_weights
+
+    assert 1 <= probes <= planes + 1
+    W = signlsh_weights(planes, dim, salt)
+    v = F.col(vec_col)
+
+    def plane_dot(p, vec):
+        wp = F.array(*[F.lit(x) for x in W[p]])
+        return F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def bucket_expr(vec):
+        b = None
+        for p in range(planes):
+            bit = (F.when(stable_round(plane_dot(p, vec), 6) >= 0,
+                          F.lit(2 ** p)).otherwise(F.lit(0)))
+            b = bit if b is None else b + bit
+        return b.cast("long")
+
+    c = corpus.select(F.col(id_col).alias("c_id"), v.alias("c_vec"),
+                      l2_norm(v).alias("c_norm"), bucket_expr(v).alias("bk"))
+    margins = F.array(*[
+        F.struct(stable_round(F.abs(plane_dot(p, v)), 6).alias("m"),
+                 F.lit(p).alias("p"),
+                 F.lit(2 ** p).cast("long").alias("mask"))
+        for p in range(planes)])
+    q0 = queries.select(F.col(id_col).alias("q_id"), v.alias("q_vec"),
+                        l2_norm(v).alias("q_norm"),
+                        bucket_expr(v).alias("q_bk"),
+                        F.slice(F.array_sort(margins), 1, probes - 1)
+                         .alias("__flips"))
+    probe_buckets = F.concat(
+        F.array(F.col("q_bk")),
+        F.transform(F.col("__flips"),
+                    lambda s: F.col("q_bk").bitwiseXOR(s["mask"])))
+    qp = q0.select("q_id", "q_vec", "q_norm",
+                   F.explode(probe_buckets).alias("bk"))
+    cand = c.join(F.broadcast(qp), ["bk"])
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
+    return _rank_topk(cand.select("q_id", "c_id",
+                                  stable_round(sim, 6).alias("__sim")), k)

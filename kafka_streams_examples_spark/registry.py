@@ -1129,6 +1129,70 @@ def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
                        k=5, nprobe=2)
 
 
+def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
+                    topk: int = 5) -> str:
+    """Oracle for knn_multiprobe: the same hyperplane literals as the
+    Spark operator, with the probe-selection done relationally (one row
+    per (query, plane), margin-ranked) and all rounding through the
+    engine-portable floor(x*1eD + 0.5)/1eD."""
+    w = D.signlsh_weights(planes, dim)
+
+    def wlit(p: int) -> str:
+        return "[" + ", ".join(repr(x) for x in w[p]) + "]::DOUBLE[]"
+
+    bits = " + ".join(
+        f"(CASE WHEN floor(list_dot_product(v, {wlit(p)}) * 1e6 + 0.5) / 1e6 >= 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p in range(planes))
+    pl_rows = ", ".join(f"({p}, {wlit(p)})" for p in range(planes))
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl(p, w) AS (SELECT * FROM (VALUES {pl_rows})),
+    cb AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bk FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+    qd AS (SELECT q_id, p,
+             floor(list_dot_product(qv, w) * 1e6 + 0.5) / 1e6 AS d
+           FROM q CROSS JOIN pl),
+    qb AS (SELECT q_id,
+             CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bk
+           FROM qd GROUP BY q_id),
+    fl AS (SELECT q_id, p FROM (
+             SELECT q_id, p, row_number() OVER
+               (PARTITION BY q_id ORDER BY abs(d), p) AS rn FROM qd)
+           WHERE rn <= {probes - 1}),
+    pr AS (SELECT q_id, bk FROM qb
+           UNION ALL
+           SELECT f.q_id, xor(qb.bk, 1::BIGINT << f.p)
+           FROM fl f JOIN qb ON qb.q_id = f.q_id),
+    cand AS (SELECT p.q_id, c.vec_id AS c_id,
+               floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5) / 1e6 AS s6
+             FROM pr p JOIN q ON q.q_id = p.q_id
+             JOIN cb c ON c.bk = p.bk
+             WHERE p.q_id <> c.vec_id)
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= {topk}"""
+
+
+@query(
+    "knn_multiprobe",
+    _multiprobe_sql(planes=8, dim=64, probes=3, topk=5),
+    "Multi-probe sign-LSH kNN — the third ANN tier, needing neither a "
+    "label nor a trained codebook: corpus buckets are 8 hyperplane sign "
+    "bits computed scan-side (no shuffle to assign; at 100 TB the corpus "
+    "is written partitioned by bucket once), and each query probes its "
+    "own bucket plus the Hamming-1 buckets on its 2 lowest-|margin| "
+    "planes (the least-confident sign bits are where a true neighbor "
+    "most likely flipped). Candidates meet only in the bucket equi-join, "
+    "then exact cosine rerank. Oracle replicates bucket bits, margin "
+    "ranking and rerank with identical literals and portable rounding.",
+)
+def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.multiprobe_signlsh_knn(emb.filter(F.col("vec_id") < 20), emb,
+                                      k=5, planes=8, dim=64, probes=3)
+
+
 @query(
     "embedding_near_dup",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

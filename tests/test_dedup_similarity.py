@@ -336,3 +336,32 @@ def test_kmeans_train_on_corpus_is_deterministic_and_bounded(spark, sf_dir):
     clusters = {r["cluster"] for r in a}
     assert clusters <= set(range(8)) and len(clusters) > 1
     assert all(r["dist"] >= 0.0 for r in a)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Probing Hamming-1 buckets on the least-confident planes can only
+    add candidates: every single-probe hit survives, and recall vs brute
+    force is non-decreasing in the probe count."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        brute_force_knn, multiprobe_signlsh_knn,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    bf = {(r["q_id"], r["c_id"])
+          for r in brute_force_knn(queries, emb, k=5).collect()}
+    got = {}
+    for probes in (1, 3, 5):
+        got[probes] = {(r["q_id"], r["c_id"])
+                       for r in multiprobe_signlsh_knn(queries, emb, k=5,
+                                                       probes=probes).collect()}
+    # single-probe results are re-ranked within a larger candidate pool as
+    # probes grow, so top-k membership can shift — but true-neighbor recall
+    # must be monotone non-decreasing
+    r1 = len(got[1] & bf)
+    r3 = len(got[3] & bf)
+    r5 = len(got[5] & bf)
+    assert r1 <= r3 <= r5
+    # with 5 probes over 8-bit buckets the near-neighbor recall must be
+    # substantially above the single-bucket floor on this corpus
+    assert r5 > r1

@@ -34,6 +34,9 @@ CURVE = [
     "tpch_q9", "tpch_q18", "tpch_q21",
     # r5 additions (candidate-driven containment; linear bigram explode)
     "decontaminate", "repetition_stats",
+    # r5 late additions (scan-side regex cascade; iterative broadcast
+    # assignment; composed train->route->rerank)
+    "pii_redact", "kmeans_train", "knn_ivf_trained", "knn_multiprobe",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
