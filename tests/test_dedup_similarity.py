@@ -365,3 +365,29 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     # with 5 probes over 8-bit buckets the near-neighbor recall must be
     # substantially above the single-bucket floor on this corpus
     assert r5 > r1
+
+
+def test_late_r5_similarity_ops_tolerate_degenerate_input(spark):
+    """kmeans_train with fewer vectors than k, multiprobe with an empty
+    corpus, and pii_redact on empty text must degrade gracefully."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        kmeans_train, multiprobe_signlsh_knn,
+    )
+    from kafka_streams_examples_spark.operators.text import pii_redact
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [0.0] * 63 + [1.0])],
+        "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+
+    # n < k: every vector still gets exactly one cluster
+    got = kmeans_train(emb, k=8, iters=2).collect()
+    assert len(got) == 2 and {r["cluster"] for r in got} == {0, 1}
+    # empty corpus / empty query set
+    assert kmeans_train(empty, k=8, iters=1).count() == 0
+    assert multiprobe_signlsh_knn(emb, empty, k=3, probes=3).count() == 0
+    assert multiprobe_signlsh_knn(empty, emb, k=3, probes=3).count() == 0
+    # empty text: zero counts, empty redaction
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = pii_redact(docs).collect()[0]
+    assert (r["n_email"], r["n_ip"], r["n_phone"], r["redacted"]) == (0, 0, 0, "")

@@ -609,3 +609,32 @@ def test_streaming_corpus_filter_matches_batch_fingerprints(spark, sf_dir, tmp_p
     want = corpus_prep(docs).collect()
     assert {r["fp"] for r in got} == {r["fp"] for r in want}
     assert len(got) == len(want)
+
+
+def test_streaming_pii_redaction_matches_batch(spark, sf_dir):
+    """pii_redact is a pure Column cascade, so it must run unchanged on a
+    stream (S1 -> P12-generalized -> sink) and agree with batch exactly —
+    including on rows carrying injected PII."""
+    from kafka_streams_examples_spark.operators.text import pii_redact
+
+    def with_pii(docs):
+        did = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" mail user"), did.cast("string"),
+                            F.lit("@example.com"))).otherwise(""))
+        return docs.select("doc_id", aug.alias("text"))
+
+    stream = with_pii(stream_table(spark, sf_dir, "documents"))
+    name, q = run_to_memory(pii_redact(stream), mode="append")
+    try:
+        got = {r["doc_id"]: (r["n_email"], r["redacted"])
+               for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    batch = pii_redact(with_pii(table(spark, sf_dir, "documents")))
+    want = {r["doc_id"]: (r["n_email"], r["redacted"])
+            for r in batch.collect()}
+    assert got == want
+    assert any(n == 1 for n, _ in got.values())  # the injection was live
