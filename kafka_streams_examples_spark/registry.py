@@ -792,6 +792,66 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
          .cast("int").alias("is_canonical"))
 
 
+@query(
+    "dedup_keep_best",
+    f"""WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node),
+    cl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY node),
+    t AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS ws
+          FROM documents),
+    m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+           length(text) AS chars FROM t),
+    qual AS (SELECT doc_id,
+      floor((least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+            + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5) / 10000 AS quality
+      FROM m),
+    j AS (SELECT c.cluster_id, c.doc_id, q.quality
+          FROM cl c JOIN qual q USING (doc_id))
+    SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (SELECT cluster_id, doc_id, quality,
+            row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, doc_id) AS rn,
+            count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j) WHERE rn = 1""",
+    "Near-dup survivorship policy: each duplicate cluster keeps its "
+    "HIGHEST-QUALITY member (ties to the lower id), not the lowest id — "
+    "the policy production corpus dedup actually wants. One composed "
+    "plan: LSH pair graph -> connected-components labels -> quality "
+    "scorer join -> per-cluster rank; after the pair stage only "
+    "(id, label, quality) triples shuffle, and the rank is "
+    "WindowGroupLimit-prunable. Oracle composes the same recursive-CTE "
+    "fixpoint with the quality_score arithmetic.",
+)
+def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                jaccard_threshold=0.2)
+    cc = D.connected_components(pairs, docs.select("doc_id"))
+    qual = TX.with_quality(docs.select("doc_id", "text")).select("doc_id", "quality")
+    j = cc.join(qual, "doc_id").select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(),
+                                                 F.col("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+             .withColumn("n_members",
+                         F.count("*").over(Window.partitionBy("cluster_id")))
+             .filter(F.col("rn") == 1)
+             .select("cluster_id", F.col("doc_id").alias("keeper_id"),
+                     F.col("quality").alias("keeper_quality"),
+                     F.col("n_members").cast("long").alias("n_members")))
+
+
 _CMS_PERMS_SQL = ", ".join(
     f"({r}, {a}, {b})"
     for r, (a, b) in enumerate(zip(D.MINHASH_A[:4], D.MINHASH_B[:4]))
