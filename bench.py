@@ -76,6 +76,7 @@ HEADLINE = [
     "pii_redact",
     "kmeans_train",
     "knn_multiprobe",
+    "unigram_surprisal",
 ]
 
 

@@ -344,3 +344,31 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
         cur = F.regexp_replace(cur, pat, repl)
     exprs.append(cur.alias("redacted"))
     return docs.select(*exprs)
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Corpus-LM surprisal per document — the perplexity-filter family
+    (CCNet-style): score each document by the mean negative log
+    probability of its tokens under the corpus's own unigram model.
+    Low surprisal = boilerplate/templated text; high = rare-token noise;
+    the middle band is what LM training keeps.
+
+    Plan: one tokenize scan feeds both the unigram count table (shuffle
+    on word) and the scoring join (shuffle on word, linear in token
+    volume); the corpus-total is a 1-row broadcast. No smoothing needed —
+    every scored token exists in the model by construction. Per-token
+    log-probs round at 6 before the per-doc mean (rounded at 4) so the
+    oracle comparison doesn't ride on cross-engine libm identity.
+    """
+    tk = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+              .filter(F.col("word") != ""))
+    cnt = tk.groupBy("word").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("t"))
+    sc = (tk.join(cnt, "word")
+            .join(F.broadcast(tot), F.lit(True))
+            .select(F.col(id_col),
+                    stable_round(-F.log(F.col("c") / F.col("t")), 6).alias("s")))
+    return sc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        stable_round(F.avg("s"), 4).alias("surprisal"))

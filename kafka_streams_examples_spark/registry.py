@@ -1448,6 +1448,30 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     return TX.pii_redact(docs.select("doc_id", aug.alias("text")))
 
 
+@query(
+    "unigram_surprisal",
+    f"""WITH tk AS (SELECT doc_id, word FROM ({SQL_TOKENS}) WHERE word <> ''),
+    cnt AS (SELECT word, count(*) AS c FROM tk GROUP BY word),
+    tot AS (SELECT sum(c) AS t FROM cnt),
+    sc AS (SELECT tk.doc_id,
+             floor(-ln(CAST(c AS DOUBLE) / t) * 1e6 + 0.5) / 1e6 AS s
+           FROM tk JOIN cnt USING (word) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(avg(s) * 1e4 + 0.5) / 1e4 AS surprisal
+    FROM sc GROUP BY doc_id""",
+    "Corpus-LM surprisal per document (the perplexity-filter family, "
+    "CCNet-style): mean -ln p(token) under the corpus's own unigram "
+    "model. Low = boilerplate, high = rare-token noise; the middle band "
+    "is what LM training keeps. One tokenize scan feeds the unigram "
+    "count table and the scoring join (both shuffles linear in token "
+    "volume, keyed by word); the corpus total is a 1-row broadcast. "
+    "Per-token log-probs round at 6 before the per-doc mean so the "
+    "oracle comparison doesn't ride on cross-engine libm identity.",
+)
+def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.unigram_surprisal(table(spark, sf, "documents"))
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(

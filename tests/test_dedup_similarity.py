@@ -391,3 +391,22 @@ def test_late_r5_similarity_ops_tolerate_degenerate_input(spark):
     docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = pii_redact(docs).collect()[0]
     assert (r["n_email"], r["n_ip"], r["n_phone"], r["redacted"]) == (0, 0, 0, "")
+
+
+def test_unigram_surprisal_orders_rare_above_common(spark):
+    import math
+
+    from kafka_streams_examples_spark.operators.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare1 rare2"),
+         (3, "rare3 rare4 rare5 rare6")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["surprisal"] for r in unigram_surprisal(docs).collect()}
+    # all-common < mixed < all-singletons
+    assert got[1] < got[2] < got[3]
+    # exact check: 'common' is 6 of 12 tokens -> p=1/2 -> surprisal ln(2)
+    assert abs(got[1] - round(math.log(2), 4)) < 2e-4
+    # singleton tokens: p=1/12 -> ln(12)
+    assert abs(got[3] - round(math.log(12), 4)) < 2e-4

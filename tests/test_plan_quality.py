@@ -38,6 +38,9 @@ BNLJ_BY_DESIGN = {
     # composed trained-IVF pipeline: kmeans assignment (above) + IVF
     # centroid routing (knn_ivf's broadcast centroid set)
     "knn_ivf_trained",
+    # 1-row corpus-total scalar attached via broadcast cross join before
+    # the per-token probability (same shape as tfidf_top_terms)
+    "unigram_surprisal",
 }
 
 

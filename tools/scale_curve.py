@@ -37,6 +37,7 @@ CURVE = [
     # r5 late additions (scan-side regex cascade; iterative broadcast
     # assignment; composed train->route->rerank)
     "pii_redact", "kmeans_train", "knn_ivf_trained", "knn_multiprobe",
+    "unigram_surprisal", "dedup_keep_best",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
