@@ -410,3 +410,34 @@ def test_unigram_surprisal_orders_rare_above_common(spark):
     assert abs(got[1] - round(math.log(2), 4)) < 2e-4
     # singleton tokens: p=1/12 -> ln(12)
     assert abs(got[3] - round(math.log(12), 4)) < 2e-4
+
+
+def test_keep_best_selects_max_quality_member(spark, sf_dir):
+    """Cross-operator consistency: dedup_keep_best must emit exactly one
+    row per connected component, whose keeper is the member with maximal
+    quality (ties to the lower id) and whose n_members is the component
+    size — checked against the CC and quality operators directly."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    from kafka_streams_examples_spark.operators.text import with_quality
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                              jaccard_threshold=0.2)
+    cc = connected_components(pairs, docs.select("doc_id")).collect()
+    qual = {r["doc_id"]: r["quality"]
+            for r in with_quality(docs.select("doc_id", "text"))
+                        .select("doc_id", "quality").collect()}
+    clusters: dict = {}
+    for r in cc:
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    want = {c: min(m, key=lambda i: (-qual[i], i))
+            for c, m in clusters.items()}
+
+    got = {r["cluster_id"]: (r["keeper_id"], r["n_members"])
+           for r in QUERIES["dedup_keep_best"].spark(spark, sf_dir).collect()}
+    assert set(got) == set(clusters)
+    assert {c: k for c, (k, _) in got.items()} == want
+    assert all(n == len(clusters[c]) for c, (_, n) in got.items())
