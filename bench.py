@@ -77,6 +77,7 @@ HEADLINE = [
     "kmeans_train",
     "knn_multiprobe",
     "unigram_surprisal",
+    "semantic_dedup",
 ]
 
 

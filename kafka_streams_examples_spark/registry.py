@@ -1253,6 +1253,68 @@ def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                                       k=5, planes=8, dim=64, probes=3)
 
 
+def _semantic_dedup_sql(k: int = 8, iters: int = 2,
+                        threshold: float = 0.25) -> str:
+    """Oracle for semantic_dedup: kmeans CTEs -> within-cluster cosine
+    pairs -> recursive-CTE components -> nearest-to-centroid keeper."""
+    return f"""WITH RECURSIVE {_kmeans_ctes(k, iters)},
+    asg AS (SELECT vec_id, cid, floor(d * 1e4 + 0.5) / 1e4 AS dist, e FROM a{iters}),
+    prs AS (SELECT x.vec_id AS d1, y.vec_id AS d2
+            FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= {threshold}),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM prs
+            UNION ALL SELECT d2, d1 FROM prs),
+    walk(node, lbl) AS (
+      SELECT vec_id, vec_id FROM asg
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node),
+    grp AS (SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS group_id
+            FROM walk GROUP BY node),
+    j AS (SELECT g.vec_id, g.group_id, a.dist
+          FROM grp g JOIN asg a USING (vec_id))
+    SELECT vec_id, group_id, dist,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS is_kept
+    FROM (SELECT vec_id, group_id, dist,
+            row_number() OVER (PARTITION BY group_id
+                               ORDER BY dist, vec_id) AS rn FROM j)"""
+
+
+@query(
+    "semantic_dedup",
+    _semantic_dedup_sql(k=8, iters=2, threshold=0.25),
+    "Semantic deduplication over embeddings (the SemDeDup-shaped "
+    "pipeline): kmeans_train clusters the corpus, cosine near-dup pairs "
+    "form ONLY within a cluster (bucket-confined — no all-pairs stage), "
+    "connected components group transitive duplicates, and each group "
+    "keeps its member nearest the trained centroid (the deterministic "
+    "keeper policy; ties to the lower id). End-to-end: the modern "
+    "embedding-space dedup a 100 TB text corpus gets, composed from "
+    "kmeans_train + embedding_near_dup_pairs + connected_components, "
+    "with the training output materialized once (lazy localCheckpoint). "
+    "Oracle composes the unrolled Lloyd's CTEs, the pair join and the "
+    "recursive-CTE fixpoint.",
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    asg = (SIM.kmeans_train(emb, k=8, iters=2)
+              .localCheckpoint(eager=False))      # (vec_id, cluster, dist)
+    lab = emb.select("vec_id", "embedding").join(
+        asg.select("vec_id", F.col("cluster").alias("label")), "vec_id")
+    pairs = D.embedding_near_dup_pairs(lab, threshold=0.25,
+                                       bucket_col="label")
+    cc = D.connected_components(pairs.select("d1", "d2"),
+                                emb.select("vec_id"), id_col="vec_id")
+    j = (cc.join(asg.select("vec_id", "dist"), "vec_id")
+           .select("vec_id",
+                   F.col("cluster_id").cast("long").alias("group_id"),
+                   "dist"))
+    w = Window.partitionBy("group_id").orderBy("dist", "vec_id")
+    return (j.withColumn("rn", F.row_number().over(w))
+             .select("vec_id", "group_id", "dist",
+                     F.when(F.col("rn") == 1, 1).otherwise(0)
+                      .cast("int").alias("is_kept")))
+
+
 @query(
     "embedding_near_dup",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

@@ -441,3 +441,24 @@ def test_keep_best_selects_max_quality_member(spark, sf_dir):
     assert set(got) == set(clusters)
     assert {c: k for c, (k, _) in got.items()} == want
     assert all(n == len(clusters[c]) for c, (_, n) in got.items())
+
+
+def test_semantic_dedup_groups_and_keepers(spark, sf_dir):
+    """semantic_dedup must cover every vector exactly once, mark exactly
+    one keeper per group, and pick the member nearest its trained
+    centroid (ties to lower id) — with at least one nontrivial group."""
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    rows = QUERIES["semantic_dedup"].spark(spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["group_id"], []).append(r)
+    assert any(len(m) > 1 for m in groups.values())
+    for gid, members in groups.items():
+        kept = [r for r in members if r["is_kept"] == 1]
+        assert len(kept) == 1
+        best = min(members, key=lambda r: (r["dist"], r["vec_id"]))
+        assert kept[0]["vec_id"] == best["vec_id"]
+        assert gid == min(r["vec_id"] for r in members)

@@ -42,6 +42,10 @@ BNLJ_BY_DESIGN = {
     # the per-token probability (same shape as tfidf_top_terms)
     "unigram_surprisal",
 }
+# semantic_dedup embeds the kmeans assignment step, but its training
+# branch is materialized (localCheckpoint) before the CC loop runs, so
+# the FINAL plan carries no BNLJ — it must NOT be allowlisted (the
+# rot-check would rightly flag it).
 
 
 @pytest.fixture(scope="module")
