@@ -78,6 +78,7 @@ HEADLINE = [
     "knn_multiprobe",
     "unigram_surprisal",
     "semantic_dedup",
+    "pack_sequences",
 ]
 
 

@@ -372,3 +372,53 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     return sc.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         stable_round(F.avg("s"), 4).alias("surprisal"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   id_bits: int = 10) -> DataFrame:
+    """Cross-document token packing into fixed-budget training sequences
+    — the LM dataloader step after cleaning: concatenate the corpus in
+    id order and emit, per document, the sequences it lands in with
+    offsets, splitting documents across sequence boundaries.
+
+    Output: (doc_id, seq_id, seq_off, tok_from, tok_to) — the document
+    contributes its tokens [tok_from, tok_to) at offset seq_off of
+    sequence seq_id, so any worker can assemble any sequence with O(1)
+    lookups and no global state.
+
+    Scale path: the global token prefix-sum is NOT a single-partition
+    window — ids are range-bucketed (2^id_bits ids per bucket, the same
+    two-phase pattern as sampling.global_shuffle), the running sum runs
+    within each bucket in parallel, and bucket totals become a tiny
+    broadcast offset table. Assumes roughly dense ids for bucket balance
+    (skewed ids stay correct, only less parallel). Token-less documents
+    contribute nothing and are omitted from the output.
+    """
+    n = F.size(F.filter(tokens(text_col), lambda x: x != ""))
+    d = docs.select(F.col(id_col), n.cast("long").alias("__n"),
+                    F.shiftright(F.col(id_col), id_bits).alias("__b"))
+    sums = d.groupBy("__b").agg(F.sum("__n").alias("__t"))
+    offs = sums.select(
+        "__b",
+        (F.sum("__t").over(Window.orderBy("__b")) - F.col("__t")).alias("__boff"))
+    win = (Window.partitionBy("__b").orderBy(id_col)
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s = (d.withColumn("__woff", F.sum("__n").over(win) - F.col("__n"))
+          .join(F.broadcast(offs), "__b")
+          .select(F.col(id_col), "__n",
+                  (F.col("__boff") + F.col("__woff")).alias("__s"))
+          .filter(F.col("__n") > 0))
+    b = float(budget)
+    first_seq = F.floor(F.col("__s") / b)
+    last_seq = F.floor((F.col("__s") + F.col("__n") - 1) / b)
+    seq_start = F.col("seq_id") * budget
+    clip_lo = F.greatest(F.col("__s"), seq_start)
+    clip_hi = F.least(F.col("__s") + F.col("__n"), seq_start + budget)
+    return (s.select(F.col(id_col), "__n", "__s",
+                     F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+             .select(F.col(id_col),
+                     F.col("seq_id").cast("long").alias("seq_id"),
+                     (clip_lo - seq_start).cast("long").alias("seq_off"),
+                     (clip_lo - F.col("__s")).cast("long").alias("tok_from"),
+                     (clip_hi - F.col("__s")).cast("long").alias("tok_to")))

@@ -1511,6 +1511,37 @@ def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences",
+    r"""WITH t AS (SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n
+         FROM documents),
+    p AS (SELECT doc_id, n,
+            CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS BIGINT) AS s
+          FROM t),
+    e AS (SELECT doc_id, n, s, j AS seq_id
+          FROM p, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(j)
+          WHERE n > 0)
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(s, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_off,
+           CAST(greatest(s, seq_id * 256) - s AS BIGINT) AS tok_from,
+           CAST(least(s + n, (seq_id + 1) * 256) - s AS BIGINT) AS tok_to
+    FROM e""",
+    "Training-sequence packing: the corpus concatenated in id order and "
+    "cut into fixed 256-token sequences, each document mapped to the "
+    "sequences it spans with (seq_off, tok_from, tok_to) — the LM "
+    "dataloader step after cleaning; any worker assembles any sequence "
+    "with O(1) lookups. The global token prefix-sum is range-bucketed "
+    "two-phase (global_shuffle's pattern), never a single-partition "
+    "window; the oracle computes the same prefix with a plain ordered "
+    "window (exact integer arithmetic on both sides).",
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.pack_sequences(table(spark, sf, "documents"), budget=256)
+
+
+@query(
     "unigram_surprisal",
     f"""WITH tk AS (SELECT doc_id, word FROM ({SQL_TOKENS}) WHERE word <> ''),
     cnt AS (SELECT word, count(*) AS c FROM tk GROUP BY word),

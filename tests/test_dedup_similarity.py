@@ -462,3 +462,41 @@ def test_semantic_dedup_groups_and_keepers(spark, sf_dir):
         best = min(members, key=lambda r: (r["dist"], r["vec_id"]))
         assert kept[0]["vec_id"] == best["vec_id"]
         assert gid == min(r["vec_id"] for r in members)
+
+
+def test_pack_sequences_tiles_exactly(spark, sf_dir):
+    """Sequence packing must tile both sides exactly: each document's
+    spans cover [0, n_tokens) contiguously, and each sequence's
+    contributions cover [0, budget) with no gaps (the final sequence ends
+    at the corpus total)."""
+    from kafka_streams_examples_spark.operators.text import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    B = 256
+    rows = pack_sequences(docs, budget=B).collect()
+    n = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                        lambda x: x != "")).alias("n")).collect()}
+
+    per_doc: dict = {}
+    per_seq: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        per_seq.setdefault(r["seq_id"], []).append(
+            (r["seq_off"], r["seq_off"] + r["tok_to"] - r["tok_from"]))
+    for doc, parts in per_doc.items():
+        parts.sort(key=lambda r: r["tok_from"])
+        assert parts[0]["tok_from"] == 0
+        for a, b in zip(parts, parts[1:]):
+            assert a["tok_to"] == b["tok_from"]
+        assert parts[-1]["tok_to"] == n[doc]
+    total = sum(n.values())
+    assert set(per_seq) == set(range((total + B - 1) // B))
+    for sid, spans in per_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (_, a1), (b0, _) in zip(spans, spans[1:]):
+            assert a1 == b0
+        want_end = B if (sid + 1) * B <= total else total - sid * B
+        assert spans[-1][1] == want_end

@@ -37,7 +37,8 @@ CURVE = [
     # r5 late additions (scan-side regex cascade; iterative broadcast
     # assignment; composed train->route->rerank)
     "pii_redact", "kmeans_train", "knn_ivf_trained", "knn_multiprobe",
-    "unigram_surprisal", "dedup_keep_best",
+    "unigram_surprisal", "dedup_keep_best", "semantic_dedup",
+    "pack_sequences",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
