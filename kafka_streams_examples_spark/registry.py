@@ -1070,9 +1070,12 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_knn(emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2)
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int | str = 8, iters: int = 2) -> str:
     """Lloyd's iterations unrolled as CTE pairs (assign a{i} / update c{i+1});
     returns the WITH-body ending at a{iters} (the final assignment).
+    `k` may be an int literal or a SQL scalar-subquery string (DuckDB
+    accepts expressions in LIMIT), letting callers scale the cluster
+    count with the corpus.
 
     Same arithmetic as operators/similarity.kmeans_train: squared-L2
     distances and centroid means pass through the engine-portable
@@ -1253,10 +1256,14 @@ def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
                                       k=5, planes=8, dim=64, probes=3)
 
 
-def _semantic_dedup_sql(k: int = 8, iters: int = 2,
-                        threshold: float = 0.25) -> str:
+def _semantic_dedup_sql(iters: int = 2, threshold: float = 0.25) -> str:
     """Oracle for semantic_dedup: kmeans CTEs -> within-cluster cosine
-    pairs -> recursive-CTE components -> nearest-to-centroid keeper."""
+    pairs -> recursive-CTE components -> nearest-to-centroid keeper.
+    The cluster count scales with the corpus (k = max(8, n // 250), a
+    scalar subquery in the seed LIMIT) exactly like the Spark side, so
+    the within-cluster pair stage stays O(n * avg_cluster_size) at any
+    SF instead of O(n^2 / const)."""
+    k = "(SELECT greatest(8, count(*) // 250) FROM v)"
     return f"""WITH RECURSIVE {_kmeans_ctes(k, iters)},
     asg AS (SELECT vec_id, cid, floor(d * 1e4 + 0.5) / 1e4 AS dist, e FROM a{iters}),
     prs AS (SELECT x.vec_id AS d1, y.vec_id AS d2
@@ -1281,13 +1288,15 @@ def _semantic_dedup_sql(k: int = 8, iters: int = 2,
 
 @query(
     "semantic_dedup",
-    _semantic_dedup_sql(k=8, iters=2, threshold=0.25),
+    _semantic_dedup_sql(iters=2, threshold=0.25),
     "Semantic deduplication over embeddings (the SemDeDup-shaped "
     "pipeline): kmeans_train clusters the corpus, cosine near-dup pairs "
     "form ONLY within a cluster (bucket-confined — no all-pairs stage), "
     "connected components group transitive duplicates, and each group "
     "keeps its member nearest the trained centroid (the deterministic "
-    "keeper policy; ties to the lower id). End-to-end: the modern "
+    "keeper policy; ties to the lower id). The cluster count scales "
+    "with the corpus (k = max(8, n/250)) on BOTH sides, keeping the "
+    "pair stage linear per 10x step. End-to-end: the modern "
     "embedding-space dedup a 100 TB text corpus gets, composed from "
     "kmeans_train + embedding_near_dup_pairs + connected_components, "
     "with the training output materialized once (lazy localCheckpoint). "
@@ -1296,7 +1305,12 @@ def _semantic_dedup_sql(k: int = 8, iters: int = 2,
 )
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
-    asg = (SIM.kmeans_train(emb, k=8, iters=2)
+    # cluster count scales with the corpus so the within-cluster pair
+    # stage stays O(n * avg_cluster_size); the count is one driver
+    # scalar (same class as the CC convergence check). k resolves to 8
+    # at every oracle-gated SF (n <= 2000) and grows past them.
+    k = max(8, emb.count() // 250)
+    asg = (SIM.kmeans_train(emb, k=k, iters=2)
               .localCheckpoint(eager=False))      # (vec_id, cluster, dist)
     lab = emb.select("vec_id", "embedding").join(
         asg.select("vec_id", F.col("cluster").alias("label")), "vec_id")
