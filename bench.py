@@ -79,6 +79,8 @@ HEADLINE = [
     "unigram_surprisal",
     "semantic_dedup",
     "pack_sequences",
+    "knn_ivf_trained",
+    "dedup_keep_best",
 ]
 
 

@@ -365,3 +365,63 @@ def fraud_check(orders: DataFrame, limit: float, session_gap_seconds: int = 1800
     return (orders.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def pack_sequences_stream(docs: DataFrame, budget: int = 256,
+                          source_col: str = "source",
+                          id_col: str = "doc_id",
+                          n_col: str = "n_tokens") -> DataFrame:
+    """Streaming per-source training-sequence packing — the stateful
+    analog of operators.text.pack_sequences, sharded by source (the same
+    sharding a production packer uses so state is one counter per shard).
+
+    State per source is ONE long: the running token offset of that
+    source's tape. Each micro-batch packs its documents in id order onto
+    the tape and emits (doc_id, seq_id, seq_off, tok_from, tok_to) spans;
+    sequences are per-source. If the stream replays a corpus in id order
+    the final output equals the batch operator applied per source
+    (tested); arrival-order streams get arrival-order packing, the only
+    semantics an unbounded stream can offer. The inner math is
+    numpy-vectorized (cumsum + repeat explode) — no per-row Python.
+    """
+    out_schema = T.StructType([
+        T.StructField(source_col, T.StringType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_off", T.LongType()),
+        T.StructField("tok_from", T.LongType()),
+        T.StructField("tok_to", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("offset", T.LongType())])
+    B = budget
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        off = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            n = pdf[n_col].to_numpy("int64")
+            ids = pdf[id_col].to_numpy("int64")[n > 0]
+            n = n[n > 0]
+            if len(n) == 0:
+                continue
+            starts = off + np.concatenate(([0], np.cumsum(n)[:-1]))
+            off = int(starts[-1] + n[-1])
+            first = starts // B
+            cnt = (starts + n - 1) // B - first + 1
+            doc_idx = np.repeat(np.arange(len(n)), cnt)
+            seq_local = (np.arange(cnt.sum())
+                         - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt))
+            seq = first[doc_idx] + seq_local
+            lo = np.maximum(starts[doc_idx], seq * B)
+            hi = np.minimum(starts[doc_idx] + n[doc_idx], (seq + 1) * B)
+            yield pd.DataFrame({
+                source_col: key[0], id_col: ids[doc_idx],
+                "seq_id": seq, "seq_off": lo - seq * B,
+                "tok_from": lo - starts[doc_idx],
+                "tok_to": hi - starts[doc_idx]})
+        state.update((int(off),))
+
+    return (docs.groupBy(source_col)
+            .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -269,3 +269,65 @@ def test_ordered_concat_recovers_from_checkpoint(spark, tmp_path):
     # run 2 reprocesses only the late record; its output must already
     # carry the recovered prefix with 'b' spliced between 'a' and 'c'
     assert [r["type_seq"] for r in run2] == ["a b c"]
+
+
+def test_pack_sequences_stream_matches_batch_per_source(spark, sf_dir, tmp_path):
+    """Streaming per-source packing over an in-id-order 3-batch replay
+    must equal the batch packing applied per source: state (the running
+    token offset) has to survive micro-batch boundaries, including
+    documents whose spans straddle a batch edge."""
+    import glob
+    import shutil
+    import time
+
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.streaming.stateful import (
+        pack_sequences_stream,
+    )
+
+    B = 64
+    ntok = F.size(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda x: x != "")).cast("long")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", ntok.alias("n_tokens"))
+    src = tmp_path / "stream"
+    src.mkdir()
+    bounds = [(0, 170), (170, 340), (340, 1 << 60)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = tmp_path / f"w{i}"
+        part.coalesce(1).write.parquet(str(tmp))
+        shutil.copy(glob.glob(str(tmp / "part-*.parquet"))[0],
+                    str(src / f"{i:04d}.parquet"))
+        time.sleep(1.1)  # distinct mod times -> deterministic batch order
+
+    stream = (spark.readStream.schema("doc_id long, source string, n_tokens long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    name, q = run_to_memory(pack_sequences_stream(stream, budget=B),
+                            mode="append")
+    try:
+        got = {(r["source"], r["doc_id"], r["seq_id"], r["seq_off"],
+                r["tok_from"], r["tok_to"])
+               for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    want = set()
+    rows = docs.collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append((r["doc_id"], r["n_tokens"]))
+    for s, members in per_src.items():
+        off = 0
+        for did, n in sorted(members):
+            if n <= 0:
+                continue
+            for j in range(off // B, (off + n - 1) // B + 1):
+                lo_ = max(off, j * B)
+                hi_ = min(off + n, (j + 1) * B)
+                want.add((s, did, j, lo_ - j * B, lo_ - off, hi_ - off))
+            off += n
+    assert got == want
+    # cross-batch continuity actually exercised: some source's tape must
+    # straddle a batch boundary mid-sequence
+    assert any(r[3] != 0 and r[4] == 0 for r in got)  # doc starts mid-seq
