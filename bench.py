@@ -88,7 +88,7 @@ HEADLINE = [
 # refactor cannot silently drop one (BENCH r3 set the baseline).
 STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
                        "dedup_ttl", "interval_join", "fraud_check",
-                       "ordered_concat")
+                       "ordered_concat", "pack_sequences")
 
 
 def stream_bench(spark, sf_dir: str) -> dict:
@@ -108,7 +108,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
         windowed_counts,
     )
     from kafka_streams_examples_spark.streaming.stateful import (
-        fraud_check, ordered_concat,
+        fraud_check, ordered_concat, pack_sequences_stream,
     )
 
     from kafka_streams_examples_spark.functions import tokens
@@ -159,6 +159,17 @@ def stream_bench(spark, sf_dir: str) -> dict:
             lambda: ordered_concat(
                 ev().select("event_id", "ts", "user_id", "event_type")),
             "update", n_events),
+        # per-source token-tape packing (one long of state per source;
+        # numpy span explode): work unit = the packed token
+        "pack_sequences": (
+            lambda: pack_sequences_stream(
+                stream_table(spark, sf_dir, "documents").select(
+                    "doc_id", "source",
+                    F.size(F.filter(tokens(F.col("text")),
+                                    lambda x: x != ""))
+                     .cast("long").alias("n_tokens")),
+                budget=256),
+            "append", n_tokens),
     }
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
     out: dict[str, dict] = {}
