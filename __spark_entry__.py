@@ -82,8 +82,10 @@ _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "quality_filter_median", "stratified_sample", "reservoir_per_stratum",
     "lang_id", "quality_score", "tpch_q17", "funnel_conversion",
     # r5 late: the similarity family moved to engine-portable rounding
-    # (stable_round both sides) after knn_cosine/knn_ivf's r03 signatures
-    "knn_cosine", "knn_ivf",
+    # (stable_round both sides) after knn_cosine/knn_ivf's r03 signatures;
+    # the sign-LSH bucket/cos rounding migration then reached the
+    # embedding pair operators too
+    "knn_cosine", "knn_ivf", "embedding_near_dup", "embedding_lsh_pairs",
 )
 
 

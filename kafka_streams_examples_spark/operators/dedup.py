@@ -408,6 +408,30 @@ def signlsh_weights(planes: int, dim: int, salt: str = "slsh") -> list[list[floa
             for p in range(planes)]
 
 
+def signlsh_bucket_bits(vec, planes: int, dim: int,
+                       salt: str = "slsh"):
+    """Sign-LSH bucket id for one vector: `planes` sign bits of dot
+    products against the fixed md5-derived hyperplane matrix — a pure
+    codegen'd fold per row. THE canonical bucket definition: every
+    sign-LSH consumer (embedding_signlsh_pairs, the multi-probe kNN)
+    must use this helper so the same vector can never land in different
+    buckets depending on which operator hashed it. Sign bits are taken
+    on the engine-portable stable_round(dot, 6), matching the oracle's
+    floor(x*1e6 + 0.5)/1e6 exactly (built-in round() diverges on
+    half-boundary doubles — see functions.stable_round).
+    """
+    from ..functions import stable_round
+    W = signlsh_weights(planes, dim, salt)
+    b = None
+    for p in range(planes):
+        wp = F.array(*[F.lit(x) for x in W[p]])
+        dot = F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(stable_round(dot, 6) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("long")
+
+
 def embedding_signlsh_pairs(emb: DataFrame, planes: int = 8, dim: int = 64,
                             threshold: float = 0.25,
                             id_col: str = "vec_id",
@@ -432,27 +456,19 @@ def embedding_signlsh_pairs(emb: DataFrame, planes: int = 8, dim: int = 64,
     taken on the dot rounded to 6 decimals so the bucket id is identical
     across engines.
     """
-    W = signlsh_weights(planes, dim, salt)
-    v = F.col(vec_col)
-    bucket = None
-    for p in range(planes):
-        wp = F.array(*[F.lit(w) for w in W[p]])
-        dot = F.aggregate(
-            F.zip_with(v, wp, lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(F.round(dot, 6) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     from ..functions import dot_product, l2_norm
+    v = F.col(vec_col)
     tagged = emb.select(F.col(id_col), v.alias("__v"),
-                        bucket.cast("long").alias("__bk"),
+                        signlsh_bucket_bits(v, planes, dim, salt).alias("__bk"),
                         l2_norm(v).alias("__n"))
     a = tagged.select(F.col(id_col).alias("d1"), F.col("__v").alias("v1"),
                       F.col("__bk").alias("bk"), F.col("__n").alias("n1"))
     b = tagged.select(F.col(id_col).alias("d2"), F.col("__v").alias("v2"),
                       F.col("__bk").alias("bk"), F.col("__n").alias("n2"))
+    from ..functions import stable_round as _sr
     sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (a.join(b, ["bk"]).filter(F.col("d1") < F.col("d2"))
-             .select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+             .select("d1", "d2", _sr(sim, 4).alias("cos_sim"))
              .filter(F.col("cos_sim") >= threshold))
 
 
@@ -631,6 +647,7 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         pairs = a.join(b, ["bk"]).filter(on)
     else:
         pairs = a.crossJoin(b).filter(on)
+    from ..functions import stable_round as _sr
     sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
-    return (pairs.select("d1", "d2", F.round(sim, 4).alias("cos_sim"))
+    return (pairs.select("d1", "d2", _sr(sim, 4).alias("cos_sim"))
                  .filter(F.col("cos_sim") >= threshold))

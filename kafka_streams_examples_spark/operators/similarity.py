@@ -189,7 +189,7 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     choice and ranking are reproducible across engines (ties: lower plane
     index, then lower candidate id).
     """
-    from .dedup import signlsh_weights
+    from .dedup import signlsh_bucket_bits, signlsh_weights
 
     assert 1 <= probes <= planes + 1
     W = signlsh_weights(planes, dim, salt)
@@ -200,24 +200,20 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
         return F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
-    def bucket_expr(vec):
-        b = None
-        for p in range(planes):
-            bit = (F.when(stable_round(plane_dot(p, vec), 6) >= 0,
-                          F.lit(2 ** p)).otherwise(F.lit(0)))
-            b = bit if b is None else b + bit
-        return b.cast("long")
-
     c = corpus.select(F.col(id_col).alias("c_id"), v.alias("c_vec"),
-                      l2_norm(v).alias("c_norm"), bucket_expr(v).alias("bk"))
+                      l2_norm(v).alias("c_norm"),
+                      signlsh_bucket_bits(v, planes, dim, salt).alias("bk"))
+    # margin = |rounded dot|, abs taken AFTER the engine-portable rounding
+    # so it is exactly abs(d) of the oracle's per-plane d — rounding the
+    # abs instead diverges for negative dots on half-microstep boundaries
     margins = F.array(*[
-        F.struct(stable_round(F.abs(plane_dot(p, v)), 6).alias("m"),
+        F.struct(F.abs(stable_round(plane_dot(p, v), 6)).alias("m"),
                  F.lit(p).alias("p"),
                  F.lit(2 ** p).cast("long").alias("mask"))
         for p in range(planes)])
     q0 = queries.select(F.col(id_col).alias("q_id"), v.alias("q_vec"),
                         l2_norm(v).alias("q_norm"),
-                        bucket_expr(v).alias("q_bk"),
+                        signlsh_bucket_bits(v, planes, dim, salt).alias("q_bk"),
                         F.slice(F.array_sort(margins), 1, probes - 1)
                          .alias("__flips"))
     probe_buckets = F.concat(

@@ -314,12 +314,13 @@ def bigram_doc_stats(docs: DataFrame, text_col: str = "text",
 
 # PII patterns, shared verbatim with the DuckDB oracle. Dialect-neutral:
 # no lookarounds or backreferences, so Java regex (Spark) and RE2 (DuckDB)
-# agree; \b is the ASCII word boundary in both. Order matters and is part
-# of the contract: each pattern is counted on the text AS ALREADY MASKED
-# by the patterns before it (an email's digits must not double-count as a
-# phone fragment), then masked itself.
+# agree; \b is the ASCII word boundary and (?i) the case-insensitivity
+# flag in both (PII must not leak just because it is capitalized). Order
+# matters and is part of the contract: each pattern is counted on the
+# text AS ALREADY MASKED by the patterns before it (an email's digits
+# must not double-count as a phone fragment), then masked itself.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("email", r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
 )
@@ -354,12 +355,16 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     Low surprisal = boilerplate/templated text; high = rare-token noise;
     the middle band is what LM training keeps.
 
-    Plan: one tokenize scan feeds both the unigram count table (shuffle
-    on word) and the scoring join (shuffle on word, linear in token
-    volume); the corpus-total is a 1-row broadcast. No smoothing needed —
-    every scored token exists in the model by construction. Per-token
-    log-probs round at 6 before the per-doc mean (rounded at 4) so the
-    oracle comparison doesn't ride on cross-engine libm identity.
+    Plan: TWO passes over the corpus — one tokenize scan builds the
+    unigram count table (shuffle on word), a second streams through the
+    scoring join (shuffle on word, linear in token volume); the
+    corpus-total is a 1-row broadcast. At 100 TB, persist/checkpoint the
+    count table (it is vocabulary-sized) so re-runs pay only the scoring
+    pass — the probe-side scan itself is irreducible. No smoothing
+    needed — every scored token exists in the model by construction.
+    Per-token log-probs round at 6 before the per-doc mean (rounded at
+    4) so the oracle comparison doesn't ride on cross-engine libm
+    identity.
     """
     tk = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
               .filter(F.col("word") != ""))
@@ -409,9 +414,11 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
           .select(F.col(id_col), "__n",
                   (F.col("__boff") + F.col("__woff")).alias("__s"))
           .filter(F.col("__n") > 0))
-    b = float(budget)
-    first_seq = F.floor(F.col("__s") / b)
-    last_seq = F.floor((F.col("__s") + F.col("__n") - 1) / b)
+    # integral DIV, not double division: at extreme offsets (> 2^52
+    # tokens) floor(x / float(b)) could round before flooring while the
+    # oracle's `//` stays exact — keep both sides in integer arithmetic
+    first_seq = F.expr(f"__s div {budget}")
+    last_seq = F.expr(f"(__s + __n - 1) div {budget}")
     seq_start = F.col("seq_id") * budget
     clip_lo = F.greatest(F.col("__s"), seq_start)
     clip_hi = F.least(F.col("__s") + F.col("__n"), seq_start + budget)

@@ -1268,7 +1268,7 @@ def _semantic_dedup_sql(iters: int = 2, threshold: float = 0.25) -> str:
     asg AS (SELECT vec_id, cid, floor(d * 1e4 + 0.5) / 1e4 AS dist, e FROM a{iters}),
     prs AS (SELECT x.vec_id AS d1, y.vec_id AS d2
             FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
-            WHERE round(list_cosine_similarity(x.e, y.e), 4) >= {threshold}),
+            WHERE floor(list_cosine_similarity(x.e, y.e) * 1e4 + 0.5) / 1e4 >= {threshold}),
     sym AS (SELECT d1 AS src, d2 AS dst FROM prs
             UNION ALL SELECT d2, d1 FROM prs),
     walk(node, lbl) AS (
@@ -1333,9 +1333,9 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     "embedding_near_dup",
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS d1, b.vec_id AS d2,
-           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+           floor(list_cosine_similarity(a.v, b.v) * 1e4 + 0.5) / 1e4 AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.25""",
+    WHERE floor(list_cosine_similarity(a.v, b.v) * 1e4 + 0.5) / 1e4 >= 0.25""",
     "Embedding-cosine near-dup pairs with label blocking (IVF-style bucket "
     "confinement — no all-pairs stage).",
 )
@@ -1347,16 +1347,16 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 def _signlsh_sql(planes: int = 8, dim: int = 64, threshold: float = 0.25) -> str:
     w = D.signlsh_weights(planes, dim)
     bits = " + ".join(
-        "(CASE WHEN round(list_dot_product(v, ["
+        "(CASE WHEN floor(list_dot_product(v, ["
         + ", ".join(repr(x) for x in w[p])
-        + f"]::DOUBLE[]), 6) >= 0 THEN {2 ** p} ELSE 0 END)"
+        + f"]::DOUBLE[]) * 1e6 + 0.5) / 1e6 >= 0 THEN {2 ** p} ELSE 0 END)"
         for p in range(planes))
     return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     b AS (SELECT vec_id, v, {bits} AS bucket FROM e)
     SELECT a.vec_id AS d1, c.vec_id AS d2,
-           round(list_cosine_similarity(a.v, c.v), 4) AS cos_sim
+           floor(list_cosine_similarity(a.v, c.v) * 1e4 + 0.5) / 1e4 AS cos_sim
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE round(list_cosine_similarity(a.v, c.v), 4) >= {threshold}"""
+    WHERE floor(list_cosine_similarity(a.v, c.v) * 1e4 + 0.5) / 1e4 >= {threshold}"""
 
 
 @query(
@@ -1569,9 +1569,11 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     "Corpus-LM surprisal per document (the perplexity-filter family, "
     "CCNet-style): mean -ln p(token) under the corpus's own unigram "
     "model. Low = boilerplate, high = rare-token noise; the middle band "
-    "is what LM training keeps. One tokenize scan feeds the unigram "
-    "count table and the scoring join (both shuffles linear in token "
-    "volume, keyed by word); the corpus total is a 1-row broadcast. "
+    "is what LM training keeps. Two corpus passes: one builds the "
+    "unigram count table, one streams the scoring join (both shuffles "
+    "linear in token volume, keyed by word; at 100 TB persist the "
+    "vocabulary-sized count table); the corpus total is a 1-row "
+    "broadcast. "
     "Per-token log-probs round at 6 before the per-doc mean so the "
     "oracle comparison doesn't ride on cross-engine libm identity.",
 )

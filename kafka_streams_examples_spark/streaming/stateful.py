@@ -399,7 +399,10 @@ def pack_sequences_stream(docs: DataFrame, budget: int = 256,
            state: GroupState) -> Iterator[pd.DataFrame]:
         off = state.get[0] if state.exists else 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(id_col)
+            # null n_tokens (e.g. null text upstream) arrives as NaN and
+            # would crash the int64 cast; the batch operator's n > 0
+            # filter drops the same rows, so drop them here too
+            pdf = pdf.dropna(subset=[n_col]).sort_values(id_col)
             n = pdf[n_col].to_numpy("int64")
             ids = pdf[id_col].to_numpy("int64")[n > 0]
             n = n[n > 0]

@@ -270,6 +270,18 @@ def test_pii_redact_masks_and_counts(spark):
     assert got[6]["redacted"] == "id <PHONE> beside <IP>"
 
 
+def test_pii_redact_is_case_insensitive(spark):
+    """Capitalized PII must not leak: the email pattern carries (?i)."""
+    from kafka_streams_examples_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "Write Bob.Smith@Corp.IO or ALICE@EXAMPLE.COM today")],
+        "doc_id long, text string")
+    r = pii_redact(docs).collect()[0]
+    assert r["n_email"] == 2
+    assert r["redacted"] == "Write <EMAIL> or <EMAIL> today"
+
+
 def _kmeans_reference(vecs: dict, k: int, iters: int) -> dict:
     """Plain-Python replica of kmeans_train's contract (same seeds, same
     engine-portable rounding, same lower-cid tie-break)."""
