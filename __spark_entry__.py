@@ -11,9 +11,9 @@ training-data pipeline operators (dedup / similarity / text analysis).
 
 Ordering policy (signature freshness, NOT hide-the-greens)
 ----------------------------------------------------------
-The driver hash-checks only the first 50 of 96 entries per round, so full
-coverage takes two rounds per cycle. Queries are ordered by how STALE their
-latest driver signature is:
+The driver hash-checks only the first 50 registry entries per round (106
+entries as of round 5), so full coverage takes three rounds per cycle.
+Queries are ordered by how STALE their latest driver signature is:
 
 1. queries whose implementation (or a shared code path under them) changed
    AFTER their latest signature (``_CODE_CHANGED_SINCE_SIGNATURE``) — these
