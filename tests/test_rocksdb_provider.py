@@ -164,3 +164,43 @@ def test_dedup_and_session_windows_on_rocksdb(rocks, sf_dir):
     n_unique = table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert n_dedup == n_unique
     assert n_sessions > 0
+
+
+def test_pack_sequences_stream_on_rocksdb(rocks, tmp_path):
+    """The per-source token-tape offset state must persist across batches
+    on the RocksDB provider too (array-free long state, the simplest
+    schema — this guards the provider wiring, not the packing math)."""
+    from kafka_streams_examples_spark.streaming.stateful import (
+        pack_sequences_stream,
+    )
+
+    spark = rocks
+    src = tmp_path / "src"
+    spark.createDataFrame(
+        [(1, "s1", 40), (2, "s1", 40)],
+        "doc_id long, source string, n_tokens long") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    stream = (spark.readStream
+              .schema("doc_id long, source string, n_tokens long")
+              .parquet(str(src)))
+    name, q = run_to_memory(pack_sequences_stream(stream, budget=64),
+                            mode="append")
+    try:
+        got = {(r["doc_id"], r["seq_id"], r["seq_off"],
+                r["tok_from"], r["tok_to"])
+               for r in spark.table(name).collect()}
+        # second batch: doc 3 must continue the tape at offset 80
+        spark.createDataFrame([(3, "s1", 40)],
+                              "doc_id long, source string, n_tokens long") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got |= {(r["doc_id"], r["seq_id"], r["seq_off"],
+                 r["tok_from"], r["tok_to"])
+                for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    assert got == {
+        (1, 0, 0, 0, 40),                    # doc1: seq0[0:40]
+        (2, 0, 40, 0, 24), (2, 1, 0, 24, 40),  # doc2 straddles seq0/seq1
+        (3, 1, 16, 0, 40),                   # doc3 resumes tape at 80
+    }
