@@ -174,12 +174,17 @@ def stream_bench(spark, sf_dir: str) -> dict:
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
     out: dict[str, dict] = {}
     for name, (build, mode, rows_in) in cases.items():
-        t0 = time.time()
-        _, q = run_to_memory(build(), mode=mode)
-        wall = time.time() - t0
-        q.stop()
-        out[name] = {"wall_sec": round(wall, 3),
-                     "rows_per_sec": round(rows_in / wall, 1)}
+        # min-of-2 like the batch section: micro-batch trigger scheduling
+        # makes single streaming runs swing 3-6x run-to-run, far more
+        # than the batch queries — one retry strips most of it
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _, q = run_to_memory(build(), mode=mode)
+            best = min(best, time.time() - t0)
+            q.stop()
+        out[name] = {"wall_sec": round(best, 3),
+                     "rows_per_sec": round(rows_in / best, 1)}
     return out
 
 
