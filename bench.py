@@ -81,6 +81,7 @@ HEADLINE = [
     "pack_sequences",
     "knn_ivf_trained",
     "dedup_keep_best",
+    "bigram_surprisal",
 ]
 
 

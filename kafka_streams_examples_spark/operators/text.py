@@ -429,3 +429,51 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
                      (clip_lo - seq_start).cast("long").alias("seq_off"),
                      (clip_lo - F.col("__s")).cast("long").alias("tok_from"),
                      (clip_hi - F.col("__s")).cast("long").alias("tok_to")))
+
+
+def bigram_surprisal(docs: DataFrame, lam: float = 0.7,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — the step up from
+    `unigram_surprisal` that actually models word ORDER: score = mean
+    -ln( lam * c(w1,w2)/c(w1) + (1-lam) * c(w2)/T ) over the document's
+    bigram positions. Shuffled token salad that fools unigram scoring
+    (same words, wrong order) lights up here.
+
+    Plan: bigram counts shuffle on (w1, w2); the scoring side probes the
+    bigram table on the composite key and the unigram table twice (both
+    word-keyed equi-joins, linear in token volume); the corpus total is
+    a 1-row broadcast. Blend terms keep an explicit association order
+    (lam * (c12/c1), not (lam*c12)/c1) shared with the oracle, and every
+    log rounds at 6 before the per-doc mean (rounded 4) — the libm
+    identity caveat from unigram_surprisal applies here too. Documents
+    with fewer than two tokens report (0, 0.0).
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    tk = docs.select(F.col(id_col), toks.alias("ws"))
+    uni = (tk.select(F.explode("ws").alias("w"))
+             .groupBy("w").agg(F.count("*").alias("c")))
+    tot = uni.agg(F.sum("c").alias("t"))
+    bg = (tk.filter(F.size("ws") >= 2)
+            .select(F.col(id_col),
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 2),
+                        lambda i: F.struct(F.get("ws", i).alias("w1"),
+                                           F.get("ws", i + 1).alias("w2"))))
+                     .alias("b"))
+            .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (F.lit(lam) * (F.col("c12") / F.col("c1"))
+         + F.lit(1.0 - lam) * (F.col("c2") / F.col("t")))
+    sc = (bg.join(c12, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
+            .join(F.broadcast(tot), F.lit(True))
+            .select(F.col(id_col), stable_round(-F.log(p), 6).alias("s")))
+    agg = sc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        stable_round(F.avg("s"), 4).alias("surprisal"))
+    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                        F.coalesce("surprisal", F.lit(0.0)).alias("surprisal")))

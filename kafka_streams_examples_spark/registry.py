@@ -1581,6 +1581,44 @@ def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     return TX.unigram_surprisal(table(spark, sf, "documents"))
 
 
+@query(
+    "bigram_surprisal",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    uni AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(ws) AS w FROM tk) GROUP BY w),
+    tot AS (SELECT sum(c) AS t FROM uni),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM tk, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+           WHERE len(ws) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    sc AS (SELECT bg.doc_id,
+             floor(-ln(0.7 * (CAST(c12.c12 AS DOUBLE) / u1.c)
+                       + 0.3 * (CAST(u2.c AS DOUBLE) / tot.t)) * 1e6 + 0.5) / 1e6 AS s
+           FROM bg JOIN c12 USING (w1, w2)
+           JOIN uni u1 ON u1.w = bg.w1
+           JOIN uni u2 ON u2.w = bg.w2
+           CROSS JOIN tot),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              floor(avg(s) * 1e4 + 0.5) / 1e4 AS surprisal
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.surprisal, 0.0) AS surprisal
+    FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "Interpolated bigram-LM surprisal (lam=0.7 bigram MLE + 0.3 unigram "
+    "backoff) — the word-ORDER-aware upgrade to unigram_surprisal: "
+    "shuffled token salad with innocuous unigrams lights up here. "
+    "Bigram counts shuffle on (w1, w2); the scoring side probes the "
+    "bigram and unigram tables via word-keyed equi-joins (linear in "
+    "token volume); the blend keeps an explicit association order "
+    "shared with the oracle and logs round at 6 before the per-doc "
+    "mean. Docs with fewer than two tokens report (0, 0.0).",
+)
+def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.bigram_surprisal(table(spark, sf, "documents"), lam=0.7)
+
+
 def _lang_sql() -> str:
     from .operators.text import STOPWORDS
     scores = ", ".join(

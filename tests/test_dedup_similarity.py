@@ -512,3 +512,32 @@ def test_pack_sequences_tiles_exactly(spark, sf_dir):
             assert a1 == b0
         want_end = B if (sid + 1) * B <= total else total - sid * B
         assert spans[-1][1] == want_end
+
+
+def test_bigram_surprisal_detects_word_order(spark):
+    """The bigram model must separate texts the unigram model cannot:
+    same words in natural vs shuffled order."""
+    import math
+
+    from kafka_streams_examples_spark.operators.text import (
+        bigram_surprisal, unigram_surprisal,
+    )
+
+    # the corpus model is trained on all docs, so the shuffled doc must
+    # be an OUTLIER against several natural-order copies — its
+    # transitions occur once in the corpus while the natural ones occur
+    # four times; the bags of words are identical
+    natural = "the cat sat on the mat"
+    shuffled = "mat the on sat cat the"
+    docs = spark.createDataFrame(
+        [(1, natural), (2, natural), (3, natural), (4, natural),
+         (5, shuffled), (6, "one")],
+        "doc_id long, text string")
+    uni = {r["doc_id"]: r["surprisal"] for r in unigram_surprisal(docs).collect()}
+    bi = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    # same bag of words -> unigram can't tell them apart
+    assert math.isclose(uni[1], uni[5], abs_tol=2e-4)
+    # bigram: the shuffled outlier's transitions are corpus-rare
+    assert bi[5]["surprisal"] > bi[1]["surprisal"]
+    # single-token doc: no bigram positions
+    assert bi[6]["n_bigrams"] == 0 and bi[6]["surprisal"] == 0.0

@@ -41,6 +41,8 @@ BNLJ_BY_DESIGN = {
     # 1-row corpus-total scalar attached via broadcast cross join before
     # the per-token probability (same shape as tfidf_top_terms)
     "unigram_surprisal",
+    # same 1-row corpus-total broadcast in the backoff term
+    "bigram_surprisal",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
