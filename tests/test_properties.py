@@ -240,3 +240,36 @@ def test_decontaminate_matches_naive(spark, data):
             for sid, frag in frags
             if f" {frag} " in f" {' '.join(toks)} "}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_pack_sequences_matches_naive(spark, data):
+    """Two-phase bucketed packing == the naive sequential tape on random
+    corpora: sparse/dense ids crossing the id_bits bucket boundary,
+    zero-token docs interleaved, docs far larger than the budget."""
+    from kafka_streams_examples_spark.operators.text import pack_sequences
+
+    ids = data.draw(st.lists(st.integers(min_value=0, max_value=5000),
+                             min_size=1, max_size=20, unique=True))
+    sizes = {i: data.draw(st.integers(min_value=0, max_value=40))
+             for i in ids}
+    budget = data.draw(st.sampled_from([3, 7, 16]))
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * sizes[i])) for i in ids],
+        "doc_id long, text string")
+    # id_bits=2 -> 4-id buckets, so random ids cross many bucket edges
+    got = {(r["doc_id"], r["seq_id"], r["seq_off"], r["tok_from"], r["tok_to"])
+           for r in pack_sequences(docs, budget=budget, id_bits=2).collect()}
+
+    want = set()
+    off = 0
+    for i in sorted(ids):
+        n = sizes[i]
+        if n > 0:
+            for j in range(off // budget, (off + n - 1) // budget + 1):
+                lo = max(off, j * budget)
+                hi = min(off + n, (j + 1) * budget)
+                want.add((i, j, lo - j * budget, lo - off, hi - off))
+            off += n
+    assert got == want
