@@ -1,0 +1,158 @@
+"""Byte-pair-encoding merge training over the corpus word table.
+
+The tokenizer-training half of an LLM data pipeline: count adjacent
+symbol pairs over the word-frequency table, merge the most frequent
+pair, repeat. This is Sennrich et al. (ACL'16) BPE restricted to
+whitespace-word boundaries — the same restriction the original
+algorithm makes — so training runs over the *aggregated vocabulary*
+(distinct words + counts), never the raw corpus: at 100 TB the corpus
+collapses to a vocabulary table a few orders of magnitude smaller in
+the first aggregation, and every subsequent iteration touches only
+that table.
+
+Merge-application contract (engine-portable by construction)
+------------------------------------------------------------
+A word's segmentation is its symbols joined by single spaces
+(``"k e y"``). Merging pair (l, r) replaces ``" l r "`` with
+``" lr "`` on the space-padded string, applied TWICE; literal
+``replace`` is left-to-right non-overlapping in both Spark and DuckDB,
+and the second pass catches the alternating occurrences the first
+pass's consumed separators skipped. For runs of >= 5 identical
+symbols this groups ``a a a a a`` as ``(aa) a (aa)`` where canonical
+greedy BPE gives ``(aa) (aa) a`` — same merge count, different
+residual position; the contract is the two-pass replace, identically
+on both engines, so the oracle matches bit-for-bit. Ties on pair
+count break to the lexicographically smallest (lhs, rhs).
+
+No driver-side control flow: the iteration count is fixed, the best
+pair stays a 1-row DataFrame attached via broadcast, and each
+iteration's vocabulary is lazily localCheckpoint'ed (one job per
+iteration on first action, linear total work — the
+``operators/dedup.py`` CC-loop pattern).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import stable_round, tokens
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lower-cased whitespace tokens — the only pass
+    that ever reads document text."""
+    return (docs.select(F.explode(tokens(text_col)).alias("word"))
+                .filter(F.col("word") != "")
+                .groupBy("word").agg(F.count("*").alias("cnt")))
+
+
+def _char_seq(word) -> F.Column:
+    """Space-joined characters: 'key' -> 'k e y' (words contain no
+    whitespace by construction of the tokenizer split)."""
+    return F.trim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word frequency.
+
+    A codegen'd array expression (transform over sequence) — pairs per
+    word are positions 0..n-2 of the split segmentation; only words
+    with >= 2 symbols contribute."""
+    arr = F.split("seq", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(arr) - 2),
+        lambda i: F.struct(F.get(arr, i).alias("lhs"),
+                           F.get(arr, i + 1).alias("rhs")))
+    return (vocab.filter(F.size(arr) >= 2)
+                 .select(F.explode(pairs).alias("p"), "cnt")
+                 .groupBy(F.col("p.lhs").alias("lhs"),
+                          F.col("p.rhs").alias("rhs"))
+                 .agg(F.sum("cnt").alias("cnt")))
+
+
+def _apply_merge(seq, lhs, rhs) -> F.Column:
+    """Two-pass non-overlapping literal replace on the padded string —
+    the portable merge contract (module docstring)."""
+    pat = F.concat(F.lit(" "), lhs, F.lit(" "), rhs, F.lit(" "))
+    rep = F.concat(F.lit(" "), lhs, rhs, F.lit(" "))
+    padded = F.concat(F.lit(" "), seq, F.lit(" "))
+    return F.trim(F.replace(F.replace(padded, pat, rep), pat, rep))
+
+
+def _train(docs: DataFrame, merges: int,
+           text_col: str) -> tuple[list[DataFrame], DataFrame]:
+    """Shared trainer: returns ([best_1..best_K], final vocab).
+
+    Each best_i is the 1-row (merge_rank, lhs, rhs, merged, cnt) winner
+    of iteration i; vocab is (word, seq, cnt) after all K merges. If
+    the pair space exhausts before K (degenerate corpora), later
+    iterations are empty — on both engines identically, since the
+    oracle unrolls the same cross join against an empty winner."""
+    vocab = (word_counts(docs, text_col)
+             .select("word", _char_seq(F.col("word")).alias("seq"), "cnt")
+             .localCheckpoint(eager=False))
+    bests: list[DataFrame] = []
+    for i in range(merges):
+        best = (_pair_counts(vocab)
+                .orderBy(F.desc("cnt"), "lhs", "rhs").limit(1))
+        bests.append(best.select(
+            F.lit(i + 1).alias("merge_rank"), "lhs", "rhs",
+            F.concat("lhs", "rhs").alias("merged"), "cnt"))
+        winner = F.broadcast(best.select(F.col("lhs").alias("__bl"),
+                                         F.col("rhs").alias("__br")))
+        vocab = (vocab.join(winner, F.lit(True))
+                      .select("word",
+                              _apply_merge(F.col("seq"), F.col("__bl"),
+                                           F.col("__br")).alias("seq"),
+                              "cnt")
+                      .localCheckpoint(eager=False))
+    return bests, vocab
+
+
+def bpe_train(docs: DataFrame, merges: int = 6,
+              text_col: str = "text") -> DataFrame:
+    """The learned merge table: (merge_rank, lhs, rhs, merged, cnt),
+    one row per iteration in training order."""
+    bests, _ = _train(docs, merges, text_col)
+    return reduce(DataFrame.unionAll, bests)
+
+
+def bpe_vocab(docs: DataFrame, merges: int = 6,
+              text_col: str = "text") -> DataFrame:
+    """Final segmentation table after K merges: (word, seq, cnt)."""
+    _, vocab = _train(docs, merges, text_col)
+    return vocab
+
+
+def bpe_fertility(docs: DataFrame, merges: int = 6,
+                  text_col: str = "text",
+                  group_col: str = "source") -> DataFrame:
+    """Tokenizer fertility (symbols per word) per document group after
+    K merges — the standard tokenizer-quality diagnostic (a vocabulary
+    that compresses one domain but not another shows up here first).
+
+    Composes the trainer with a per-(group, word) corpus count and a
+    vocabulary join: the corpus is read twice (once into the trainer's
+    word table, once for group counts), the segmentation table joins on
+    the word key, and only (group, word, cnt) triples shuffle. Returns
+    (group, n_words, n_symbols, fertility) with fertility = symbols /
+    words rounded at 4 (exact-integer doubles in, portable rounding
+    out)."""
+    vocab = bpe_vocab(docs, merges, text_col)
+    per_gw = (docs.select(F.col(group_col).alias("grp"),
+                          F.explode(tokens(text_col)).alias("word"))
+                  .filter(F.col("word") != "")
+                  .groupBy("grp", "word").agg(F.count("*").alias("c")))
+    n_sym = F.size(F.split("seq", " "))
+    joined = per_gw.join(vocab, "word").select(
+        "grp", "c", (F.col("c") * n_sym).alias("syms"))
+    return (joined.groupBy(F.col("grp").alias(group_col))
+                  .agg(F.sum("c").alias("n_words"),
+                       F.sum("syms").alias("n_symbols"))
+                  .select(group_col, "n_words", "n_symbols",
+                          stable_round(F.col("n_symbols")
+                                       / F.col("n_words"), 4)
+                          .alias("fertility")))

@@ -22,7 +22,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import md5_hash64
+from ..functions import md5_hash64, stable_round, tokens
 
 _SCALE = 10_000  # rate resolution 0.01%
 
@@ -119,3 +119,38 @@ def global_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
              .join(F.broadcast(offsets), "__b")
              .select(F.col(key_col),
                      (F.col("__off") + F.col("__rn")).cast("long").alias("pos")))
+
+
+def source_mixture(docs: DataFrame, alpha: float = 0.5,
+                   group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Temperature-weighted source-mixing table — the sampling weights a
+    multi-source training run draws from (the alpha-smoothed mixture of
+    mC4/XLM-R: w_s proportional to tokens_s^alpha, alpha < 1 upweights
+    small sources).
+
+    alpha is fixed at 0.5 so the power is sqrt(), the one libm function
+    IEEE-754 requires to be correctly rounded — bit-identical across
+    engines. Cross-engine float-sum order-dependence is removed by
+    quantizing each source's sqrt(tokens) to an INTEGER of micro-units
+    before the normalizing sum: integer sums are exact in any order, and
+    the final weight is one double division of two exact integers, then
+    portable rounding. One corpus scan + a groupBy on the handful of
+    sources; the normalizing sum is a window over that handful.
+
+    Returns (source, n_docs, n_tokens, weight) with sum(weight) ~= 1.
+    """
+    from pyspark.sql import Window
+
+    assert alpha == 0.5, "portable contract is fixed at alpha=1/2 (sqrt)"
+    tok_cnt = F.size(F.filter(tokens(text_col), lambda x: x != ""))
+    per_src = (docs.select(F.col(group_col), tok_cnt.alias("__t"))
+                   .groupBy(group_col)
+                   .agg(F.count("*").alias("n_docs"),
+                        F.sum("__t").cast("long").alias("n_tokens")))
+    isq = F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6
+                  + F.lit(0.5)).cast("long")
+    denom = F.sum(isq).over(Window.partitionBy())
+    weight = stable_round(isq.cast("double") / denom.cast("double"), 6)
+    return per_src.select(group_col, "n_docs", "n_tokens",
+                          weight.alias("weight"))

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from .catalog import table
 from .functions import tokens
+from .operators import bpe as BPE
 from .operators import dedup as D
 from .operators import joins as J
 from .operators import ktable as K
@@ -3175,3 +3176,113 @@ def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
                      .cast("bigint").alias("wk"))
              .distinct())
     return act.groupBy("cohort", "wk").agg(F.count("*").cast("bigint").alias("users"))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer training (BPE) + data mixing
+
+
+def _bpe_ctes(iters: int) -> str:
+    """BPE training unrolled as CTE triples (pairs p{i} / winner b{i} /
+    merged vocab v{i+1}) — the `_kmeans_ctes` pattern. Identical merge
+    contract to operators/bpe.py: space-joined segmentation, two-pass
+    non-overlapping literal replace on the padded string, ties to the
+    lexicographically smallest pair."""
+    parts = [
+        "w AS (SELECT word, count(*) AS cnt FROM "
+        f"({SQL_TOKENS}) WHERE word <> '' GROUP BY word)",
+        r"v0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g'))"
+        " AS seq, cnt FROM w)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"p{i} AS (SELECT arr[j] AS lhs, arr[j+1] AS rhs, "
+            f"CAST(sum(cnt) AS BIGINT) AS cnt "
+            f"FROM (SELECT string_split(seq, ' ') AS arr, cnt FROM v{i}), "
+            f"unnest(generate_series(1, len(arr) - 1)) AS t(j) "
+            f"GROUP BY 1, 2)")
+        parts.append(
+            f"b{i} AS (SELECT lhs, rhs, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)")
+        parts.append(
+            f"v{i + 1} AS (SELECT v.word, trim(replace(replace("
+            f"' ' || v.seq || ' ', "
+            f"' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' '), "
+            f"' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')) "
+            f"AS seq, v.cnt FROM v{i} v, b{i} b)")
+    return ",\n    ".join(parts)
+
+
+def _bpe_train_sql(iters: int) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INTEGER) AS merge_rank, lhs, rhs, "
+        f"lhs || rhs AS merged, cnt FROM b{i}" for i in range(iters))
+    return f"WITH {_bpe_ctes(iters)} SELECT * FROM ({rows})"
+
+
+@query(
+    "bpe_train",
+    _bpe_train_sql(6),
+    "BPE merge training (Sennrich ACL'16, word-boundary-restricted): six "
+    "most-frequent adjacent-symbol merges over the corpus word-frequency "
+    "table — the tokenizer-training half of an LLM data pipeline. The "
+    "corpus is read ONCE into the vocabulary aggregate; every iteration "
+    "then touches only that table (orders smaller than the corpus at "
+    "100 TB), the winning pair stays a 1-row broadcast (no driver "
+    "collect), and each iteration's vocab is lazily localCheckpoint'ed — "
+    "one job per merge, the CC-loop pattern. Merge application is the "
+    "two-pass non-overlapping literal replace, identical on both engines "
+    "by construction (operators/bpe.py module docstring).",
+)
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    return BPE.bpe_train(table(spark, sf, "documents"), merges=6)
+
+
+@query(
+    "bpe_fertility",
+    f"""WITH {_bpe_ctes(6)},
+    gw AS (SELECT source AS grp, word, count(*) AS c
+           FROM (SELECT source, unnest(regexp_split_to_array(lower(text),
+                 '\\s+')) AS word FROM documents)
+           WHERE word <> '' GROUP BY 1, 2)
+    SELECT grp AS source, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * len(string_split(v.seq, ' '))) AS BIGINT) AS n_symbols,
+           floor(CAST(sum(c * len(string_split(v.seq, ' '))) AS DOUBLE)
+                 / CAST(sum(c) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility
+    FROM gw JOIN v6 v USING (word) GROUP BY grp""",
+    "Tokenizer fertility (symbols/word) per source after the six learned "
+    "merges — trainer composed with a per-(source, word) count and a "
+    "vocabulary join in ONE plan; only (source, word, cnt) triples "
+    "shuffle. The standard per-domain tokenizer-quality diagnostic: a "
+    "vocabulary that compresses one domain but not another shows up "
+    "here first. Division is exact-integer doubles through "
+    "stable_round(4).",
+)
+def q_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    return BPE.bpe_fertility(table(spark, sf, "documents"), merges=6)
+
+
+@query(
+    "source_mixture",
+    r"""WITH s AS (SELECT source, count(*) AS n_docs,
+      CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    i AS (SELECT source, n_docs, n_tokens,
+      CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS isq
+      FROM s)
+    SELECT source, n_docs, n_tokens,
+      floor(CAST(isq AS DOUBLE) / CAST(sum(isq) OVER () AS DOUBLE) * 1e6 + 0.5)
+        / 1e6 AS weight
+    FROM i""",
+    "Temperature-weighted source mixture (alpha=1/2, the mC4/XLM-R "
+    "smoothing): per-source sampling weight proportional to "
+    "sqrt(tokens), normalized. sqrt is the IEEE-correctly-rounded libm "
+    "call, each sqrt quantizes to integer micro-units BEFORE the "
+    "normalizing sum (integer sums are order-exact), and the weight is "
+    "one double division of two exact integers through stable_round(6) "
+    "— no float-sum order dependence anywhere. One corpus scan, one "
+    "groupBy on the source handful, one tiny window.",
+)
+def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    return SAMP.source_mixture(table(spark, sf, "documents"), alpha=0.5)

@@ -1,0 +1,114 @@
+"""BPE trainer + mixture-weight operators vs plain-Python references.
+
+The python reference below implements the SAME contract as
+operators/bpe.py (space-joined segmentation, two-pass non-overlapping
+literal replace, count-desc/lex-asc tie-break) so the test checks the
+Spark plan computes the contract, not that the contract equals some
+third definition.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.operators import bpe as BPE
+from kafka_streams_examples_spark.operators.sampling import source_mixture
+
+
+def _py_bpe(words: Counter, merges: int):
+    """Reference trainer on a word->count table."""
+    vocab = {w: " ".join(w) for w in words}
+    out = []
+    for _ in range(merges):
+        pc = Counter()
+        for w, seq in vocab.items():
+            syms = seq.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        top = max(pc.values())
+        l, r = min(p for p, c in pc.items() if c == top)
+        out.append((l, r, top))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        vocab = {w: (" " + s + " ").replace(pat, rep).replace(pat, rep).strip()
+                 for w, s in vocab.items()}
+    return out, vocab
+
+
+CORPUS = [
+    "low low low low low lower lower newest newest newest",
+    "newest newest newest widest widest widest new new banana",
+    "aaaaa abab abab bb bb bb",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 2}") for i, t in enumerate(CORPUS)],
+        ["doc_id", "text", "source"])
+
+
+def test_bpe_train_matches_python_reference(docs):
+    words = Counter(w for t in CORPUS for w in t.split())
+    expected, _ = _py_bpe(words, 5)
+    got = [(r.lhs, r.rhs, r.cnt) for r in
+           BPE.bpe_train(docs, merges=5).orderBy("merge_rank").collect()]
+    assert got == expected
+
+
+def test_bpe_vocab_matches_python_reference(docs):
+    words = Counter(w for t in CORPUS for w in t.split())
+    _, exp_vocab = _py_bpe(words, 5)
+    got = {r.word: r.seq for r in BPE.bpe_vocab(docs, merges=5).collect()}
+    assert got == exp_vocab
+    # counts survive untouched
+    cnts = {r.word: r.cnt for r in BPE.bpe_vocab(docs, merges=5).collect()}
+    assert cnts == dict(words)
+
+
+def test_two_pass_replace_contract_on_identical_runs(docs):
+    # 'aaaaa' after merging (a,a) must group as (aa) a (aa) — the documented
+    # two-pass contract, not canonical greedy's (aa)(aa) a
+    spark = docs.sparkSession
+    one = spark.createDataFrame([(0, "aaaaa", "s")],
+                                ["doc_id", "text", "source"])
+    v = {r.word: r.seq for r in BPE.bpe_vocab(one, merges=1).collect()}
+    assert v == {"aaaaa": "aa a aa"}
+
+
+def test_fertility_consistency(docs):
+    fert = {r.source: r for r in BPE.bpe_fertility(docs, merges=5).collect()}
+    all_words = Counter(w for t in CORPUS for w in t.split())
+    _, vocab = _py_bpe(all_words, 5)
+    for src in ("src0", "src1"):
+        texts = [t for i, t in enumerate(CORPUS) if f"src{i % 2}" == src]
+        ws = [w for t in texts for w in t.split()]
+        syms = sum(len(vocab[w].split(" ")) for w in ws)
+        assert fert[src].n_words == len(ws)
+        assert fert[src].n_symbols == syms
+        # fertility passes through stable_round(4)
+        assert abs(fert[src].fertility - syms / len(ws)) < 5.1e-5
+
+
+def test_source_mixture_weights(docs):
+    rows = source_mixture(docs, alpha=0.5).collect()
+    # weights normalize (quantization leaves ~1e-6 slack) and upweight
+    # the smaller source relative to its token share
+    tot = sum(r.weight for r in rows)
+    assert abs(tot - 1.0) < 1e-4
+    by_src = {r.source: r for r in rows}
+    lo = min(by_src.values(), key=lambda r: r.n_tokens)
+    hi = max(by_src.values(), key=lambda r: r.n_tokens)
+    if lo.n_tokens != hi.n_tokens:
+        assert lo.weight / hi.weight > lo.n_tokens / hi.n_tokens
+    assert {r.n_docs for r in rows} == {2, 1}
+
+
+def test_bpe_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert BPE.bpe_train(empty, merges=3).count() == 0
