@@ -82,6 +82,9 @@ HEADLINE = [
     "knn_ivf_trained",
     "dedup_keep_best",
     "bigram_surprisal",
+    # r5 third session: tokenizer training + data mixing
+    "bpe_train",
+    "source_mixture",
 ]
 
 

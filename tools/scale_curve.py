@@ -39,6 +39,8 @@ CURVE = [
     "pii_redact", "kmeans_train", "knn_ivf_trained", "knn_multiprobe",
     "unigram_surprisal", "dedup_keep_best", "semantic_dedup",
     "pack_sequences",
+    # r5 third session (vocabulary-aggregate iteration; single-scan mixture)
+    "bpe_train", "bpe_fertility", "source_mixture",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -46,13 +48,19 @@ SFS = [("0.01", "/root/testdata/sf0.01"),
        ("1", ".scale/sf1")]
 
 
-def main(out_path: str = "SCALE_r05.json") -> None:
+def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> None:
+    """Measure CURVE (or just `only`) and write/merge the report: when
+    `only` is given and out_path exists, rows merge into it so a new
+    operator's curve lands without re-running the whole family."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
     QUERIES["tpch_q1"].spark(spark, SFS[0][1]).count()          # warmup
 
     report: dict[str, dict] = {}
-    for name in CURVE:
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f).get("queries", {})
+    for name in (only or CURVE):
         row: dict[str, float] = {}
         for sf, sf_dir in SFS:
             best = float("inf")
@@ -80,4 +88,5 @@ def main(out_path: str = "SCALE_r05.json") -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r05.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r05.json",
+         only=sys.argv[2:] or None)
