@@ -82,9 +82,10 @@ HEADLINE = [
     "knn_ivf_trained",
     "dedup_keep_best",
     "bigram_surprisal",
-    # r5 third session: tokenizer training + data mixing
+    # r5 third session: tokenizer training + data mixing + PQ ANN
     "bpe_train",
     "source_mixture",
+    "pq_knn",
 ]
 
 

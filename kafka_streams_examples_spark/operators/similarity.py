@@ -106,28 +106,15 @@ def _sq_dist(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Lloyd's k-means with deterministic init — trains the coarse
-    quantizer that `ivf_knn` routes through (the codebook-building half of
-    an IVF index, so the ANN path no longer depends on a provided label).
-
-    Init: the k lowest-id vectors (TakeOrderedAndProject — no global
-    sort). Each iteration: assign every vector to its nearest centroid
-    (k-row centroid table broadcast against the corpus scan; per-vector
-    rank prune), then recompute centroids as per-dimension means via
-    posexplode + regroup — the same two-shuffle shape as
-    `centroids_from_labels`, linear in n*dim and independent of k. The
-    loop runs a FIXED iteration count (no convergence collect), so the
-    whole operator is `iters + 1` passes over the corpus; at 100 TB each
-    iteration's centroid table is k*dim doubles — trivially broadcastable
-    — and the corpus is never shuffled, only (cid, dim, x) triples.
-
-    Distances and centroid components round through stable_round so the
-    argmin is reproducible across engines (ties break toward the lower
-    centroid id). Returns the final assignment:
-    (vec_id, cluster, dist) with dist = squared L2, rounded to 4.
-    """
+def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """Lloyd's loop shared by `kmeans_train` and `pq_knn`: returns
+    (codebook, assignment) where codebook is the final (cid, cent) table
+    the assignment was computed against — PQ's ADC step needs exactly
+    that table, not a re-derived mean. Same contract as `kmeans_train`
+    (lowest-id seeds, fixed iterations, stable_round'ed distances and
+    centroid components, ties to the lower cid)."""
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
@@ -157,10 +144,107 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                               F.transform("__dm",
                                           lambda s: stable_round(s["m"], 6))
                                .alias("cent")))
-    final = assign(cents)
+    return cents, assign(cents)
+
+
+def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means with deterministic init — trains the coarse
+    quantizer that `ivf_knn` routes through (the codebook-building half of
+    an IVF index, so the ANN path no longer depends on a provided label).
+
+    Init: the k lowest-id vectors (TakeOrderedAndProject — no global
+    sort). Each iteration: assign every vector to its nearest centroid
+    (k-row centroid table broadcast against the corpus scan; per-vector
+    rank prune), then recompute centroids as per-dimension means via
+    posexplode + regroup — the same two-shuffle shape as
+    `centroids_from_labels`, linear in n*dim and independent of k. The
+    loop runs a FIXED iteration count (no convergence collect), so the
+    whole operator is `iters + 1` passes over the corpus; at 100 TB each
+    iteration's centroid table is k*dim doubles — trivially broadcastable
+    — and the corpus is never shuffled, only (cid, dim, x) triples.
+
+    Distances and centroid components round through stable_round so the
+    argmin is reproducible across engines (ties break toward the lower
+    centroid id). Returns the final assignment:
+    (vec_id, cluster, dist) with dist = squared L2, rounded to 4.
+    """
+    _, final = _kmeans_fit(corpus, k, iters, id_col, vec_col)
     return final.select("vec_id",
                         F.col("cid").alias("cluster"),
                         stable_round(F.col("d"), 4).alias("dist"))
+
+
+def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
+           m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           exclude_self: bool = True) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI'11): the
+    memory-bound scale tier — each corpus vector compresses to m small
+    codes, and query scoring never touches the original vectors.
+
+    Train: the vector splits into m contiguous subvectors; each subspace
+    fits its own `codebook`-centroid k-means (`_kmeans_fit`, shared
+    contract). Encode: a vector's code in subspace s is its nearest
+    subspace centroid — the corpus becomes (vec_id, code_0..code_{m-1}),
+    m ints per vector regardless of dim. Both halves are lazily
+    localCheckpoint'ed: the trainer's broadcast-assign lineage never
+    reaches the serving plan.
+
+    Score (ADC — asymmetric distance): each query precomputes its
+    partial squared-L2 to every subspace centroid (m*codebook doubles
+    per query, a tiny broadcast table); a corpus row's approximate
+    distance is the sum of m lookups joined on its codes — equi-joins
+    only, rank-pruned per query. At 100 TB the codes table is ~1000x
+    smaller than the vectors and the scan reads no embedding bytes.
+
+    Partial distances round at 6 (the kmeans contract) and the m-term
+    sum adds left-to-right identically on both engines; output is
+    (q_id, c_id, adc_dist rounded 4, rnk), ascending distance, ties to
+    the lower candidate id.
+    """
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    w = dim // m
+
+    def sub(df: DataFrame, s: int) -> DataFrame:
+        return df.select(F.col(id_col),
+                         F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col))
+
+    codes, pds = None, []
+    for s in range(m):
+        cents, assigned = _kmeans_fit(sub(corpus, s), codebook, iters,
+                                      id_col, vec_col)
+        cents = cents.localCheckpoint(eager=False)
+        code_s = (assigned.select("vec_id", F.col("cid").alias(f"k{s}"))
+                          .localCheckpoint(eager=False))
+        codes = code_s if codes is None else codes.join(code_s, "vec_id")
+        qsub = sub(queries, s).select(
+            F.col(id_col).alias("q_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("qe"))
+        pd_s = (qsub.join(F.broadcast(cents), F.lit(True))
+                    .select("q_id", F.col("cid").alias(f"k{s}"),
+                            stable_round(_sq_dist(F.col("qe"), F.col("cent")),
+                                         6).alias(f"d{s}")))
+        pds.append(pd_s)
+
+    cand = codes
+    for s, pd_s in enumerate(pds):
+        on = [f"k{s}"] if s == 0 else ["q_id", f"k{s}"]
+        cand = cand.join(F.broadcast(pd_s), on)
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("vec_id"))
+    ad = F.col("d0")
+    for s in range(1, m):
+        ad = ad + F.col(f"d{s}")
+    scored = cand.select("q_id", F.col("vec_id").alias("c_id"),
+                         ad.alias("__ad"))
+    rw = Window.partitionBy("q_id").orderBy("__ad", "c_id")
+    return (scored.withColumn("rnk", F.row_number().over(rw))
+                  .filter(F.col("rnk") <= k)
+                  .select("q_id", "c_id",
+                          stable_round(F.col("__ad"), 4).alias("adc_dist"),
+                          F.col("rnk").cast("long").alias("rnk")))
 
 
 def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -1071,41 +1071,47 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivf_knn(emb.filter(F.col("vec_id") < 20), emb, k=5, nprobe=2)
 
 
-def _kmeans_ctes(k: int | str = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int | str = 8, iters: int = 2, prefix: str = "",
+                 vec_expr: str = "embedding") -> str:
     """Lloyd's iterations unrolled as CTE pairs (assign a{i} / update c{i+1});
     returns the WITH-body ending at a{iters} (the final assignment).
     `k` may be an int literal or a SQL scalar-subquery string (DuckDB
     accepts expressions in LIMIT), letting callers scale the cluster
-    count with the corpus.
+    count with the corpus. `prefix` namespaces every CTE (the PQ oracle
+    trains one codebook per subspace in a single statement) and
+    `vec_expr` selects the trained vector (e.g. a list slice for PQ
+    subvectors).
 
     Same arithmetic as operators/similarity.kmeans_train: squared-L2
     distances and centroid means pass through the engine-portable
     floor(x*1eD + 0.5)/1eD rounding before any comparison, ties break
     toward the lower centroid id."""
+    p = prefix
+
     def dist(cent_rel: str) -> str:
         return ("floor(list_sum(list_transform(generate_series(1, len(v.e)), "
                 f"i -> (v.e[i] - {cent_rel}.cent[i]) * (v.e[i] - {cent_rel}.cent[i])))"
                 " * 1e6 + 0.5) / 1e6")
 
     def assign(i: int) -> str:
-        return (f"a{i} AS (SELECT vec_id, e, cid, d FROM ("
+        return (f"{p}a{i} AS (SELECT vec_id, e, cid, d FROM ("
                 f"  SELECT vec_id, e, cid, d, row_number() OVER "
                 f"(PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ("
                 f"    SELECT v.vec_id, v.e, c.cid, {dist('c')} AS d"
-                f"    FROM v CROSS JOIN c{i} c)) WHERE rn = 1)")
+                f"    FROM {p}v v CROSS JOIN {p}c{i} c)) WHERE rn = 1)")
 
     def update(i: int) -> str:
-        return (f"c{i + 1} AS (SELECT cid, "
+        return (f"{p}c{i + 1} AS (SELECT cid, "
                 f"list(floor(m * 1e6 + 0.5) / 1e6 ORDER BY dim) AS cent FROM ("
                 f"  SELECT cid, dim, avg(e[dim]) AS m"
-                f"  FROM a{i}, unnest(generate_series(1, len(e))) AS u(dim)"
+                f"  FROM {p}a{i}, unnest(generate_series(1, len(e))) AS u(dim)"
                 f"  GROUP BY cid, dim) GROUP BY cid)")
 
     steps = ", ".join(f"{assign(i)}, {update(i)}" for i in range(iters))
-    return f"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    return f"""{p}v AS (SELECT vec_id, list_transform({vec_expr}, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
-    c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS cent
-           FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})),
+    {p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, e AS cent
+           FROM (SELECT vec_id, e FROM {p}v ORDER BY vec_id LIMIT {k})),
     {steps},
     {assign(iters)}"""
 
@@ -3286,3 +3292,64 @@ def q_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return SAMP.source_mixture(table(spark, sf, "documents"), alpha=0.5)
+
+
+def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
+            topk: int = 5) -> str:
+    """Oracle for the PQ/ADC pipeline: one `_kmeans_ctes` block per
+    subspace (prefixed, sliced vec_expr), codes joined per vector,
+    per-query partial-distance tables, and the m-term ADC sum added
+    left-to-right exactly as the Spark expression does."""
+    w = dim // m
+    blocks, qs, pds = [], [], []
+    for s in range(m):
+        lo, hi = s * w + 1, s * w + w
+        blocks.append(_kmeans_ctes(codebook, iters, prefix=f"s{s}_",
+                                   vec_expr=f"embedding[{lo}:{hi}]"))
+        qs.append(
+            f"q{s} AS (SELECT vec_id AS q_id, "
+            f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS qe "
+            f"FROM embeddings WHERE vec_id < 20)")
+        pds.append(
+            f"pd{s} AS (SELECT q.q_id, c.cid, "
+            f"floor(list_sum(list_transform(generate_series(1, len(q.qe)), "
+            f"i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))) "
+            f"* 1e6 + 0.5) / 1e6 AS d "
+            f"FROM q{s} q CROSS JOIN s{s}_c{iters} c)")
+    code_cols = ", ".join(f"a{s}.cid AS k{s}" for s in range(m))
+    code_joins = " ".join(f"JOIN s{s}_a{iters} a{s} USING (vec_id)"
+                          for s in range(1, m))
+    codes = (f"codes AS (SELECT a0.vec_id, {code_cols} "
+             f"FROM s0_a{iters} a0 {code_joins})")
+    pd_joins = " ".join(
+        f"JOIN pd{s} p{s} ON p{s}.q_id = p0.q_id AND p{s}.cid = x.k{s}"
+        for s in range(1, m))
+    ad = " + ".join(f"p{s}.d" for s in range(m))
+    cand = (f"cand AS (SELECT p0.q_id, x.vec_id AS c_id, {ad} AS ad "
+            f"FROM codes x JOIN pd0 p0 ON p0.cid = x.k0 {pd_joins} "
+            f"WHERE p0.q_id <> x.vec_id)")
+    body = ",\n    ".join(blocks + qs + pds + [codes, cand])
+    return (f"WITH {body} "
+            f"SELECT q_id, c_id, floor(ad * 1e4 + 0.5) / 1e4 AS adc_dist, rnk "
+            f"FROM (SELECT q_id, c_id, ad, row_number() OVER "
+            f"(PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM cand) t "
+            f"WHERE rnk <= {topk}")
+
+
+@query(
+    "pq_knn",
+    _pq_sql(m=4, codebook=16, iters=1, dim=64, topk=5),
+    "Product-quantization ANN (Jegou et al., TPAMI'11), the memory-bound "
+    "scale tier of the ANN ladder: each 64-dim vector compresses to four "
+    "subspace codes (16-centroid codebook per subspace, `_kmeans_fit` "
+    "contract), queries precompute m*16 partial squared-L2 entries, and "
+    "scoring is four broadcast equi-join lookups + a left-to-right sum — "
+    "the serving scan reads codes, never embedding bytes (~1000x less "
+    "I/O at 100 TB). Trainer and encoder are localCheckpoint'ed, so the "
+    "serving plan carries no Lloyd's lineage. Oracle: per-subspace "
+    "`_kmeans_ctes` (prefixed, sliced) + the identical ADC join/sum.",
+)
+def q_pq_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.pq_knn(emb.filter(F.col("vec_id") < 20), emb,
+                      k=5, m=4, codebook=16, iters=1, dim=64)

@@ -541,3 +541,56 @@ def test_bigram_surprisal_detects_word_order(spark):
     assert bi[5]["surprisal"] > bi[1]["surprisal"]
     # single-token doc: no bigram positions
     assert bi[6]["n_bigrams"] == 0 and bi[6]["surprisal"] == 0.0
+
+
+def test_pq_knn_exact_on_reconstructible_corpus(spark):
+    """Corpus drawn exactly from a per-subspace prototype set: after one
+    Lloyd's pass the codebook IS the prototype set, quantization error is
+    zero, and ADC distance equals exact squared L2 — so pq_knn must
+    reproduce the exact-distance ranking."""
+    from kafka_streams_examples_spark.operators.similarity import pq_knn
+
+    protos = [[float(10 * p + j) for j in range(2)] for p in range(4)]
+    # vectors 0..3 are "pure" (prototype i in both subspaces) -> seeds
+    # cover every prototype in every subspace; the rest mix prototypes
+    mixes = [(0, 0), (1, 1), (2, 2), (3, 3),
+             (0, 1), (1, 0), (2, 3), (3, 2), (0, 3), (2, 1)]
+    rows = [(i, protos[a] + protos[b]) for i, (a, b) in enumerate(mixes)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = pq_knn(df.filter("vec_id < 3"), df, k=3, m=2, codebook=4,
+                 iters=1, dim=4).collect()
+
+    def sqd(u, v):
+        return sum((x - y) ** 2 for x, y in zip(u, v))
+    vecs = dict(rows)
+    for q in range(3):
+        exact = sorted(((sqd(vecs[q], vecs[c]), c)
+                        for c in vecs if c != q))[:3]
+        mine = sorted([(r.adc_dist, r.c_id) for r in got if r.q_id == q])
+        assert [c for _, c in mine] == [c for _, c in exact]
+        for (gd, _), (ed, _) in zip(mine, exact):
+            assert abs(gd - ed) < 1e-6
+
+
+def test_pq_knn_recall_on_corpus(spark, sf_dir):
+    """On the real embeddings, ADC ranking must be meaningfully better
+    than random: mean exact-cosine of PQ's top-5 within a small margin of
+    the exact top-5's mean."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        brute_force_knn, pq_knn,
+    )
+    emb = cat_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = {(r.q_id, r.c_id) for r in brute_force_knn(q, emb, k=5).collect()}
+    approx = {(r.q_id, r.c_id) for r in
+              pq_knn(q, emb, k=5, m=4, codebook=16, iters=1).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, recall  # far above the ~5/500 random baseline
+
+
+def test_pq_knn_empty_inputs(spark):
+    from kafka_streams_examples_spark.operators.similarity import pq_knn
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one = spark.createDataFrame([(0, [0.0] * 64)], ["vec_id", "embedding"])
+    assert pq_knn(empty, one, k=3).count() == 0

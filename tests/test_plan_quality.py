@@ -43,6 +43,10 @@ BNLJ_BY_DESIGN = {
     "unigram_surprisal",
     # same 1-row corpus-total broadcast in the backoff term
     "bigram_surprisal",
+    # ADC lookup tables: each query scores every m*16-entry subspace
+    # codebook (a tiny broadcast) to build its partial-distance table;
+    # corpus-side scoring itself is equi-joins on the codes
+    "pq_knn",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

@@ -39,8 +39,9 @@ CURVE = [
     "pii_redact", "kmeans_train", "knn_ivf_trained", "knn_multiprobe",
     "unigram_surprisal", "dedup_keep_best", "semantic_dedup",
     "pack_sequences",
-    # r5 third session (vocabulary-aggregate iteration; single-scan mixture)
-    "bpe_train", "bpe_fertility", "source_mixture",
+    # r5 third session (vocabulary-aggregate iteration; single-scan mixture;
+    # codes-not-vectors ADC serving)
+    "bpe_train", "bpe_fertility", "source_mixture", "pq_knn",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
