@@ -3353,3 +3353,35 @@ def q_pq_knn(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return SIM.pq_knn(emb.filter(F.col("vec_id") < 20), emb,
                       k=5, m=4, codebook=16, iters=1, dim=64)
+
+
+@query(
+    "value_percentiles",
+    "WITH q AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "quantile_cont(value, [0.5, 0.9, 0.99]) AS qs "
+    "FROM events GROUP BY event_type) "
+    "SELECT event_type, n, "
+    "floor(qs[1] * 1e4 + 0.5) / 1e4 AS p50, "
+    "floor(qs[2] * 1e4 + 0.5) / 1e4 AS p90, "
+    "floor(qs[3] * 1e4 + 0.5) / 1e4 AS p99 FROM q",
+    "Exact interpolated percentiles (p50/p90/p99) of event value per "
+    "type — the latency-SLO warehouse shape. Spark `percentile` and "
+    "DuckDB `quantile_cont` share the linear-interpolation definition "
+    "h=(n-1)p and produce bit-identical doubles on identical groups "
+    "(verified including trailing float noise); stable_round(4) guards "
+    "the boundary. One shuffle on the handful of types; at 100 TB swap "
+    "in approx_percentile with a documented error budget — the exact "
+    "sort-based aggregate is the correctness baseline.",
+)
+def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
+    ev = table(spark, sf, "events")
+    qs = (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.percentile("value", F.array(F.lit(0.5), F.lit(0.9),
+                                               F.lit(0.99))).alias("__q")))
+    return qs.select(
+        "event_type", "n",
+        stable_round(F.get("__q", 0), 4).alias("p50"),
+        stable_round(F.get("__q", 1), 4).alias("p90"),
+        stable_round(F.get("__q", 2), 4).alias("p99"))
