@@ -3385,3 +3385,42 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         stable_round(F.get("__q", 0), 4).alias("p50"),
         stable_round(F.get("__q", 1), 4).alias("p90"),
         stable_round(F.get("__q", 2), 4).alias("p99"))
+
+
+@query(
+    "source_overlap",
+    f"""WITH {_LSH_CTES},
+    pr AS (SELECT d1, d2, jac FROM verified WHERE jac >= 0.2),
+    m AS (SELECT doc_id, source FROM documents)
+    SELECT least(m1.source, m2.source) AS source_a,
+           greatest(m1.source, m2.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(floor(jac * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4
+             AS jac_mass
+    FROM pr JOIN m m1 ON m1.doc_id = pr.d1 JOIN m m2 ON m2.doc_id = pr.d2
+    GROUP BY 1, 2""",
+    "Cross-source duplicate-mass matrix: MinHash/LSH near-dup pairs "
+    "(the minhash_lsh_pairs pipeline, jac >= 0.2) attributed to their "
+    "(source, source) cell — the curation diagnostic that says which "
+    "sources duplicate each other (off-diagonal = cross-corpus "
+    "contamination, diagonal = intra-source redundancy). Pair jac "
+    "quantizes to exact integer ten-thousandths BEFORE the mass sum, so "
+    "no float-sum order-dependence; the pair relation is "
+    "candidate-driven (LSH-bucketed), the source map joins by doc id, "
+    "and the matrix is |sources|^2 tiny.",
+)
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                jaccard_threshold=0.2)
+    m = docs.select("doc_id", "source")
+    j = (pairs
+         .join(m.withColumnsRenamed({"doc_id": "d1", "source": "__s1"}), "d1")
+         .join(m.withColumnsRenamed({"doc_id": "d2", "source": "__s2"}), "d2"))
+    jq = F.floor(F.col("jac") * 1e4 + F.lit(0.5)).cast("long")
+    return (j.select(F.least("__s1", "__s2").alias("source_a"),
+                     F.greatest("__s1", "__s2").alias("source_b"),
+                     jq.alias("__jq"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count("*").alias("n_pairs"),
+                  (F.sum("__jq").cast("double") / 1e4).alias("jac_mass")))
