@@ -3424,3 +3424,72 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
              .groupBy("source_a", "source_b")
              .agg(F.count("*").alias("n_pairs"),
                   (F.sum("__jq").cast("double") / 1e4).alias("jac_mass")))
+
+
+@query(
+    "pipeline_funnel",
+    r"""WITH m AS (SELECT doc_id,
+      CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS BIGINT) AS nt,
+      len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+      len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> ''))) AS nd,
+      length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+      length(text) AS chars FROM documents),
+    g AS (SELECT doc_id, nt,
+      (nt >= 25) AS g_len,
+      (CAST(nonal AS DOUBLE) / chars <= 0.4) AS g_alnum,
+      (floor((least(nt / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / nt) * 0.3
+              + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5)
+         / 10000 >= 0.55) AS g_quality,
+      (floor((1.0 - CAST(nd AS DOUBLE) / nt) * 10000 + 0.5) / 10000 <= 0.6)
+        AS g_rep FROM m)
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+      CAST(sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+      CAST(sum(CASE WHEN g_len AND g_alnum THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_alnum,
+      CAST(sum(CASE WHEN g_len AND g_alnum AND g_quality THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_quality,
+      CAST(sum(CASE WHEN g_len AND g_alnum AND g_quality AND g_rep
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition
+    FROM g""",
+    "Quality-gate funnel: survivor counts through the cascaded curation "
+    "gates (length floor >= 25 tokens -> non-alnum ceiling 0.4 -> "
+    "composite quality >= 0.55 -> duplicate-token fraction <= 0.6) as "
+    "ONE conditional aggregate over ONE scan — the yield report every "
+    "curation run publishes first. Gate arithmetic reuses the "
+    "quality_score / repetition_stats expressions verbatim (rounded "
+    "comparisons, so thresholds are boundary-safe across engines); no "
+    "joins, no shuffles beyond the single global aggregate.",
+)
+def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
+    docs = table(spark, sf, "documents")
+    ws = F.filter(tokens("text"), lambda x: x != "")
+    stop = F.array(*[F.lit(s) for s in
+                     ("the", "a", "of", "and", "to", "in", "is")])
+    nt = F.size(ws).cast("long")
+    sw = F.size(F.filter(ws, lambda x: F.array_contains(stop, x)))
+    nd = F.size(F.array_distinct(ws))
+    nonal = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
+    chars = F.length("text")
+    quality = stable_round(
+        F.least(nt / 100.0, F.lit(1.0)) * 0.4
+        + (sw.cast("double") / nt) * 0.3
+        + (F.lit(1.0) - nonal.cast("double") / chars) * 0.3, 4)
+    dup = stable_round(F.lit(1.0) - nd.cast("double") / nt, 4)
+    g = docs.select(
+        (nt >= 25).alias("g_len"),
+        (nonal.cast("double") / chars <= 0.4).alias("g_alnum"),
+        (quality >= 0.55).alias("g_quality"),
+        (dup <= 0.6).alias("g_rep"))
+    b = lambda c: c.cast("int")  # noqa: E731
+    return g.agg(
+        F.count("*").alias("n_total"),
+        F.sum(b(F.col("g_len"))).cast("long").alias("n_len"),
+        F.sum(b(F.col("g_len") & F.col("g_alnum"))).cast("long").alias("n_alnum"),
+        F.sum(b(F.col("g_len") & F.col("g_alnum") & F.col("g_quality")))
+         .cast("long").alias("n_quality"),
+        F.sum(b(F.col("g_len") & F.col("g_alnum") & F.col("g_quality")
+                & F.col("g_rep"))).cast("long").alias("n_repetition"))
