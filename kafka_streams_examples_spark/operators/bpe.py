@@ -88,9 +88,12 @@ def _train(docs: DataFrame, merges: int,
 
     Each best_i is the 1-row (merge_rank, lhs, rhs, merged, cnt) winner
     of iteration i; vocab is (word, seq, cnt) after all K merges. If
-    the pair space exhausts before K (degenerate corpora), later
-    iterations are empty — on both engines identically, since the
-    oracle unrolls the same cross join against an empty winner."""
+    the pair space exhausts before K (degenerate corpora), later merge
+    rounds are no-ops: the winner attaches via LEFT join and a missing
+    winner keeps every segmentation unchanged (the merge table just has
+    fewer than K rows) — the python-reference `break` semantics, on both
+    engines identically (hypothesis-caught: the earlier inner join
+    emptied the vocabulary on single-symbol corpora)."""
     vocab = (word_counts(docs, text_col)
              .select("word", _char_seq(F.col("word")).alias("seq"), "cnt")
              .localCheckpoint(eager=False))
@@ -103,11 +106,11 @@ def _train(docs: DataFrame, merges: int,
             F.concat("lhs", "rhs").alias("merged"), "cnt"))
         winner = F.broadcast(best.select(F.col("lhs").alias("__bl"),
                                          F.col("rhs").alias("__br")))
-        vocab = (vocab.join(winner, F.lit(True))
-                      .select("word",
-                              _apply_merge(F.col("seq"), F.col("__bl"),
-                                           F.col("__br")).alias("seq"),
-                              "cnt")
+        merged = F.when(F.col("__bl").isNull(), F.col("seq")) \
+                  .otherwise(_apply_merge(F.col("seq"), F.col("__bl"),
+                                          F.col("__br")))
+        vocab = (vocab.join(winner, F.lit(True), "left")
+                      .select("word", merged.alias("seq"), "cnt")
                       .localCheckpoint(eager=False))
     return bests, vocab
 

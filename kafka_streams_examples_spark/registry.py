@@ -3211,11 +3211,12 @@ def _bpe_ctes(iters: int) -> str:
             f"b{i} AS (SELECT lhs, rhs, cnt FROM p{i} "
             f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)")
         parts.append(
-            f"v{i + 1} AS (SELECT v.word, trim(replace(replace("
+            f"v{i + 1} AS (SELECT v.word, "
+            f"CASE WHEN b.lhs IS NULL THEN v.seq ELSE trim(replace(replace("
             f"' ' || v.seq || ' ', "
             f"' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' '), "
             f"' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')) "
-            f"AS seq, v.cnt FROM v{i} v, b{i} b)")
+            f"END AS seq, v.cnt FROM v{i} v LEFT JOIN b{i} b ON TRUE)")
     return ",\n    ".join(parts)
 
 

@@ -112,3 +112,29 @@ def test_source_mixture_weights(docs):
 def test_bpe_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, source string")
     assert BPE.bpe_train(empty, merges=3).count() == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=4))
+def test_bpe_property_random_corpora(spark, corpora):
+    """Random tiny corpora over a 3-letter alphabet (dense with repeated
+    pairs and identical-symbol runs — the two-pass-replace contract's
+    hard cases) must match the plain-Python reference exactly."""
+    texts = [" ".join(ws) for ws in corpora]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    words = Counter(w for t in texts for w in t.split())
+    exp_merges, exp_vocab = _py_bpe(words, 3)
+    got = [(r.lhs, r.rhs, r.cnt) for r in
+           BPE.bpe_train(docs, merges=3).orderBy("merge_rank").collect()]
+    assert got == exp_merges
+    got_vocab = {r.word: r.seq for r in BPE.bpe_vocab(docs, merges=3).collect()}
+    assert got_vocab == exp_vocab
