@@ -126,12 +126,23 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
              .select("cid", F.col("e").alias("cent")))
 
     def assign(cent_df: DataFrame) -> DataFrame:
+        # argmin as a partial-aggregable min(struct(d, cid, e)) rather
+        # than a Window rank: the broadcast join emits k rows per vector
+        # locally and the map-side combine collapses them to one BEFORE
+        # the exchange, so the shuffle moves 1/k-th of the window
+        # version's volume (and never k copies of the vector). (d, cid)
+        # is unique per vector, so the struct order never reaches e and
+        # the lexicographic min IS the orderBy(d, cid) first row.
         pairs = v.join(F.broadcast(cent_df), F.lit(True))
         d = stable_round(_sq_dist(F.col("e"), F.col("cent")), 6)
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        return (pairs.select("vec_id", "e", "cid", d.alias("d"))
-                     .withColumn("__rn", F.row_number().over(w))
-                     .filter(F.col("__rn") == 1).drop("__rn"))
+        return (pairs.select(
+                    "vec_id",
+                    F.struct(d.alias("d"), F.col("cid").alias("cid"),
+                             F.col("e").alias("e")).alias("__s"))
+                     .groupBy("vec_id").agg(F.min("__s").alias("__s"))
+                     .select("vec_id", F.col("__s.e").alias("e"),
+                             F.col("__s.cid").alias("cid"),
+                             F.col("__s.d").alias("d")))
 
     for _ in range(iters):
         assigned = assign(cents)
