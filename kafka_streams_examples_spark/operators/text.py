@@ -362,9 +362,14 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     count table (it is vocabulary-sized) so re-runs pay only the scoring
     pass — the probe-side scan itself is irreducible. No smoothing
     needed — every scored token exists in the model by construction.
-    Per-token log-probs round at 6 before the per-doc mean (rounded at
-    4) so the oracle comparison doesn't ride on cross-engine libm
-    identity.
+    Per-token log-probs quantize to INTEGER micro-nats (floor half-up
+    at 1e-6) before the per-doc mean: integer sums are order-exact
+    where float summation is not — `avg` over 1e-6-grid values lands a
+    doc's mean ON a rounding half-boundary far more often than
+    full-entropy doubles would, and Spark's partial-agg combine order
+    varies run to run (observed: a 1/5000-row run-to-run flip at sf0.1
+    in the bigram sibling). The mean is one double division of two
+    exact integers, then portable rounding at 4.
     """
     tk = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
               .filter(F.col("word") != ""))
@@ -373,10 +378,12 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text",
     sc = (tk.join(cnt, "word")
             .join(F.broadcast(tot), F.lit(True))
             .select(F.col(id_col),
-                    stable_round(-F.log(F.col("c") / F.col("t")), 6).alias("s")))
+                    F.floor(-F.log(F.col("c") / F.col("t")) * 1e6 + F.lit(0.5))
+                     .cast("long").alias("s6")))
     return sc.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
-        stable_round(F.avg("s"), 4).alias("surprisal"))
+        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
+            .alias("surprisal"))
 
 
 def pack_sequences(docs: DataFrame, budget: int = 256,
@@ -445,9 +452,11 @@ def bigram_surprisal(docs: DataFrame, lam: float = 0.7,
     word-keyed equi-joins, linear in token volume); the corpus total is
     a 1-row broadcast. Blend terms keep an explicit association order
     (lam * (c12/c1), not (lam*c12)/c1) shared with the oracle, and every
-    log rounds at 6 before the per-doc mean (rounded 4) — the libm
-    identity caveat from unigram_surprisal applies here too. Documents
-    with fewer than two tokens report (0, 0.0).
+    log quantizes to integer micro-nats before the order-exact per-doc
+    mean — the libm identity and float-sum-order caveats from
+    unigram_surprisal apply here too (this operator is where the
+    1/5000-row run-to-run flip was observed). Documents with fewer than
+    two tokens report (0, 0.0).
     """
     toks = F.filter(tokens(text_col), lambda x: x != "")
     tk = docs.select(F.col(id_col), toks.alias("ws"))
@@ -469,10 +478,13 @@ def bigram_surprisal(docs: DataFrame, lam: float = 0.7,
          + F.lit(1.0 - lam) * (F.col("c2") / F.col("t")))
     sc = (bg.join(c12, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
             .join(F.broadcast(tot), F.lit(True))
-            .select(F.col(id_col), stable_round(-F.log(p), 6).alias("s")))
+            .select(F.col(id_col),
+                    F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                     .cast("long").alias("s6")))
     agg = sc.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
-        stable_round(F.avg("s"), 4).alias("surprisal"))
+        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
+            .alias("surprisal"))
     return (docs.select(F.col(id_col)).join(agg, id_col, "left")
                 .select(F.col(id_col),
                         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),

@@ -1568,10 +1568,11 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     cnt AS (SELECT word, count(*) AS c FROM tk GROUP BY word),
     tot AS (SELECT sum(c) AS t FROM cnt),
     sc AS (SELECT tk.doc_id,
-             floor(-ln(CAST(c AS DOUBLE) / t) * 1e6 + 0.5) / 1e6 AS s
+             CAST(floor(-ln(CAST(c AS DOUBLE) / t) * 1e6 + 0.5) AS BIGINT) AS s6
            FROM tk JOIN cnt USING (word) CROSS JOIN tot)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           floor(avg(s) * 1e4 + 0.5) / 1e4 AS surprisal
+           floor(CAST(sum(s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5) / 1e4
+             AS surprisal
     FROM sc GROUP BY doc_id""",
     "Corpus-LM surprisal per document (the perplexity-filter family, "
     "CCNet-style): mean -ln p(token) under the corpus's own unigram "
@@ -1601,14 +1602,16 @@ def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
            WHERE len(ws) >= 2),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
     sc AS (SELECT bg.doc_id,
-             floor(-ln(0.7 * (CAST(c12.c12 AS DOUBLE) / u1.c)
-                       + 0.3 * (CAST(u2.c AS DOUBLE) / tot.t)) * 1e6 + 0.5) / 1e6 AS s
+             CAST(floor(-ln(0.7 * (CAST(c12.c12 AS DOUBLE) / u1.c)
+                       + 0.3 * (CAST(u2.c AS DOUBLE) / tot.t)) * 1e6 + 0.5)
+                  AS BIGINT) AS s6
            FROM bg JOIN c12 USING (w1, w2)
            JOIN uni u1 ON u1.w = bg.w1
            JOIN uni u2 ON u2.w = bg.w2
            CROSS JOIN tot),
     agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              floor(avg(s) * 1e4 + 0.5) / 1e4 AS surprisal
+              floor(CAST(sum(s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5)
+                / 1e4 AS surprisal
             FROM sc GROUP BY doc_id)
     SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
            coalesce(a.surprisal, 0.0) AS surprisal
@@ -1619,8 +1622,10 @@ def q_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     "Bigram counts shuffle on (w1, w2); the scoring side probes the "
     "bigram and unigram tables via word-keyed equi-joins (linear in "
     "token volume); the blend keeps an explicit association order "
-    "shared with the oracle and logs round at 6 before the per-doc "
-    "mean. Docs with fewer than two tokens report (0, 0.0).",
+    "shared with the oracle; logs quantize to integer micro-nats before "
+    "an order-exact per-doc mean (a run-to-run flaky avg-of-grid-values "
+    "half-boundary was observed here at sf0.1 — integer sums removed "
+    "it). Docs with fewer than two tokens report (0, 0.0).",
 )
 def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bigram_surprisal(table(spark, sf, "documents"), lam=0.7)
