@@ -82,10 +82,11 @@ HEADLINE = [
     "knn_ivf_trained",
     "dedup_keep_best",
     "bigram_surprisal",
-    # r5 third session: tokenizer training + data mixing + PQ ANN
+    # r5 third session: tokenizer training + data mixing + PQ/IVFPQ ANN
     "bpe_train",
     "source_mixture",
     "pq_knn",
+    "knn_ivfpq",
 ]
 
 

@@ -214,6 +214,19 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     (q_id, c_id, adc_dist rounded 4, rnk), ascending distance, ties to
     the lower candidate id.
     """
+    codes, pds = _pq_codebooks(queries, corpus, m, codebook, iters, dim,
+                               id_col, vec_col)
+    return _adc_topk(codes, pds, m, k, exclude_self)
+
+
+def _pq_codebooks(queries: DataFrame, corpus: DataFrame, m: int,
+                  codebook: int, iters: int, dim: int,
+                  id_col: str, vec_col: str
+                  ) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared PQ train/encode half: returns (codes, [pd_0..pd_{m-1}])
+    where codes is the encoded corpus (vec_id, k0..k{m-1}) and pd_s the
+    per-query partial-distance lookup table for subspace s — both with
+    the trainer lineage checkpointed away."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
     w = dim // m
 
@@ -238,10 +251,17 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
                             stable_round(_sq_dist(F.col("qe"), F.col("cent")),
                                          6).alias(f"d{s}")))
         pds.append(pd_s)
+    return codes, pds
 
-    cand = codes
+
+def _adc_topk(cand: DataFrame, pds: list[DataFrame], m: int, k: int,
+              exclude_self: bool) -> DataFrame:
+    """ADC scoring tail shared by pq_knn and ivfpq_knn: join the m
+    partial-distance tables onto the (possibly bucket-restricted)
+    candidate codes, sum left-to-right, rank-prune per query."""
     for s, pd_s in enumerate(pds):
-        on = [f"k{s}"] if s == 0 else ["q_id", f"k{s}"]
+        on = [f"k{s}"] if s == 0 and "q_id" not in cand.columns \
+            else ["q_id", f"k{s}"]
         cand = cand.join(F.broadcast(pd_s), on)
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("vec_id"))
@@ -256,6 +276,52 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
                   .select("q_id", "c_id",
                           stable_round(F.col("__ad"), 4).alias("adc_dist"),
                           F.col("rnk").cast("long").alias("rnk")))
+
+
+def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
+              nprobe: int = 2, coarse_k: int = 8, coarse_iters: int = 2,
+              m: int = 4, codebook: int = 16, pq_iters: int = 1,
+              dim: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              exclude_self: bool = True) -> DataFrame:
+    """IVFPQ (the full FAISS-shaped index): a trained coarse quantizer
+    routes each query to its nprobe nearest cells by squared L2 (the
+    metric ADC scores in, unlike `ivf_knn`'s cosine routing), and PQ/ADC
+    scoring runs ONLY over the codes of the probed cells — composing
+    both prunes: IVF bounds WHICH rows are scored, PQ bounds WHAT the
+    scoring reads (codes, never embedding bytes).
+
+    Simplification vs. the paper: PQ codebooks train on raw vectors, not
+    cell residuals — residual encoding needs a per-cell re-center pass
+    and buys accuracy only when cells are tight; the raw-vector variant
+    keeps the encode step cell-independent (one codebook set, not
+    coarse_k of them), which is what you want when cells rebalance at
+    100 TB. Coarse assignment and PQ codes are both checkpointed
+    serving-side tables; all joins are equi-joins after the two
+    broadcast training lookups. Output contract matches pq_knn.
+    """
+    cents, assigned = _kmeans_fit(corpus, coarse_k, coarse_iters,
+                                  id_col, vec_col)
+    cents = cents.localCheckpoint(eager=False)
+    lab = (assigned.select("vec_id", F.col("cid").alias("__cell"))
+                   .localCheckpoint(eager=False))
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"))
+    qc = qv.join(F.broadcast(cents), F.lit(True))
+    rd = stable_round(_sq_dist(F.col("qe"), F.col("cent")), 6)
+    rw = Window.partitionBy("q_id").orderBy("__rd", "__cell")
+    routed = (qc.select("q_id", F.col("cid").alias("__cell"),
+                        rd.alias("__rd"))
+                .withColumn("__r", F.row_number().over(rw))
+                .filter(F.col("__r") <= nprobe)
+                .select("q_id", "__cell"))
+    codes, pds = _pq_codebooks(queries, corpus, m, codebook, pq_iters, dim,
+                               id_col, vec_col)
+    cand = (codes.join(lab, "vec_id")
+                 .join(F.broadcast(routed), "__cell")
+                 .drop("__cell"))
+    return _adc_topk(cand, pds, m, k, exclude_self)
 
 
 def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -3300,12 +3300,10 @@ def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return SAMP.source_mixture(table(spark, sf, "documents"), alpha=0.5)
 
 
-def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
-            topk: int = 5) -> str:
-    """Oracle for the PQ/ADC pipeline: one `_kmeans_ctes` block per
-    subspace (prefixed, sliced vec_expr), codes joined per vector,
-    per-query partial-distance tables, and the m-term ADC sum added
-    left-to-right exactly as the Spark expression does."""
+def _pq_parts(m: int, codebook: int, iters: int, dim: int
+              ) -> tuple[list[str], str]:
+    """Shared PQ oracle pieces: the per-subspace kmeans blocks + query
+    subvector/partial-distance CTEs, and the joined `codes` CTE."""
     w = dim // m
     blocks, qs, pds = [], [], []
     for s in range(m):
@@ -3327,6 +3325,23 @@ def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
                           for s in range(1, m))
     codes = (f"codes AS (SELECT a0.vec_id, {code_cols} "
              f"FROM s0_a{iters} a0 {code_joins})")
+    return blocks + qs + pds, codes
+
+
+def _adc_tail(topk: int) -> str:
+    return (f"SELECT q_id, c_id, floor(ad * 1e4 + 0.5) / 1e4 AS adc_dist, rnk "
+            f"FROM (SELECT q_id, c_id, ad, row_number() OVER "
+            f"(PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM cand) t "
+            f"WHERE rnk <= {topk}")
+
+
+def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
+            topk: int = 5) -> str:
+    """Oracle for the PQ/ADC pipeline: one `_kmeans_ctes` block per
+    subspace (prefixed, sliced vec_expr), codes joined per vector,
+    per-query partial-distance tables, and the m-term ADC sum added
+    left-to-right exactly as the Spark expression does."""
+    parts, codes = _pq_parts(m, codebook, iters, dim)
     pd_joins = " ".join(
         f"JOIN pd{s} p{s} ON p{s}.q_id = p0.q_id AND p{s}.cid = x.k{s}"
         for s in range(1, m))
@@ -3334,12 +3349,40 @@ def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
     cand = (f"cand AS (SELECT p0.q_id, x.vec_id AS c_id, {ad} AS ad "
             f"FROM codes x JOIN pd0 p0 ON p0.cid = x.k0 {pd_joins} "
             f"WHERE p0.q_id <> x.vec_id)")
-    body = ",\n    ".join(blocks + qs + pds + [codes, cand])
-    return (f"WITH {body} "
-            f"SELECT q_id, c_id, floor(ad * 1e4 + 0.5) / 1e4 AS adc_dist, rnk "
-            f"FROM (SELECT q_id, c_id, ad, row_number() OVER "
-            f"(PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM cand) t "
-            f"WHERE rnk <= {topk}")
+    body = ",\n    ".join(parts + [codes, cand])
+    return f"WITH {body} {_adc_tail(topk)}"
+
+
+def _ivfpq_sql(nprobe: int = 2, coarse_k: int = 8, coarse_iters: int = 2,
+               m: int = 4, codebook: int = 16, pq_iters: int = 1,
+               dim: int = 64, topk: int = 5) -> str:
+    """Oracle for the composed IVFPQ: a coarse `_kmeans_ctes` block
+    (cg_ prefix) provides cells + routing by squared L2, the PQ parts
+    provide codes and ADC tables, and the cand CTE restricts scoring to
+    the probed cells — the same join shape as the Spark plan."""
+    dist = ("floor(list_sum(list_transform(generate_series(1, len(q.qe)), "
+            "i -> (q.qe[i] - c.cent[i]) * (q.qe[i] - c.cent[i]))) "
+            "* 1e6 + 0.5) / 1e6")
+    coarse = _kmeans_ctes(coarse_k, coarse_iters, prefix="cg_")
+    qv = ("qv AS (SELECT vec_id AS q_id, "
+          "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe "
+          "FROM embeddings WHERE vec_id < 20)")
+    routed = (f"routed AS (SELECT q_id, cid AS cell FROM ("
+              f"SELECT q.q_id, c.cid, row_number() OVER "
+              f"(PARTITION BY q.q_id ORDER BY {dist}, c.cid) AS r "
+              f"FROM qv q CROSS JOIN cg_c{coarse_iters} c) WHERE r <= {nprobe})")
+    lab = f"lab AS (SELECT vec_id, cid AS cell FROM cg_a{coarse_iters})"
+    parts, codes = _pq_parts(m, codebook, pq_iters, dim)
+    pd_joins = " ".join(
+        f"JOIN pd{s} p{s} ON p{s}.q_id = r.q_id AND p{s}.cid = x.k{s}"
+        for s in range(m))
+    ad = " + ".join(f"p{s}.d" for s in range(m))
+    cand = (f"cand AS (SELECT r.q_id, x.vec_id AS c_id, {ad} AS ad "
+            f"FROM codes x JOIN lab l ON l.vec_id = x.vec_id "
+            f"JOIN routed r ON r.cell = l.cell {pd_joins} "
+            f"WHERE r.q_id <> x.vec_id)")
+    body = ",\n    ".join([coarse, qv, routed, lab] + parts + [codes, cand])
+    return f"WITH {body} {_adc_tail(topk)}"
 
 
 @query(
@@ -3499,3 +3542,25 @@ def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
          .cast("long").alias("n_quality"),
         F.sum(b(F.col("g_len") & F.col("g_alnum") & F.col("g_quality")
                 & F.col("g_rep"))).cast("long").alias("n_repetition"))
+
+
+@query(
+    "knn_ivfpq",
+    _ivfpq_sql(nprobe=2, coarse_k=8, coarse_iters=2,
+               m=4, codebook=16, pq_iters=1, dim=64, topk=5),
+    "IVFPQ — the composed capstone of the ANN ladder: a trained coarse "
+    "quantizer (kmeans, squared-L2 routing to nprobe=2 cells — the "
+    "metric ADC scores in) bounds WHICH rows are scored, and PQ/ADC "
+    "bounds WHAT scoring reads (4 int codes per vector, zero embedding "
+    "bytes). PQ codebooks train on raw vectors rather than cell "
+    "residuals (documented simplification: cell-independent encoding "
+    "survives cell rebalancing at 100 TB). Coarse assignment and codes "
+    "are checkpointed serving tables; after the two broadcast training "
+    "lookups every join is an equi-join. Oracle: coarse _kmeans_ctes + "
+    "per-subspace PQ blocks + the identical cell-restricted ADC join.",
+)
+def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.ivfpq_knn(emb.filter(F.col("vec_id") < 20), emb,
+                         k=5, nprobe=2, coarse_k=8, coarse_iters=2,
+                         m=4, codebook=16, pq_iters=1, dim=64)

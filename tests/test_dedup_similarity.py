@@ -594,3 +594,56 @@ def test_pq_knn_empty_inputs(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     one = spark.createDataFrame([(0, [0.0] * 64)], ["vec_id", "embedding"])
     assert pq_knn(empty, one, k=3).count() == 0
+
+
+def test_ivfpq_probe_all_equals_pq(spark, sf_dir):
+    """With nprobe = coarse_k every cell is probed, so the cell
+    restriction admits the whole corpus and IVFPQ must reduce exactly
+    to plain PQ/ADC ranking."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        ivfpq_knn, pq_knn,
+    )
+    emb = cat_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 6")
+    full = [(r.q_id, r.c_id, r.adc_dist, r.rnk) for r in
+            pq_knn(q, emb, k=4, m=4, codebook=8, iters=1).collect()]
+    probe_all = [(r.q_id, r.c_id, r.adc_dist, r.rnk) for r in
+                 ivfpq_knn(q, emb, k=4, nprobe=4, coarse_k=4,
+                           coarse_iters=1, m=4, codebook=8,
+                           pq_iters=1).collect()]
+    assert sorted(probe_all) == sorted(full)
+
+
+def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):
+    """Every reported neighbor must live in one of its query's probed
+    coarse cells — the IVF prune actually prunes."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        _kmeans_fit, ivfpq_knn,
+    )
+    from kafka_streams_examples_spark.functions import stable_round
+    from pyspark.sql import Window, functions as F
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 6")
+    got = ivfpq_knn(q, emb, k=4, nprobe=2, coarse_k=4, coarse_iters=1,
+                    m=4, codebook=8, pq_iters=1).collect()
+    cents, assigned = _kmeans_fit(emb, 4, 1)
+    cell = {r.vec_id: r.cid for r in assigned.collect()}
+    from kafka_streams_examples_spark.operators.similarity import _sq_dist
+    qc = q.select(F.col("vec_id").alias("q_id"),
+                  F.transform("embedding",
+                              lambda x: x.cast("double")).alias("qe")) \
+          .join(F.broadcast(cents), F.lit(True)) \
+          .select("q_id", "cid",
+                  stable_round(_sq_dist(F.col("qe"), F.col("cent")), 6)
+                  .alias("d"))
+    w = Window.partitionBy("q_id").orderBy("d", "cid")
+    probed = {}
+    for r in (qc.withColumn("r", F.row_number().over(w))
+                .filter("r <= 2").collect()):
+        probed.setdefault(r.q_id, set()).add(r.cid)
+    assert got, "ivfpq returned no rows"
+    for r in got:
+        assert cell[r.c_id] in probed[r.q_id]

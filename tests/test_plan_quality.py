@@ -47,6 +47,9 @@ BNLJ_BY_DESIGN = {
     # codebook (a tiny broadcast) to build its partial-distance table;
     # corpus-side scoring itself is equi-joins on the codes
     "pq_knn",
+    # same ADC tables + the coarse routing (each query scores the
+    # broadcast coarse-centroid set to pick nprobe cells)
+    "knn_ivfpq",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

@@ -40,8 +40,8 @@ CURVE = [
     "unigram_surprisal", "dedup_keep_best", "semantic_dedup",
     "pack_sequences",
     # r5 third session (vocabulary-aggregate iteration; single-scan mixture;
-    # codes-not-vectors ADC serving)
-    "bpe_train", "bpe_fertility", "source_mixture", "pq_knn",
+    # codes-not-vectors ADC serving; composed coarse-route + ADC)
+    "bpe_train", "bpe_fertility", "source_mixture", "pq_knn", "knn_ivfpq",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
