@@ -87,6 +87,7 @@ HEADLINE = [
     "source_mixture",
     "pq_knn",
     "knn_ivfpq",
+    "exact_substring_dedup",
 ]
 
 

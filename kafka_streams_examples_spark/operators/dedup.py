@@ -651,3 +651,74 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     sim = dot_product(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (pairs.select("d1", "d2", _sr(sim, 4).alias("cos_sim"))
                  .filter(F.col("cos_sim") >= threshold))
+
+
+def exact_substring_dedup_stats(docs: DataFrame, l: int = 4,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring deduplication stats (Lee et al., ACL'22
+    "Deduplicating Training Data Makes Language Models Better",
+    cross-document variant): find every token span that also appears in
+    an earlier document and report what removal would delete.
+
+    Fixed-L gram marking instead of a suffix array, with the same
+    removal set for runs >= L: if a maximal run of M >= L tokens is
+    duplicated, all of its M-L+1 L-grams are duplicated, so the merged
+    interval cover reconstructs the maximal run [start, start+M)
+    exactly — the gaps-and-islands merge below IS the suffix-array
+    answer restricted to (a) cross-document matches (within-doc repeats
+    are `repetition_stats`' job), (b) runs >= L, (c) first-occurrence
+    (lowest doc id) kept. Hash collisions fold spans identically on
+    both engines (the shared md5-derived 60-bit hash), so the oracle
+    matches even under collision.
+
+    Scale shape: the L-gram fan-out is scan-side; one shuffle of
+    (hash, doc_id) pairs builds the winner table; the duplicate join is
+    keyed by hash; the interval merge windows only over DUPLICATE
+    occurrences (a few % of positions), keyed by doc. Document text
+    never shuffles — only 60-bit gram hashes and integer positions.
+
+    Output per document: (doc_id, n_tokens, n_dup_spans,
+    tokens_removed, n_tokens_kept).
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("ws"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.get(F.col("ws"), i + k) for k in range(l)])
+    g = (base.filter(F.size("ws") >= l)
+             .select(id_col,
+                     F.explode(F.transform(
+                         F.sequence(F.lit(0), F.size("ws") - l),
+                         lambda i: F.struct(i.alias("pos"),
+                                            gram(i).alias("gm"))))
+                      .alias("x"))
+             .select(id_col, F.col("x.pos").alias("pos"),
+                     md5_hash64(F.col("x.gm")).alias("h")))
+    winners = g.groupBy("h").agg(F.min(id_col).alias("__w"))
+    dup = (g.join(winners, "h")
+            .filter(F.col(id_col) > F.col("__w"))
+            .select(id_col, "pos", (F.col("pos") + l).alias("end")))
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull()
+                        | (F.col("pos") > prev_end), 1).otherwise(0)
+    isl = F.sum(new_island).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    spans = (dup.withColumn("__i", isl)
+                .groupBy(id_col, "__i")
+                .agg(F.min("pos").alias("s"), F.max("end").alias("e")))
+    stats = (spans.select(id_col, (F.col("e") - F.col("s")).alias("__len"))
+                  .groupBy(id_col)
+                  .agg(F.count("*").cast("long").alias("n_dup_spans"),
+                       F.sum("__len").cast("long").alias("tokens_removed")))
+    nt = docs.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return (nt.join(stats, id_col, "left")
+              .select(id_col, "n_tokens",
+                      F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                       .alias("n_dup_spans"),
+                      F.coalesce("tokens_removed", F.lit(0)).cast("long")
+                       .alias("tokens_removed"),
+                      (F.col("n_tokens")
+                       - F.coalesce("tokens_removed", F.lit(0)))
+                      .cast("long").alias("n_tokens_kept")))

@@ -3564,3 +3564,49 @@ def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.ivfpq_knn(emb.filter(F.col("vec_id") < 20), emb,
                          k=5, nprobe=2, coarse_k=8, coarse_iters=2,
                          m=4, codebook=16, pq_iters=1, dim=64)
+
+
+@query(
+    "exact_substring_dedup",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+           CAST('0x' || substr(md5(list_aggregate(ws[i:i+3], 'string_agg', ' ')),
+                1, 15) AS BIGINT) AS h
+          FROM tk, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+          WHERE len(ws) >= 4),
+    w AS (SELECT h, min(doc_id) AS winner FROM g GROUP BY h),
+    d AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+          FROM g JOIN w USING (h) WHERE g.doc_id > w.winner),
+    m AS (SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM d),
+    i AS (SELECT doc_id, pos, e,
+           sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM m),
+    sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e FROM i GROUP BY 1, 2),
+    st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+            CAST(sum(e - s) AS BIGINT) AS tokens_removed FROM sp GROUP BY doc_id),
+    nt AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text),
+            '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents)
+    SELECT n.doc_id, n.n_tokens,
+           coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(st.tokens_removed, 0) AS tokens_removed,
+           n.n_tokens - coalesce(st.tokens_removed, 0) AS n_tokens_kept
+    FROM nt n LEFT JOIN st USING (doc_id)""",
+    "Exact-substring dedup (Lee et al. ACL'22, cross-document): token "
+    "spans that also appear in an earlier document, found by fixed-4-gram "
+    "hash marking + gaps-and-islands interval merge — which provably "
+    "reconstructs the maximal duplicated runs >= L, so this IS the "
+    "suffix-array answer restricted to cross-doc first-occurrence-wins "
+    "(operators/dedup.py docstring). All integer arithmetic, portable "
+    "60-bit gram hashes (collision-identical on both engines), text "
+    "never shuffles; the interval merge windows only over the few "
+    "percent of positions that are duplicates.",
+)
+def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_substring_dedup_stats(table(spark, sf, "documents"), l=4)

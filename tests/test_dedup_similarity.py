@@ -647,3 +647,63 @@ def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):
     assert got, "ivfpq returned no rows"
     for r in got:
         assert cell[r.c_id] in probed[r.q_id]
+
+
+def test_exact_substring_dedup_reconstructs_maximal_runs(spark):
+    """A duplicated run of M >= L tokens must come back as ONE merged
+    span of exactly M tokens (the suffix-array equivalence the docstring
+    claims), and disjoint duplicated runs must stay separate spans."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        exact_substring_dedup_stats,
+    )
+    run = "alpha beta gamma delta epsilon zeta"          # 6-token run
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(0, f"{run} filler0 {other}"),
+         # doc 1 repeats the 6-run (one span of 6) and, disjointly,
+         # 4 tokens of `other` (one span of 4)
+         (1, f"x1 x2 {run} y1 y2 one two three four z9"),
+         (2, "totally unique tokens only here q w e r t")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           exact_substring_dedup_stats(docs, l=4).collect()}
+    assert got[0].n_dup_spans == 0 and got[0].tokens_removed == 0
+    assert got[1].n_dup_spans == 2
+    assert got[1].tokens_removed == 6 + 4
+    assert got[1].n_tokens_kept == got[1].n_tokens - 10
+    assert got[2].n_dup_spans == 0
+
+
+def test_exact_substring_dedup_matches_python_reference(spark):
+    """Brute-force reference on a random-ish corpus: mark every position
+    whose 4-gram appeared in a lower-id doc, merge intervals in python."""
+    from kafka_streams_examples_spark.operators.dedup import (
+        exact_substring_dedup_stats,
+    )
+    import random
+    rnd = random.Random(7)
+    vocab = [f"w{j}" for j in range(12)]
+    texts = [" ".join(rnd.choice(vocab) for _ in range(30)) for _ in range(12)]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    L = 4
+    first_doc = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        for i in range(len(ws) - L + 1):
+            g = tuple(ws[i:i + L])
+            first_doc.setdefault(g, d)
+    expected = {}
+    for d, t in enumerate(texts):
+        ws = t.split()
+        marks = [(i, i + L) for i in range(len(ws) - L + 1)
+                 if first_doc[tuple(ws[i:i + L])] < d]
+        spans = []
+        for s, e in marks:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        expected[d] = (len(spans), sum(e - s for s, e in spans))
+    got = {r.doc_id: (r.n_dup_spans, r.tokens_removed) for r in
+           exact_substring_dedup_stats(docs, l=L).collect()}
+    assert got == expected
