@@ -118,8 +118,12 @@ def _train(docs: DataFrame, merges: int,
 def bpe_train(docs: DataFrame, merges: int = 6,
               text_col: str = "text") -> DataFrame:
     """The learned merge table: (merge_rank, lhs, rhs, merged, cnt),
-    one row per iteration in training order."""
+    one row per iteration in training order; typed-empty for merges=0."""
     bests, _ = _train(docs, merges, text_col)
+    if not bests:
+        return docs.sparkSession.createDataFrame(
+            [], "merge_rank int, lhs string, rhs string, "
+                "merged string, cnt bigint")
     return reduce(DataFrame.unionAll, bests)
 
 

@@ -683,17 +683,11 @@ def exact_substring_dedup_stats(docs: DataFrame, l: int = 4,
     """
     toks = F.filter(tokens(text_col), lambda x: x != "")
     base = docs.select(F.col(id_col), toks.alias("ws"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.get(F.col("ws"), i + k) for k in range(l)])
     g = (base.filter(F.size("ws") >= l)
              .select(id_col,
-                     F.explode(F.transform(
-                         F.sequence(F.lit(0), F.size("ws") - l),
-                         lambda i: F.struct(i.alias("pos"),
-                                            gram(i).alias("gm"))))
-                      .alias("x"))
-             .select(id_col, F.col("x.pos").alias("pos"),
-                     md5_hash64(F.col("x.gm")).alias("h")))
+                     F.posexplode(word_shingles(F.col("ws"), l))
+                      .alias("pos", "gm"))
+             .select(id_col, "pos", md5_hash64(F.col("gm")).alias("h")))
     winners = g.groupBy("h").agg(F.min(id_col).alias("__w"))
     dup = (g.join(winners, "h")
             .filter(F.col(id_col) > F.col("__w"))

@@ -3488,12 +3488,15 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
       length(text) AS chars FROM documents),
     g AS (SELECT doc_id, nt,
       (nt >= 25) AS g_len,
-      (CAST(nonal AS DOUBLE) / chars <= 0.4) AS g_alnum,
-      (floor((least(nt / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / nt) * 0.3
+      (CASE WHEN chars > 0
+            THEN CAST(nonal AS DOUBLE) / chars <= 0.4 ELSE FALSE END) AS g_alnum,
+      (CASE WHEN nt > 0 AND chars > 0 THEN
+        floor((least(nt / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / nt) * 0.3
               + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5)
-         / 10000 >= 0.55) AS g_quality,
-      (floor((1.0 - CAST(nd AS DOUBLE) / nt) * 10000 + 0.5) / 10000 <= 0.6)
-        AS g_rep FROM m)
+         / 10000 >= 0.55 ELSE FALSE END) AS g_quality,
+      (CASE WHEN nt > 0 THEN
+        floor((1.0 - CAST(nd AS DOUBLE) / nt) * 10000 + 0.5) / 10000 <= 0.6
+        ELSE FALSE END) AS g_rep FROM m)
     SELECT CAST(count(*) AS BIGINT) AS n_total,
       CAST(sum(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
       CAST(sum(CASE WHEN g_len AND g_alnum THEN 1 ELSE 0 END) AS BIGINT)
@@ -3507,10 +3510,16 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     "gates (length floor >= 25 tokens -> non-alnum ceiling 0.4 -> "
     "composite quality >= 0.55 -> duplicate-token fraction <= 0.6) as "
     "ONE conditional aggregate over ONE scan — the yield report every "
-    "curation run publishes first. Gate arithmetic reuses the "
-    "quality_score / repetition_stats expressions verbatim (rounded "
-    "comparisons, so thresholds are boundary-safe across engines); no "
-    "joins, no shuffles beyond the single global aggregate.",
+    "curation run publishes first. Gate arithmetic follows the "
+    "quality_score / repetition_stats formulas but normalizes by the "
+    "EMPTY-FILTERED token count throughout (quality_score divides by "
+    "the raw split length, which counts phantom tokens on "
+    "whitespace-padded docs — the funnel's variant is the stricter, "
+    "self-consistent one); comparisons are rounded, so thresholds are "
+    "boundary-safe across engines, and every division is guarded so "
+    "empty/whitespace-only docs fail gates instead of raising "
+    "DIVIDE_BY_ZERO under ANSI mode. No joins, no shuffles beyond the "
+    "single global aggregate.",
 )
 def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     from .functions import stable_round
@@ -3523,16 +3532,21 @@ def q_pipeline_funnel(spark: SparkSession, sf: str) -> DataFrame:
     nd = F.size(F.array_distinct(ws))
     nonal = F.length(F.regexp_replace(F.lower(F.col("text")), "[a-z0-9 ]", ""))
     chars = F.length("text")
+    # every division is guarded: empty/whitespace-only docs have nt=0
+    # (and chars=0 for ''), which under Spark 4's ANSI mode would abort
+    # the whole aggregate with DIVIDE_BY_ZERO; such docs fail the gates
     quality = stable_round(
         F.least(nt / 100.0, F.lit(1.0)) * 0.4
         + (sw.cast("double") / nt) * 0.3
         + (F.lit(1.0) - nonal.cast("double") / chars) * 0.3, 4)
     dup = stable_round(F.lit(1.0) - nd.cast("double") / nt, 4)
+    guarded = lambda cond, gate: F.when(cond, gate).otherwise(F.lit(False))  # noqa: E731
     g = docs.select(
         (nt >= 25).alias("g_len"),
-        (nonal.cast("double") / chars <= 0.4).alias("g_alnum"),
-        (quality >= 0.55).alias("g_quality"),
-        (dup <= 0.6).alias("g_rep"))
+        guarded(chars > 0, nonal.cast("double") / chars <= 0.4)
+            .alias("g_alnum"),
+        guarded((nt > 0) & (chars > 0), quality >= 0.55).alias("g_quality"),
+        guarded(nt > 0, dup <= 0.6).alias("g_rep"))
     b = lambda c: c.cast("int")  # noqa: E731
     return g.agg(
         F.count("*").alias("n_total"),

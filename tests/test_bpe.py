@@ -138,3 +138,29 @@ def test_bpe_property_random_corpora(spark, corpora):
     assert got == exp_merges
     got_vocab = {r.word: r.seq for r in BPE.bpe_vocab(docs, merges=3).collect()}
     assert got_vocab == exp_vocab
+
+
+def test_bpe_zero_merges_returns_typed_empty(docs):
+    df = BPE.bpe_train(docs, merges=0)
+    assert df.count() == 0
+    assert df.schema.simpleString() == (
+        "struct<merge_rank:int,lhs:string,rhs:string,"
+        "merged:string,cnt:bigint>")
+
+
+def test_funnel_tolerates_degenerate_documents(spark):
+    """Empty and whitespace-only docs must fail gates, not abort the
+    aggregate with DIVIDE_BY_ZERO under ANSI mode."""
+    from kafka_streams_examples_spark.registry import QUERIES
+    import tempfile, os
+    rows = [(0, ""), (1, "   "), (2, "x " * 30)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]) \
+             .withColumn("lang", F.lit("en")) \
+             .withColumn("source", F.lit("s")) \
+             .withColumn("n_chars", F.length("text").cast("long"))
+    with tempfile.TemporaryDirectory() as td:
+        d.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["pipeline_funnel"].spark(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_total == 3 and r.n_len == 1
