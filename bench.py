@@ -88,6 +88,7 @@ HEADLINE = [
     "pq_knn",
     "knn_ivfpq",
     "exact_substring_dedup",
+    "dsir_score",
 ]
 
 

@@ -7,10 +7,12 @@ in the loop.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import stable_round, tokens, word_shingles
+from ..functions import md5_hash64, stable_round, tokens, word_shingles
 
 # Tiny deterministic stopword profiles (shared verbatim with the DuckDB
 # oracle). Real language-id would use char-ngram profiles; the heuristic
@@ -489,3 +491,72 @@ def bigram_surprisal(docs: DataFrame, lam: float = 0.7,
                 .select(F.col(id_col),
                         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                         F.coalesce("surprisal", F.lit(0.0)).alias("surprisal")))
+
+
+def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
+                   "src0", "src1", "src2", "src3", "src4"),
+               buckets: int = 4096, text_col: str = "text",
+               id_col: str = "doc_id",
+               group_col: str = "source") -> DataFrame:
+    """Data Selection via Importance Resampling score (Xie et al.,
+    NeurIPS'23 DSIR): per-document mean log importance ratio of a
+    target-domain hashed-bigram LM over the raw-corpus LM. High score =
+    "looks like the target domain"; feed the scores to
+    `sampling.weighted_upsample` (or threshold) to build the
+    domain-targeted corpus — that composition IS the DSIR pipeline.
+
+    Hashed n-gram features exactly as the paper: bigrams hash into
+    `buckets` via the shared portable 60-bit md5 hash, and both LMs are
+    add-one-smoothed bucket unigram models, so every probability is a
+    ratio of exact integers. The per-bucket log ratio is computed as
+    ONE ln of an exact-integer cross-ratio (products stay < 2^53) and
+    quantized to integer micro-nats immediately; per-doc scores are
+    order-exact integer sums with a single final division — the
+    rounding rule DESIGN.md records (note: scores are signed; the
+    floor(x*1e6+0.5) quantizer is half-toward-+inf for negatives,
+    identically on both engines, which is all the oracle needs).
+
+    Scale shape: one tokenize scan fans out bigram occurrences; the
+    bucket count tables are `buckets`-sized aggregates (broadcast);
+    corpus totals are 1-row broadcasts; the scoring join is keyed by
+    bucket id. Nothing shuffles but (bucket, count) and
+    (doc, bucket) pairs.
+    """
+    toks = tokens(text_col)
+    bg = (docs.select(F.col(id_col), F.col(group_col).alias("__g"),
+                      toks.alias("__toks"))
+              .filter(F.size("__toks") >= 2)
+              .select(F.col(id_col), "__g",
+                      F.explode(word_shingles(F.col("__toks"), 2)).alias("b"))
+              .select(F.col(id_col), "__g",
+                      (md5_hash64(F.col("b")) % buckets).alias("__bk")))
+    tgt = [str(s) for s in target_sources]
+    raw_cnt = bg.groupBy("__bk").agg(F.count("*").alias("__r"))
+    tgt_cnt = (bg.filter(F.col("__g").isin(tgt))
+                 .groupBy("__bk").agg(F.count("*").alias("__t")))
+    totals = bg.agg(
+        F.count("*").alias("__nr"),
+        F.sum(F.when(F.col("__g").isin(tgt), 1).otherwise(0)).alias("__nt"))
+    per_bucket = (raw_cnt.join(tgt_cnt, "__bk", "left")
+                         .select("__bk", "__r",
+                                 F.coalesce("__t", F.lit(0)).alias("__t")))
+    B = float(buckets)
+    ratio = (((F.col("__t") + 1).cast("double")
+              * (F.col("__nr") + F.lit(B)))
+             / ((F.col("__r") + 1).cast("double")
+                * (F.col("__nt") + F.lit(B))))
+    lr = (per_bucket.join(F.broadcast(totals), F.lit(True))
+                    .select("__bk",
+                            F.floor(F.log(ratio) * 1e6 + F.lit(0.5))
+                             .cast("long").alias("__s6")))
+    per_doc = (bg.join(F.broadcast(lr), "__bk")
+                 .groupBy(id_col)
+                 .agg(F.count("*").cast("long").alias("n_bigrams"),
+                      stable_round(F.sum("__s6").cast("double")
+                                   / (F.count("*") * 1e6), 4).alias("dsir")))
+    return (docs.select(F.col(id_col))
+                .join(per_doc, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                         .alias("n_bigrams"),
+                        F.coalesce("dsir", F.lit(0.0)).alias("dsir")))

@@ -3624,3 +3624,48 @@ def q_knn_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return D.exact_substring_dedup_stats(table(spark, sf, "documents"), l=4)
+
+
+@query(
+    "dsir_score",
+    r"""WITH tk AS (SELECT doc_id, source,
+           regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+    bg AS (SELECT doc_id, source,
+           CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
+             % 4096 AS bk
+           FROM tk, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+           WHERE len(ws) >= 2),
+    rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY bk),
+    tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS t FROM bg
+           WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY bk),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nt FROM bg),
+    lr AS (SELECT rc.bk,
+            CAST(floor(ln((CAST(coalesce(tc.t, 0) + 1 AS DOUBLE)
+                           * (tot.nr + 4096.0))
+                          / (CAST(rc.r + 1 AS DOUBLE) * (tot.nt + 4096.0)))
+                       * 1e6 + 0.5) AS BIGINT) AS s6
+           FROM rc LEFT JOIN tc USING (bk) CROSS JOIN tot),
+    pd AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+            floor(CAST(sum(lr.s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5)
+              / 1e4 AS dsir
+           FROM bg JOIN lr ON lr.bk = bg.bk GROUP BY bg.doc_id)
+    SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+           coalesce(pd.dsir, 0.0) AS dsir
+    FROM documents d LEFT JOIN pd USING (doc_id)""",
+    "DSIR importance score (Xie et al. NeurIPS'23 Data Selection via "
+    "Importance Resampling): per-document mean log ratio of a "
+    "target-domain hashed-bigram LM (sources src0-src4 as the target "
+    "stand-in) over the raw-corpus LM, add-one smoothed over 4096 "
+    "buckets. Every probability is a ratio of exact integers; each "
+    "bucket's log ratio is ONE ln of an exact-integer cross-ratio "
+    "quantized to signed integer micro-nats, and per-doc means are "
+    "order-exact integer sums with one final division (the DESIGN.md "
+    "rounding rule). Compose with sampling.weighted_upsample to "
+    "materialize the resampled corpus. Bucket tables are "
+    "4096-row broadcasts, totals a 1-row broadcast; only (bucket, "
+    "count) and (doc, bucket) pairs shuffle.",
+)
+def q_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.dsir_score(table(spark, sf, "documents"))

@@ -164,3 +164,57 @@ def test_funnel_tolerates_degenerate_documents(spark):
     assert len(out) == 1
     r = out[0]
     assert r.n_total == 3 and r.n_len == 1
+
+
+def test_dsir_scores_target_dialect_higher(spark):
+    """Docs written in the target sources' dialect must outscore docs in
+    the off-target dialect, and a python replica of the hashed-bigram
+    importance model must agree on the exact values."""
+    from collections import Counter as C
+    import hashlib
+    import math
+
+    from kafka_streams_examples_spark.operators.text import dsir_score
+
+    tgt_text = "alpha beta alpha beta alpha beta gamma alpha beta"
+    raw_text = "delta eps delta eps delta eps zeta delta eps"
+    rows = [(0, tgt_text, "src0"), (1, tgt_text, "src1"),
+            (2, raw_text, "src9"), (3, raw_text, "src8"),
+            (4, tgt_text, "src7"),   # target-dialect doc OUTSIDE the target set
+            (5, "single",  "src9")]  # <2 tokens -> (0, 0.0)
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in
+           dsir_score(docs, target_sources=("src0", "src1"),
+                      buckets=64).collect()}
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(t):
+        ws = t.lower().split()
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    raw_c, tgt_c = C(), C()
+    for d, t, s in rows:
+        for g in grams(t):
+            bk = h64(g) % 64
+            raw_c[bk] += 1
+            if s in ("src0", "src1"):
+                tgt_c[bk] += 1
+    nr, nt = sum(raw_c.values()), sum(tgt_c.values())
+    for d, t, s in rows:
+        gs = grams(t)
+        if not gs:
+            assert got[d].n_bigrams == 0 and got[d].dsir == 0.0
+            continue
+        s6 = 0
+        for g in gs:
+            bk = h64(g) % 64
+            x = ((tgt_c[bk] + 1) * (nr + 64.0)) / ((raw_c[bk] + 1) * (nt + 64.0))
+            s6 += math.floor(math.log(x) * 1e6 + 0.5)
+        exp = math.floor(s6 / (len(gs) * 1e6) * 1e4 + 0.5) / 1e4
+        assert got[d].n_bigrams == len(gs)
+        assert got[d].dsir == exp
+    # the discriminating property DSIR exists for:
+    assert got[4].dsir > got[2].dsir   # target dialect beats raw dialect
+    assert got[0].dsir > got[3].dsir

@@ -50,6 +50,9 @@ BNLJ_BY_DESIGN = {
     # same ADC tables + the coarse routing (each query scores the
     # broadcast coarse-centroid set to pick nprobe cells)
     "knn_ivfpq",
+    # 1-row corpus/target-total broadcast attached to the bucket LM table
+    # (the unigram_surprisal shape)
+    "dsir_score",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

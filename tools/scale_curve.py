@@ -42,7 +42,7 @@ CURVE = [
     # r5 third session (vocabulary-aggregate iteration; single-scan mixture;
     # codes-not-vectors ADC serving; composed coarse-route + ADC)
     "bpe_train", "bpe_fertility", "source_mixture", "pq_knn", "knn_ivfpq",
-    "exact_substring_dedup",
+    "exact_substring_dedup", "dsir_score",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
