@@ -11,7 +11,7 @@ training-data pipeline operators (dedup / similarity / text analysis).
 
 Ordering policy (signature freshness, NOT hide-the-greens)
 ----------------------------------------------------------
-The driver hash-checks only the first 50 registry entries per round (117
+The driver hash-checks only the first 50 registry entries per round (118
 entries as of round 5), so full coverage takes three rounds per cycle.
 Queries are ordered by how STALE their latest driver signature is:
 

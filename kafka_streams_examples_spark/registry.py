@@ -3669,3 +3669,48 @@ def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
     return TX.dsir_score(table(spark, sf, "documents"))
+
+
+@query(
+    "epoch_mixture",
+    """WITH w AS (SELECT doc_id, source,
+      CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                  WHEN 'src2' THEN 1 ELSE 1 END AS whole,
+      CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 4000
+                  WHEN 'src2' THEN 7500 ELSE 0 END AS fr
+      FROM documents),
+    n AS (SELECT doc_id, source,
+      whole + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                   || 'ep-v1'), 1, 15) AS BIGINT) % 10000 < fr
+              THEN 1 ELSE 0 END AS nc FROM w),
+    e AS (SELECT doc_id, source, CAST(t.epoch AS BIGINT) AS epoch
+          FROM n, unnest(generate_series(0, nc - 1)) AS t(epoch)
+          WHERE nc > 0)
+    SELECT doc_id, source, epoch,
+      CAST('0x' || substr(md5('ord|' || CAST(epoch AS VARCHAR) || '|'
+           || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS ord
+    FROM e""",
+    "Fractional epoch mixing materialized ('2.5 epochs of src0, 0.4 of "
+    "src1, 1.75 of src2, 1.0 of the rest'): every document repeats "
+    "floor(w) times plus one more iff its salted hash falls under "
+    "frac(w) — expected volume exactly w*n per source, byte-identical "
+    "re-runs, per-stratum independence (sampling.weighted_upsample, "
+    "which until now was pytest-only — this entry puts the oracle on "
+    "it). Each copy carries its 0-based epoch index and a deterministic "
+    "per-(epoch, doc) 60-bit shuffle key, so downstream sorts spread "
+    "copies apart instead of batching them adjacently — the multi-epoch "
+    "training-order composition. Scan-side sequence+explode fan-out, "
+    "0 shuffles.",
+)
+def q_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import md5_hash64
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    up = SAMP.weighted_upsample(
+        d, "source", {"src0": 2.5, "src1": 0.4, "src2": 1.75},
+        default_weight=1.0, key_col="doc_id", salt="ep-v1")
+    ord_key = md5_hash64(F.concat(
+        F.lit("ord|"), F.col("epoch").cast("string"), F.lit("|"),
+        F.col("doc_id").cast("string")))
+    return up.select("doc_id", "source",
+                     F.col("epoch").cast("long").alias("epoch"),
+                     ord_key.alias("ord"))
