@@ -154,3 +154,17 @@ def source_mixture(docs: DataFrame, alpha: float = 0.5,
     weight = stable_round(isq.cast("double") / denom.cast("double"), 6)
     return per_src.select(group_col, "n_docs", "n_tokens",
                           weight.alias("weight"))
+
+
+def epoch_order_key(key_col: str = "doc_id", epoch_col: str = "epoch",
+                    seed: str = "ord") -> Column:
+    """Deterministic per-(epoch, key) 60-bit shuffle key for multi-epoch
+    training order — the `global_shuffle` hash-order pattern
+    parameterized by the epoch index, so each epoch gets an independent
+    order and copies of the same document land far apart, while any
+    worker can recompute any position with no state. Compose with
+    `weighted_upsample` (which emits `epoch_col`) and sort by this key.
+    """
+    return md5_hash64(F.concat(
+        F.lit(seed + "|"), F.col(epoch_col).cast("string"),
+        F.lit("|"), F.col(key_col).cast("string")))

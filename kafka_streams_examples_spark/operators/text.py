@@ -505,10 +505,12 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
     `sampling.weighted_upsample` (or threshold) to build the
     domain-targeted corpus — that composition IS the DSIR pipeline.
 
-    Hashed n-gram features exactly as the paper: bigrams hash into
-    `buckets` via the shared portable 60-bit md5 hash, and both LMs are
-    add-one-smoothed bucket unigram models, so every probability is a
-    ratio of exact integers. The per-bucket log ratio is computed as
+    Hashed n-gram features exactly as the paper: bigrams over the
+    EMPTY-FILTERED token stream (the surprisal-family convention —
+    whitespace-padded docs must not inject phantom-token bigrams into
+    either LM) hash into `buckets` via the shared portable 60-bit md5
+    hash, and both LMs are add-one-smoothed bucket unigram models, so
+    every probability is a ratio of exact integers. The per-bucket log ratio is computed as
     ONE ln of an exact-integer cross-ratio (products stay < 2^53) and
     quantized to integer micro-nats immediately; per-doc scores are
     order-exact integer sums with a single final division — the
@@ -516,13 +518,14 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
     floor(x*1e6+0.5) quantizer is half-toward-+inf for negatives,
     identically on both engines, which is all the oracle needs).
 
-    Scale shape: one tokenize scan fans out bigram occurrences; the
-    bucket count tables are `buckets`-sized aggregates (broadcast);
-    corpus totals are 1-row broadcasts; the scoring join is keyed by
-    bucket id. Nothing shuffles but (bucket, count) and
-    (doc, bucket) pairs.
+    Scale shape: one tokenize scan fans out bigram occurrences into ONE
+    conditional aggregate producing the raw and target bucket counts
+    together (the fan-out is never recomputed per branch); corpus
+    totals are sums over that `buckets`-row table, not a second corpus
+    pass; the scoring join is keyed by bucket id. Nothing shuffles but
+    (bucket, count) and (doc, bucket) pairs.
     """
-    toks = tokens(text_col)
+    toks = F.filter(tokens(text_col), lambda x: x != "")
     bg = (docs.select(F.col(id_col), F.col(group_col).alias("__g"),
                       toks.alias("__toks"))
               .filter(F.size("__toks") >= 2)
@@ -531,15 +534,12 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
               .select(F.col(id_col), "__g",
                       (md5_hash64(F.col("b")) % buckets).alias("__bk")))
     tgt = [str(s) for s in target_sources]
-    raw_cnt = bg.groupBy("__bk").agg(F.count("*").alias("__r"))
-    tgt_cnt = (bg.filter(F.col("__g").isin(tgt))
-                 .groupBy("__bk").agg(F.count("*").alias("__t")))
-    totals = bg.agg(
-        F.count("*").alias("__nr"),
-        F.sum(F.when(F.col("__g").isin(tgt), 1).otherwise(0)).alias("__nt"))
-    per_bucket = (raw_cnt.join(tgt_cnt, "__bk", "left")
-                         .select("__bk", "__r",
-                                 F.coalesce("__t", F.lit(0)).alias("__t")))
+    per_bucket = (bg.groupBy("__bk")
+                    .agg(F.count("*").alias("__r"),
+                         F.sum(F.when(F.col("__g").isin(tgt), 1)
+                                .otherwise(0)).alias("__t")))
+    totals = per_bucket.agg(F.sum("__r").alias("__nr"),
+                            F.sum("__t").alias("__nt"))
     B = float(buckets)
     ratio = (((F.col("__t") + 1).cast("double")
               * (F.col("__nr") + F.lit(B)))

@@ -3629,24 +3629,24 @@ def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dsir_score",
     r"""WITH tk AS (SELECT doc_id, source,
-           regexp_split_to_array(lower(text), '\s+') AS ws FROM documents),
+           list_filter(regexp_split_to_array(lower(text), '\s+'),
+                       x -> x <> '') AS ws FROM documents),
     bg AS (SELECT doc_id, source,
            CAST('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15) AS BIGINT)
              % 4096 AS bk
            FROM tk, unnest(generate_series(1, len(ws) - 1)) AS u(i)
            WHERE len(ws) >= 2),
-    rc AS (SELECT bk, CAST(count(*) AS BIGINT) AS r FROM bg GROUP BY bk),
-    tc AS (SELECT bk, CAST(count(*) AS BIGINT) AS t FROM bg
-           WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY bk),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
-             CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
-                      THEN 1 ELSE 0 END) AS BIGINT) AS nt FROM bg),
-    lr AS (SELECT rc.bk,
-            CAST(floor(ln((CAST(coalesce(tc.t, 0) + 1 AS DOUBLE)
-                           * (tot.nr + 4096.0))
-                          / (CAST(rc.r + 1 AS DOUBLE) * (tot.nt + 4096.0)))
+    pb AS (SELECT bk, CAST(count(*) AS BIGINT) AS r,
+            CAST(sum(CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS t
+           FROM bg GROUP BY bk),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS nr,
+             CAST(sum(t) AS BIGINT) AS nt FROM pb),
+    lr AS (SELECT pb.bk,
+            CAST(floor(ln((CAST(pb.t + 1 AS DOUBLE) * (tot.nr + 4096.0))
+                          / (CAST(pb.r + 1 AS DOUBLE) * (tot.nt + 4096.0)))
                        * 1e6 + 0.5) AS BIGINT) AS s6
-           FROM rc LEFT JOIN tc USING (bk) CROSS JOIN tot),
+           FROM pb CROSS JOIN tot),
     pd AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
             floor(CAST(sum(lr.s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5)
               / 1e4 AS dsir
@@ -3703,14 +3703,10 @@ def q_dsir_score(spark: SparkSession, sf: str) -> DataFrame:
     "0 shuffles.",
 )
 def q_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
-    from .functions import md5_hash64
     d = table(spark, sf, "documents").select("doc_id", "source")
     up = SAMP.weighted_upsample(
         d, "source", {"src0": 2.5, "src1": 0.4, "src2": 1.75},
         default_weight=1.0, key_col="doc_id", salt="ep-v1")
-    ord_key = md5_hash64(F.concat(
-        F.lit("ord|"), F.col("epoch").cast("string"), F.lit("|"),
-        F.col("doc_id").cast("string")))
     return up.select("doc_id", "source",
                      F.col("epoch").cast("long").alias("epoch"),
-                     ord_key.alias("ord"))
+                     SAMP.epoch_order_key().alias("ord"))

@@ -181,7 +181,8 @@ def test_dsir_scores_target_dialect_higher(spark):
     rows = [(0, tgt_text, "src0"), (1, tgt_text, "src1"),
             (2, raw_text, "src9"), (3, raw_text, "src8"),
             (4, tgt_text, "src7"),   # target-dialect doc OUTSIDE the target set
-            (5, "single",  "src9")]  # <2 tokens -> (0, 0.0)
+            (5, "single",  "src9"),  # <2 tokens -> (0, 0.0)
+            (6, "  " + tgt_text + " ", "src0")]  # padded: no phantom bigrams
     docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     got = {r.doc_id: r for r in
            dsir_score(docs, target_sources=("src0", "src1"),
