@@ -39,53 +39,61 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kafka_streams_examples_spark.registry import QUERIES
 
-# Latest round with a driver hash signature, per query (CORRECTNESS_r01/
-# r03/r04.json). Queries absent here have never been driver-signed.
-_R04 = (
-    "token_count", "corpus_prep", "fingerprint", "inventory_reservation",
-    "running_counts_trace", "salted_join_skew", "music_charts",
-    "pageview_region", "order_validation", "corrupt_skip", "distinct_users",
-    "approx_distinct", "rollup_sales", "media_features", "frame_sample",
-    "tpch_q3", "tpch_q5", "top_articles_windowed", "daily_1800_nyc",
-    "cube_sales", "tpch_q10", "tpch_q4", "tpch_q6", "tpch_q7", "tpch_q14",
-    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q13", "tpch_q15", "tpch_q21",
-    "tpch_q22", "dedup_clusters_star", "doc_chunks", "bigram_novelty",
-    "global_shuffle", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12",
-    "tpch_q16", "tpch_q17", "tpch_q20", "quality_deciles",
-    "funnel_conversion", "retention_cohorts", "wordcount",
-    "filter_transform", "sum_odd", "branch_counts",
-)
+# Latest round with a driver hash signature, per query — derived
+# mechanically from CORRECTNESS_r01/r03/r04/r05.json by
+# `tools/update_window.py --emit`. Queries absent here have never been
+# driver-signed.
 _R03 = (
-    "merge_union", "anonymize_props", "having_count", "json_extract",
-    "ktable_latest", "ktable_reagg", "table_table_join", "stream_table_join",
-    "fk_chain", "stream_stream_join", "stream_stream_outer_join", "asof_join",
-    "reduce_concat", "reduce_keep_first", "fold_letters", "agg_max",
-    "anomaly_daily", "tumbling_hourly", "hopping_6h", "session_windows",
-    "daily_1800", "windowed_max", "dedup_ttl", "topk_revenue", "tpch_q1",
-    "exact_dedup", "minhash_signature", "minhash_lsh_pairs", "ngram_jaccard",
-    "ngram_jaccard_capped", "simhash", "simhash_hamming_pairs",
-    "dedup_clusters", "cms_estimate", "stratified_sample", "shard_pack",
-    "quality_filter_median", "reservoir_per_stratum", "tfidf_top_terms",
-    "knn_cosine", "knn_ivf", "embedding_near_dup", "embedding_lsh_pairs",
-    "winnow_fingerprints", "lang_id", "quality_score",
+    "agg_max", "anomaly_daily", "cms_estimate", "daily_1800", "exact_dedup",
+    "fold_letters", "hopping_6h", "minhash_lsh_pairs", "minhash_signature",
+    "ngram_jaccard", "ngram_jaccard_capped", "reduce_keep_first",
+    "shard_pack", "simhash", "simhash_hamming_pairs", "topk_revenue",
+    "tpch_q1", "tumbling_hourly", "windowed_max", "winnow_fingerprints",
 )
-_SIGNED_ROUND: dict[str, int] = {**{n: 3 for n in _R03}, **{n: 4 for n in _R04}}
+_R04 = (
+    "approx_distinct", "bigram_novelty", "branch_counts", "corpus_prep",
+    "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters_star",
+    "distinct_users", "doc_chunks", "filter_transform", "fingerprint",
+    "frame_sample", "global_shuffle", "inventory_reservation",
+    "media_features", "music_charts", "order_validation", "pageview_region",
+    "quality_deciles", "retention_cohorts", "rollup_sales",
+    "running_counts_trace", "salted_join_skew", "sum_odd", "token_count",
+    "top_articles_windowed", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2",
+    "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "wordcount",
+)
+_R05 = (
+    "anonymize_props", "asof_join", "bigram_surprisal", "bpe_fertility",
+    "bpe_train", "decontaminate", "dedup_clusters", "dedup_keep_best",
+    "dedup_ttl", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
+    "epoch_mixture", "exact_substring_dedup", "fk_chain",
+    "funnel_conversion", "having_count", "json_extract", "kmeans_train",
+    "knn_cosine", "knn_ivf", "knn_ivf_trained", "knn_ivfpq",
+    "knn_multiprobe", "ktable_latest", "ktable_reagg", "lang_id",
+    "merge_union", "pack_sequences", "pii_redact", "pipeline_funnel",
+    "pq_knn", "quality_filter_median", "quality_score", "reduce_concat",
+    "repetition_stats", "reservoir_per_stratum", "semantic_dedup",
+    "session_windows", "source_mixture", "source_overlap",
+    "stratified_sample", "stream_stream_join", "stream_stream_outer_join",
+    "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q17",
+    "unigram_surprisal", "value_percentiles",
+)
+_SIGNED_ROUND: dict[str, int] = {**{n: 3 for n in _R03},
+                                 **{n: 4 for n in _R04},
+                                 **{n: 5 for n in _R05}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-5 diff: dedup_clusters (CC rework a853267, signed r03);
-# session_windows/dedup_ttl (catalog NTZ normalization, signed r03);
-# text.py/sampling.py changes after r03 signatures; tpch_q17 plan rewrite
-# and funnel_conversion aggregate rewrite happen THIS round (signed r04).
+# Round-6 diff: minhash_signature's scan-side rewrite landed in r5 AFTER
+# its r03 signature (the r5 window re-signed minhash_lsh_pairs' shared
+# pipeline but not the standalone signature query — verdict item 1);
+# source_mixture's alpha guard moved from assert to ValueError this
+# round (behaviour identical on a normal run, but it is a source change
+# after the r05 signature, so it re-signs). dsir_score's change this
+# round is docstring-only and does not re-sign.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "dedup_clusters", "session_windows", "dedup_ttl", "tfidf_top_terms",
-    "quality_filter_median", "stratified_sample", "reservoir_per_stratum",
-    "lang_id", "quality_score", "tpch_q17", "funnel_conversion",
-    # r5 late: the similarity family moved to engine-portable rounding
-    # (stable_round both sides) after knn_cosine/knn_ivf's r03 signatures;
-    # the sign-LSH bucket/cos rounding migration then reached the
-    # embedding pair operators too
-    "knn_cosine", "knn_ivf", "embedding_near_dup", "embedding_lsh_pairs",
+    "minhash_signature", "source_mixture",
 )
 
 

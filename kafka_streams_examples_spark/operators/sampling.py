@@ -142,7 +142,10 @@ def source_mixture(docs: DataFrame, alpha: float = 0.5,
     """
     from pyspark.sql import Window
 
-    assert alpha == 0.5, "portable contract is fixed at alpha=1/2 (sqrt)"
+    if alpha != 0.5:
+        raise ValueError(
+            "portable contract is fixed at alpha=1/2 (sqrt); other "
+            "exponents would need pow(), which is not correctly rounded")
     tok_cnt = F.size(F.filter(tokens(text_col), lambda x: x != ""))
     per_src = (docs.select(F.col(group_col), tok_cnt.alias("__t"))
                    .groupBy(group_col)

@@ -511,7 +511,11 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
     either LM) hash into `buckets` via the shared portable 60-bit md5
     hash, and both LMs are add-one-smoothed bucket unigram models, so
     every probability is a ratio of exact integers. The per-bucket log ratio is computed as
-    ONE ln of an exact-integer cross-ratio (products stay < 2^53) and
+    ONE ln of a cross-ratio of exact integers (the products themselves
+    stay < 2^53 only while total corpus bigrams stay under ~2^53/buckets;
+    beyond that, cross-engine parity still holds because both engines
+    evaluate the identical IEEE-double expression, not because the
+    intermediate products are exact) and
     quantized to integer micro-nats immediately; per-doc scores are
     order-exact integer sums with a single final division — the
     rounding rule DESIGN.md records (note: scores are signed; the
