@@ -100,3 +100,22 @@ def test_scale_artifacts_show_no_superlinear_step():
     bad = {n: row for n, row in data["queries"].items()
            if row.get("r_1_to_10", 0) > 10 or row.get("r_01_to_1", 0) > 10}
     assert bad == {}, f"super-linear step ratios: {bad}"
+
+
+def test_bench_payload_carries_load_honesty_fields():
+    # BENCH_r05 was recorded on a loaded box and read as a phantom 1.17x
+    # regression. The payload must carry enough telemetry for a reader
+    # WITHOUT a Spark session to separate machine load from plan change:
+    # loadavg at both ends and a first/last canary whose spread bounds
+    # the run's noise floor.
+    import bench
+    p = bench.payload({"q": 1.0}, {}, 0.1,
+                      (1.0, 2.0, 3.0), (4.0, 5.0, 6.0), 0.30, 0.45)
+    assert p["loadavg"] == {"start": [1.0, 2.0, 3.0], "end": [4.0, 5.0, 6.0]}
+    assert p["canary"]["query"] == "tpch_q1"
+    assert p["canary"]["spread"] == 1.5
+    assert p["canary"]["first_sec"] == 0.3 and p["canary"]["last_sec"] == 0.45
+    # spread is symmetric: a slow FIRST canary (warm-up residue) must not
+    # report < 1.0
+    assert bench.payload({}, {}, 0.1, (0,) * 3, (0,) * 3,
+                         0.45, 0.30)["canary"]["spread"] == 1.5
