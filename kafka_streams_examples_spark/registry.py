@@ -3710,3 +3710,119 @@ def q_epoch_mixture(spark: SparkSession, sf: str) -> DataFrame:
     return up.select("doc_id", "source",
                      F.col("epoch").cast("long").alias("epoch"),
                      SAMP.epoch_order_key().alias("ord"))
+
+
+def _knn_recall_sql() -> str:
+    """Oracle for knn_recall: each ANN tier's FULL registry oracle runs
+    as a derived table (reused verbatim from QUERIES, so the recall
+    grading can never drift from the per-tier contracts), unioned with a
+    tier label, left-joined against the brute-force top-5 and aggregated
+    to recall@5. Built at import time AFTER the tier entries register."""
+    sub = {
+        "brute": QUERIES["knn_cosine"].oracle,
+        "ivf": QUERIES["knn_ivf"].oracle,
+        "multiprobe": QUERIES["knn_multiprobe"].oracle,
+        "pq": QUERIES["pq_knn"].oracle,
+        "ivfpq": QUERIES["knn_ivfpq"].oracle,
+    }
+    tiers = " UNION ALL ".join(
+        f"SELECT '{t}' AS tier, q_id, c_id FROM ({sql})"
+        for t, sql in sub.items())
+    return f"""WITH u AS ({tiers}),
+    b AS (SELECT q_id, c_id FROM ({sub['brute']})),
+    d AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT u.tier, CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           floor(CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / d.n * 1e4 + 0.5) / 1e4 AS recall_at_5
+    FROM u LEFT JOIN b ON b.q_id = u.q_id AND b.c_id = u.c_id CROSS JOIN d
+    GROUP BY u.tier, d.n"""
+
+
+@query(
+    "knn_recall",
+    _knn_recall_sql(),
+    "Retrieval-quality gauge for the whole ANN ladder — the first "
+    "question any index user asks: per-tier recall@5 against the "
+    "brute-force cosine baseline, over the same 20 queries, as ONE "
+    "composed plan (brute result lazily checkpointed once and reused as "
+    "both the hit reference and the denominator; tier top-5 sets union "
+    "with a label; hits are an equi-join on (q_id, c_id)). The 'brute' "
+    "row is the built-in control (recall exactly 1.0). n_retrieved "
+    "also surfaces bucket starvation (a tier returning < 5 per query). "
+    "Scale shape: each tier is its own already-audited plan; the "
+    "recall overlay adds one 100-row join and a 5-row aggregate. "
+    "Oracle reuses the tier oracles verbatim as derived tables.",
+)
+def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
+    emb = table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = (SIM.brute_force_knn(q, emb, k=5)
+             .select("q_id", "c_id").localCheckpoint(eager=False))
+    tiers = [
+        ("brute", brute),
+        ("ivf", SIM.ivf_knn(q, emb, k=5, nprobe=2)),
+        ("multiprobe", SIM.multiprobe_signlsh_knn(
+            q, emb, k=5, planes=8, dim=64, probes=3)),
+        ("pq", SIM.pq_knn(q, emb, k=5, m=4, codebook=16, iters=1, dim=64)),
+        ("ivfpq", SIM.ivfpq_knn(q, emb, k=5, nprobe=2, coarse_k=8,
+                                coarse_iters=2, m=4, codebook=16,
+                                pq_iters=1, dim=64)),
+    ]
+    u = None
+    for name, df in tiers:
+        t = df.select(F.lit(name).alias("tier"), "q_id", "c_id")
+        u = t if u is None else u.unionByName(t)
+    hits = u.join(brute.withColumn("__hit", F.lit(1)), ["q_id", "c_id"],
+                  "left")
+    per = (hits.groupBy("tier")
+               .agg(F.count("*").cast("long").alias("n_retrieved"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                     .cast("long").alias("n_hits")))
+    denom = brute.agg(F.count("*").cast("long").alias("__n"))
+    return (per.join(F.broadcast(denom), F.lit(True))
+               .select("tier", "n_retrieved", "n_hits",
+                       stable_round(F.col("n_hits").cast("double")
+                                    / F.col("__n"), 4).alias("recall_at_5")))
+
+
+@query(
+    "dsir_resample",
+    QUERIES["dsir_score"].oracle.replace(
+        "SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,\n"
+        "           coalesce(pd.dsir, 0.0) AS dsir\n"
+        "    FROM documents d LEFT JOIN pd USING (doc_id)",
+        """, sc AS (SELECT d.doc_id, d.source,
+           coalesce(pd.n_bigrams, 0) AS n_bigrams,
+           coalesce(pd.dsir, 0.0) AS dsir
+          FROM documents d LEFT JOIN pd USING (doc_id)),
+    thr AS (SELECT quantile_cont(dsir, 0.75) AS t FROM sc)
+    SELECT doc_id, source, n_bigrams, dsir,
+           CAST('0x' || substr(md5('ord|0|' || CAST(doc_id AS VARCHAR)),
+                               1, 15) AS BIGINT) AS ord
+    FROM sc CROSS JOIN thr WHERE sc.dsir >= thr.t"""),
+    "The composed DSIR pipeline end-to-end (Xie et al. NeurIPS'23): "
+    "score -> select -> materialized training corpus. Selection is the "
+    "deterministic top-quantile variant of the paper's importance "
+    "resampling: keep documents scoring at or above the exact "
+    "interpolated 75th percentile (Spark percentile == DuckDB "
+    "quantile_cont on identical 4-decimal-rounded inputs — the "
+    "value_percentiles bit-identity precedent), a 1-row broadcast "
+    "threshold instead of a global sort. Each kept document carries the "
+    "deterministic per-(epoch=0, doc) 60-bit order key "
+    "(sampling.epoch_order_key), so the output IS the shuffled "
+    "training-corpus manifest. Adds one tiny aggregate + broadcast "
+    "filter on top of dsir_score's audited plan; nothing new shuffles.",
+)
+def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    sc = (TX.dsir_score(docs)
+          .join(docs.select("doc_id", "source"), "doc_id"))
+    thr = sc.agg(F.expr("percentile(dsir, 0.75)").alias("__t"))
+    return (sc.join(F.broadcast(thr), F.lit(True))
+              .filter(F.col("dsir") >= F.col("__t"))
+              .withColumn("epoch", F.lit(0))
+              .select("doc_id", "source", "n_bigrams", "dsir",
+                      SAMP.epoch_order_key().alias("ord")))

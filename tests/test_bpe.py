@@ -219,3 +219,30 @@ def test_dsir_scores_target_dialect_higher(spark):
     # the discriminating property DSIR exists for:
     assert got[4].dsir > got[2].dsir   # target dialect beats raw dialect
     assert got[0].dsir > got[3].dsir
+
+
+def test_dsir_resample_keeps_top_quantile(spark):
+    # the composed pipeline (registry dsir_resample): selection must be
+    # exactly "dsir >= exact interpolated p75", every survivor carries a
+    # distinct deterministic order key, and the kept fraction is ~25%
+    # (>= by ties at the threshold, bounded by the left tail)
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dsir_resample"].spark(spark, sf).collect()
+    from kafka_streams_examples_spark.catalog import table
+    n_docs = table(spark, sf, "documents").count()
+    assert n_docs * 0.20 <= len(rows) <= n_docs * 0.35
+    assert len({r.ord for r in rows}) == len(rows)
+    # recompute the threshold independently and check the cut is exact
+    from kafka_streams_examples_spark.operators.text import dsir_score
+    scores = [r.dsir for r in
+              dsir_score(table(spark, sf, "documents"))
+              .select("dsir").collect()]
+    scores.sort()
+    h = (len(scores) - 1) * 0.75
+    lo, hi = int(h), min(int(h) + 1, len(scores) - 1)
+    thr = scores[lo] + (h - lo) * (scores[hi] - scores[lo])
+    kept = [r.dsir for r in rows]
+    assert min(kept) >= thr - 1e-12
+    assert sum(1 for s in scores if s >= thr) == len(rows)

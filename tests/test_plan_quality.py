@@ -53,6 +53,14 @@ BNLJ_BY_DESIGN = {
     # 1-row corpus/target-total broadcast attached to the bucket LM table
     # (the unigram_surprisal shape)
     "dsir_score",
+    # composes the four allowlisted ANN tiers above (brute's broadcast
+    # query set, IVF centroid routing, ADC lookup tables) plus its own
+    # 1-row denominator broadcast; the recall overlay itself is an
+    # equi-join on (q_id, c_id)
+    "knn_recall",
+    # dsir_score's 1-row totals broadcast plus the 1-row exact-percentile
+    # threshold broadcast (selection without a global sort)
+    "dsir_resample",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
