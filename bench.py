@@ -199,7 +199,8 @@ def stream_bench(spark, sf_dir: str) -> dict:
             best = min(best, time.time() - t0)
             q.stop()
         out[name] = {"wall_sec": round(best, 3),
-                     "rows_per_sec": round(rows_in / best, 1)}
+                     "rows_per_sec": round(rows_in / best, 1),
+                     "rows_in": rows_in}
     return out
 
 

@@ -26,6 +26,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     """
     if name not in TABLES:
         raise KeyError(name)
+    import os
+
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,9 +35,16 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # testdata tables are single parquet FILES; FileStreamSource needs a
-    # directory basePath, so stream the parent dir filtered to this file
-    df = (reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir))
+    if os.path.isdir(path):
+        # multi-file table (the sf1 scale fixture): the directory itself
+        # is the stream basePath; with maxFilesPerTrigger this replays as
+        # a genuine multi-batch stream, one batch per file group
+        df = reader.parquet(path)
+    else:
+        # driver testdata tables are single parquet FILES; FileStreamSource
+        # needs a directory basePath, so stream the parent dir filtered to
+        # this file
+        df = (reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Spark 4 may surface parquet timestamps as TIMESTAMP_NTZ (and ignore a

@@ -43,6 +43,9 @@ CURVE = [
     # codes-not-vectors ADC serving; composed coarse-route + ADC)
     "bpe_train", "bpe_fertility", "source_mixture", "pq_knn", "knn_ivfpq",
     "exact_substring_dedup", "dsir_score",
+    # r6 additions (composed recall gauge over all ANN tiers; composed
+    # score -> threshold -> manifest pipeline)
+    "knn_recall", "dsir_resample",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -90,5 +93,5 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r05.json",
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r06.json",
          only=sys.argv[2:] or None)
