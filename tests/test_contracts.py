@@ -100,6 +100,17 @@ def test_scale_artifacts_show_no_superlinear_step():
     bad = {n: row for n, row in data["queries"].items()
            if row.get("r_1_to_10", 0) > 10 or row.get("r_01_to_1", 0) > 10}
     assert bad == {}, f"super-linear step ratios: {bad}"
+    # from r6 on the artifact also carries the streaming 10x-replay
+    # section: every contract-locked pipeline must appear, and a
+    # throughput ratio far below 1 at 10x input would mean the state
+    # machinery scales super-linearly (ratios > 1 = fixed-cost-bound)
+    if "streaming" in data:
+        import bench
+        pipes = data["streaming"]["pipelines"]
+        assert set(pipes) == set(bench.STREAMING_PIPELINES)
+        slow = {n: p["throughput_ratio_10x"] for n, p in pipes.items()
+                if p["throughput_ratio_10x"] < 0.5}
+        assert slow == {}, f"super-linear streaming state machinery: {slow}"
 
 
 def test_bench_payload_carries_load_honesty_fields():

@@ -57,9 +57,11 @@ def main():
         # streaming section into the round's scale artifact so batch and
         # streaming sub-linearity evidence live in one file
         rest = [a for a in sys.argv[1:] if a != "--scale"]
-        if rest and rest[0].endswith(".json") and os.path.exists(rest[0]):
-            with open(rest[0]) as f:
-                payload = json.load(f)
+        if rest and rest[0].endswith(".json"):
+            payload = {}
+            if os.path.exists(rest[0]):
+                with open(rest[0]) as f:
+                    payload = json.load(f)
             payload["streaming"] = {
                 "method": "per-pipeline file-stream replay at sf0.1 and the "
                           "density-preserving sf1 (10x rows, multi-file -> "
