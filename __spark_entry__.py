@@ -11,8 +11,8 @@ training-data pipeline operators (dedup / similarity / text analysis).
 
 Ordering policy (signature freshness, NOT hide-the-greens)
 ----------------------------------------------------------
-The driver hash-checks only the first 50 registry entries per round (118
-entries as of round 5), so full coverage takes three rounds per cycle.
+The driver hash-checks only the first 50 registry entries per round (120
+entries as of round 6), so full coverage takes three rounds per cycle.
 Queries are ordered by how STALE their latest driver signature is:
 
 1. queries whose implementation (or a shared code path under them) changed
@@ -40,28 +40,15 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01/r03/r04/r05.json by
+# mechanically from CORRECTNESS_r01/r03/r04/r05/r06.json by
 # `tools/update_window.py --emit`. Queries absent here have never been
 # driver-signed.
-_R03 = (
-    "agg_max", "anomaly_daily", "cms_estimate", "daily_1800", "exact_dedup",
-    "fold_letters", "hopping_6h", "minhash_lsh_pairs", "minhash_signature",
-    "ngram_jaccard", "ngram_jaccard_capped", "reduce_keep_first",
-    "shard_pack", "simhash", "simhash_hamming_pairs", "topk_revenue",
-    "tpch_q1", "tumbling_hourly", "windowed_max", "winnow_fingerprints",
-)
 _R04 = (
-    "approx_distinct", "bigram_novelty", "branch_counts", "corpus_prep",
-    "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters_star",
-    "distinct_users", "doc_chunks", "filter_transform", "fingerprint",
-    "frame_sample", "global_shuffle", "inventory_reservation",
-    "media_features", "music_charts", "order_validation", "pageview_region",
-    "quality_deciles", "retention_cohorts", "rollup_sales",
-    "running_counts_trace", "salted_join_skew", "sum_odd", "token_count",
-    "top_articles_windowed", "tpch_q10", "tpch_q11", "tpch_q12", "tpch_q13",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2",
-    "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "wordcount",
+    "bigram_novelty", "dedup_clusters_star", "doc_chunks", "global_shuffle",
+    "quality_deciles", "retention_cohorts", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8",
+    "tpch_q9",
 )
 _R05 = (
     "anonymize_props", "asof_join", "bigram_surprisal", "bpe_fertility",
@@ -74,26 +61,38 @@ _R05 = (
     "merge_union", "pack_sequences", "pii_redact", "pipeline_funnel",
     "pq_knn", "quality_filter_median", "quality_score", "reduce_concat",
     "repetition_stats", "reservoir_per_stratum", "semantic_dedup",
-    "session_windows", "source_mixture", "source_overlap",
-    "stratified_sample", "stream_stream_join", "stream_stream_outer_join",
-    "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q17",
-    "unigram_surprisal", "value_percentiles",
+    "session_windows", "source_overlap", "stratified_sample",
+    "stream_stream_join", "stream_stream_outer_join", "stream_table_join",
+    "table_table_join", "tfidf_top_terms", "tpch_q17", "unigram_surprisal",
+    "value_percentiles",
 )
-_SIGNED_ROUND: dict[str, int] = {**{n: 3 for n in _R03},
-                                 **{n: 4 for n in _R04},
-                                 **{n: 5 for n in _R05}}
+_R06 = (
+    "agg_max", "anomaly_daily", "approx_distinct", "branch_counts",
+    "cms_estimate", "corpus_prep", "corrupt_skip", "cube_sales",
+    "daily_1800", "daily_1800_nyc", "distinct_users", "dsir_resample",
+    "exact_dedup", "filter_transform", "fingerprint", "fold_letters",
+    "frame_sample", "hopping_6h", "inventory_reservation", "knn_recall",
+    "media_features", "minhash_lsh_pairs", "minhash_signature",
+    "music_charts", "ngram_jaccard", "ngram_jaccard_capped",
+    "order_validation", "pageview_region", "reduce_keep_first",
+    "rollup_sales", "running_counts_trace", "salted_join_skew",
+    "shard_pack", "simhash", "simhash_hamming_pairs", "source_mixture",
+    "sum_odd", "token_count", "top_articles_windowed", "topk_revenue",
+    "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tumbling_hourly", "windowed_max", "winnow_fingerprints", "wordcount",
+)
+_SIGNED_ROUND: dict[str, int] = {**{n: 4 for n in _R04},
+                                 **{n: 5 for n in _R05},
+                                 **{n: 6 for n in _R06}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-6 diff: minhash_signature's scan-side rewrite landed in r5 AFTER
-# its r03 signature (the r5 window re-signed minhash_lsh_pairs' shared
-# pipeline but not the standalone signature query — verdict item 1);
-# source_mixture's alpha guard moved from assert to ValueError this
-# round (behaviour identical on a normal run, but it is a source change
-# after the r05 signature, so it re-signs). dsir_score's change this
-# round is docstring-only and does not re-sign.
+# Round-7 diff: dsir_resample's threshold comparison gained stable_round
+# on both engines (ADVICE medium item) AFTER its r06 signature, so it
+# re-signs. Everything else changed this round is either new
+# (never-signed, auto-fronted) or tooling/tests outside any query path.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "minhash_signature", "source_mixture",
+    "dsir_resample",
 )
 
 

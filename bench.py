@@ -3,6 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Artifact-durability contract (BENCH_r06 postmortem): the driver captures
+only a bounded tail of stdout, and r6's enriched line outgrew it — the
+artifact recorded a mid-line fragment (`parsed: null`) and the headline
+total was unrecoverable. Two defenses now:
+  (a) the FULL payload is always json.dump'ed to BENCH_SELF_r{N}.json at
+      the repo root (N from $SPARK_GRAFT_ROUND or max CORRECTNESS_r* + 1),
+      so the repo itself carries the durable copy;
+  (b) the printed line is the COMPACT form (per-pipeline streaming detail
+      replaced by a {name: rows_per_sec} map; everything else identical)
+      and tests/test_contracts.py gates its serialized length under the
+      observed capture budget.
+
 Each query is executed once with a count-style action so the full plan runs
 but collection overhead stays constant. A warmup query first absorbs JVM/
 codegen startup so per-query numbers reflect steady-state throughput.
@@ -248,10 +260,47 @@ def main() -> None:
     load_end = os.getloadavg()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps(payload(
+    full = payload(
         timings, streaming,
         float(sf) if sf.replace(".", "").isdigit() else sf,
-        load_start, load_end, canary_first, canary_last)))
+        load_start, load_end, canary_first, canary_last)
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             f"BENCH_SELF_r{round_number():02d}.json")
+    with open(self_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # compact separators: ~135 chars saved across 60 dict entries, all
+    # margin against the driver's stdout tail-capture budget
+    print(json.dumps(printed_line(full), separators=(",", ":")))
+
+
+def round_number() -> int:
+    """Current build round: $SPARK_GRAFT_ROUND if set, else one past the
+    newest CORRECTNESS_r{N}.json at the repo root (the driver writes that
+    artifact at the END of a round, so during round N the newest is N-1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+              for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def printed_line(full: dict) -> dict:
+    """Compact form of the bench payload for the ONE printed JSON line.
+
+    Identical to the full payload except the streaming section: the
+    per-pipeline {wall_sec, rows_per_sec, rows_in} dicts collapse to a
+    {name: rows_per_sec} map (round-over-round streaming visibility stays
+    in the artifact; the detail lives in BENCH_SELF_r{N}.json). The
+    serialized length is contract-tested under the driver's observed
+    stdout-capture budget so the artifact can never again truncate."""
+    out = dict(full)
+    out["streaming"] = {name: int(round(row["rows_per_sec"]))
+                        for name, row in full["streaming"].items()}
+    return out
 
 
 def payload(timings, streaming, sf, load_start, load_end,

@@ -69,6 +69,18 @@ def query(name: str, oracle: str | None, doc: str):
     return deco
 
 
+def oracle_patch(base: str, old: str, new: str) -> str:
+    """str.replace for derived oracles that FAILS LOUDLY at import time
+    if the match target drifted (a silent no-op replace would leave the
+    derived query with the base oracle's schema — wrong, and caught only
+    at verify time)."""
+    if old not in base:
+        raise ValueError(
+            f"oracle_patch: target not found in base oracle "
+            f"(first 80 chars of target: {old[:80]!r})")
+    return base.replace(old, new)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 stateless transforms + §2.4 basic aggregations
 
@@ -3790,7 +3802,8 @@ def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dsir_resample",
-    QUERIES["dsir_score"].oracle.replace(
+    oracle_patch(
+        QUERIES["dsir_score"].oracle,
         "SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,\n"
         "           coalesce(pd.dsir, 0.0) AS dsir\n"
         "    FROM documents d LEFT JOIN pd USING (doc_id)",
@@ -3802,7 +3815,8 @@ def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id, source, n_bigrams, dsir,
            CAST('0x' || substr(md5('ord|0|' || CAST(doc_id AS VARCHAR)),
                                1, 15) AS BIGINT) AS ord
-    FROM sc CROSS JOIN thr WHERE sc.dsir >= thr.t"""),
+    FROM sc CROSS JOIN thr
+    WHERE sc.dsir >= floor(thr.t * 1e4 + 0.5) / 1e4"""),
     "The composed DSIR pipeline end-to-end (Xie et al. NeurIPS'23): "
     "score -> select -> materialized training corpus. Selection is the "
     "deterministic top-quantile variant of the paper's importance "
@@ -3810,19 +3824,25 @@ def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
     "interpolated 75th percentile (Spark percentile == DuckDB "
     "quantile_cont on identical 4-decimal-rounded inputs — the "
     "value_percentiles bit-identity precedent), a 1-row broadcast "
-    "threshold instead of a global sort. Each kept document carries the "
+    "threshold instead of a global sort; the threshold is "
+    "stable_round(4)ed on BOTH engines before comparing (the "
+    "value_percentiles boundary-guard pattern — Spark and DuckDB "
+    "interpolate the same quantile with differently-associated "
+    "arithmetic, and a 1-ULP difference at a tied boundary value would "
+    "otherwise flip membership). Each kept document carries the "
     "deterministic per-(epoch=0, doc) 60-bit order key "
     "(sampling.epoch_order_key), so the output IS the shuffled "
     "training-corpus manifest. Adds one tiny aggregate + broadcast "
     "filter on top of dsir_score's audited plan; nothing new shuffles.",
 )
 def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
     docs = table(spark, sf, "documents")
     sc = (TX.dsir_score(docs)
           .join(docs.select("doc_id", "source"), "doc_id"))
     thr = sc.agg(F.expr("percentile(dsir, 0.75)").alias("__t"))
     return (sc.join(F.broadcast(thr), F.lit(True))
-              .filter(F.col("dsir") >= F.col("__t"))
+              .filter(F.col("dsir") >= stable_round(F.col("__t"), 4))
               .withColumn("epoch", F.lit(0))
               .select("doc_id", "source", "n_bigrams", "dsir",
                       SAMP.epoch_order_key().alias("ord")))

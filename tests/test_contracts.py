@@ -130,3 +130,42 @@ def test_bench_payload_carries_load_honesty_fields():
     # report < 1.0
     assert bench.payload({}, {}, 0.1, (0,) * 3, (0,) * 3,
                          0.45, 0.30)["canary"]["spread"] == 1.5
+
+
+def test_bench_printed_line_fits_capture_budget():
+    # BENCH_r06 postmortem: the driver keeps only the LAST ~2000 chars of
+    # stdout (shared with trailing Spark-shutdown WARN lines), and r6's
+    # enriched line outgrew it — the artifact recorded a mid-line
+    # fragment (`parsed: null`). The printed line is now the compact form
+    # (printed_line(): streaming collapses to {name: int rows_per_sec});
+    # gate its worst-case serialized length with margin for ~300 chars of
+    # post-print log spam. The FULL payload is durable regardless via
+    # BENCH_SELF_r{N}.json.
+    import json
+
+    import bench
+    streaming = {n: {"wall_sec": 99.999, "rows_per_sec": 9999999.9,
+                     "rows_in": 99999999} for n in bench.STREAMING_PIPELINES}
+    timings = {n: 99.999 for n in bench.HEADLINE}  # worst-case widths
+    full = bench.payload(timings, streaming, 0.1,
+                         (99.99,) * 3, (99.99,) * 3, 9.999, 9.999)
+    line = json.dumps(bench.printed_line(full), separators=(",", ":"))
+    assert len(line) <= 1700, (
+        f"printed bench line is {len(line)} chars — would risk the "
+        "driver's ~2000-char stdout tail capture; shrink printed_line()")
+    # the compact form must still satisfy the driver's parse contract
+    parsed = json.loads(line)
+    assert {"metric", "value", "unit", "queries", "sf"} <= set(parsed)
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    # and the full payload keeps the per-pipeline detail the compact
+    # form drops (wall_sec + rows_in live only in the self file)
+    assert full["streaming"]["wordcount"]["rows_in"] == 99999999
+
+
+def test_bench_round_number_tracks_artifacts(monkeypatch):
+    import bench
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "12")
+    assert bench.round_number() == 12
+    monkeypatch.delenv("SPARK_GRAFT_ROUND")
+    # repo has CORRECTNESS_r01..r06 committed -> current round is 7+
+    assert bench.round_number() >= 7

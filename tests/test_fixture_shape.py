@@ -15,12 +15,16 @@ MinHash-LSH family are the declared scale paths.
 """
 
 
+import os
+
 import pyspark.sql.functions as F
 
 from kafka_streams_examples_spark.catalog import table
 from kafka_streams_examples_spark.operators.dedup import doc_shingle_hashes
 
-BENCH_SF_DIR = "/root/testdata/sf0.1"
+# Same env var + default bench.py reads, so the guard covers whatever
+# fixture the bench will actually run against (not just the shipped one).
+BENCH_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Measured max df at sf0.1 is 25; the bound leaves headroom for benign
 # fixture drift while keeping the worst shingle's pair fan-out <= 10^4.

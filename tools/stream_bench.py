@@ -40,9 +40,12 @@ def scale_report(spark) -> dict:
             "sf0.1": base[name],
             "sf1": big[name],
             # >1 = per-row cost FELL at 10x input (fixed cost amortized);
-            # ~0.1 would mean wall grew 100x for 10x data — super-linear
+            # ~0.1 would mean wall grew 100x for 10x data — super-linear.
+            # Computed from the unrounded rows_in/wall_sec, not the
+            # display-rounded rows_per_sec (the ratio is contract-gated).
             "throughput_ratio_10x": round(
-                big[name]["rows_per_sec"] / base[name]["rows_per_sec"], 2),
+                (big[name]["rows_in"] / big[name]["wall_sec"])
+                / (base[name]["rows_in"] / base[name]["wall_sec"]), 2),
         }
     return out
 
