@@ -89,10 +89,13 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 4 for n in _R04},
 # changed after their latest driver signature — front of the window.
 # Round-7 diff: dsir_resample's threshold comparison gained stable_round
 # on both engines (ADVICE medium item) AFTER its r06 signature, so it
-# re-signs. Everything else changed this round is either new
-# (never-signed, auto-fronted) or tooling/tests outside any query path.
+# re-signs; knn_recall's ladder body was extracted into the shared
+# _recall_ladder helper (same plan, but a source change under it) when
+# knn_recall_clustered landed, so it re-signs too. Everything else
+# changed this round is either new (never-signed, auto-fronted) or
+# tooling/tests outside any query path.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "dsir_resample",
+    "dsir_resample", "knn_recall",
 )
 
 

@@ -3768,8 +3768,14 @@ def _knn_recall_sql() -> str:
     "Oracle reuses the tier oracles verbatim as derived tables.",
 )
 def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
+    return _recall_ladder(table(spark, sf, "embeddings"))
+
+
+def _recall_ladder(emb: DataFrame) -> DataFrame:
+    """Shared recall@5 overlay (knn_recall / knn_recall_clustered): run
+    every ANN tier over `emb`, grade each against the brute-force top-5
+    of the same corpus."""
     from .functions import stable_round
-    emb = table(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
     brute = (SIM.brute_force_knn(q, emb, k=5)
              .select("q_id", "c_id").localCheckpoint(eager=False))
@@ -3798,6 +3804,54 @@ def q_knn_recall(spark: SparkSession, sf: str) -> DataFrame:
                .select("tier", "n_retrieved", "n_hits",
                        stable_round(F.col("n_hits").cast("double")
                                     / F.col("__n"), 4).alias("recall_at_5")))
+
+
+# Clustered embedding fixture, derived IN-QUERY from the isotropic
+# `embeddings` table (the driver fixtures are read-only): component j of
+# vector v becomes stable_round(centroid(label, j) + v[j], 4) with
+# centroid(c, j) = ((c*37 + j*29) % 19 - 9) / 48.0 — a deterministic
+# mixture of 10 Gaussians whose per-component centroid spread (~0.114)
+# matches the fixture's component std (~0.125), i.e. within-cluster
+# cosine ~0.5: the MID-RANGE regime where every ANN tier's recall can
+# move in BOTH directions (knn_recall's isotropic fixture floors
+# multiprobe at 0.04, where a retrieval regression is invisible).
+# Identical IEEE evaluation on both engines: integer centroid formula,
+# one correctly-rounded divide, float32->double exact widening, one add,
+# then stable_round(4).
+_EMB_CLUSTERED_SQL = """emb_c AS (
+  SELECT vec_id, label,
+         list(floor((((label * 37 + j * 29) % 19 - 9) / 48.0
+                     + CAST(embedding[j + 1] AS DOUBLE)) * 1e4 + 0.5) / 1e4
+              ORDER BY j) AS embedding
+  FROM embeddings, unnest(generate_series(0, 63)) AS t(j)
+  GROUP BY vec_id, label)"""
+
+
+def _clustered_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
+    emb = table(spark, sf, "embeddings")
+
+    def elem(x, i):
+        cent = ((F.col("label").cast("long") * 37 + i * 29) % 19 - 9) \
+            / F.lit(48.0)
+        return stable_round(cent + x.cast("double"), 4)
+
+    return emb.select("vec_id", "label",
+                      F.transform("embedding", elem).alias("embedding"))
+
+
+def _knn_recall_clustered_sql() -> str:
+    """knn_recall's oracle with every tier retargeted at the clustered
+    CTE: word-boundary rewrite of the `embeddings` table reference
+    (verified to change each tier — oracle_patch discipline), wrapped
+    under one emb_c prefix CTE visible to all tier subqueries."""
+    import re
+    base = _knn_recall_sql()
+    out = re.sub(r"\bembeddings\b", "emb_c", base)
+    if out == base or "emb_c" not in out:
+        raise ValueError("embeddings retarget did not apply")
+    return out.replace("WITH u AS", f"WITH {_EMB_CLUSTERED_SQL},\n    u AS",
+                       1)
 
 
 @query(
@@ -3846,3 +3900,24 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
               .withColumn("epoch", F.lit(0))
               .select("doc_id", "source", "n_bigrams", "dsir",
                       SAMP.epoch_order_key().alias("ord")))
+
+
+@query(
+    "knn_recall_clustered",
+    _knn_recall_clustered_sql(),
+    "The recall ladder (knn_recall) re-run on a CLUSTERED embedding "
+    "fixture derived in-query: a 10-Gaussian mixture built by adding a "
+    "deterministic per-label centroid to each isotropic vector "
+    "(stable_round(4) both engines; see _EMB_CLUSTERED_SQL). Centroid "
+    "scale is tuned so within-cluster cosine ~0.5 — sf0.01 recall@5: "
+    "ivf 0.98, pq/ivfpq ~0.35, multiprobe 0.17, all mid-range with "
+    "headroom in BOTH directions, unlike the isotropic fixture where "
+    "multiprobe floors at 0.04 and a real retrieval regression cannot "
+    "move the number. Tier ordering (brute > ivf > pq > multiprobe) and "
+    "perturbation sensitivity (nprobe 1/2/4 -> 0.91/0.98/1.0; probes "
+    "1/3/6 -> 0.06/0.17/0.23) are pinned in tests/test_dedup_similarity. "
+    "Scale shape: identical to knn_recall plus one scan-side transform "
+    "(no extra shuffle; the clustered corpus is never materialized).",
+)
+def q_knn_recall_clustered(spark: SparkSession, sf: str) -> DataFrame:
+    return _recall_ladder(_clustered_embeddings(spark, sf))

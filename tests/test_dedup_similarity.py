@@ -707,3 +707,39 @@ def test_exact_substring_dedup_matches_python_reference(spark):
     got = {r.doc_id: (r.n_dup_spans, r.tokens_removed) for r in
            exact_substring_dedup_stats(docs, l=L).collect()}
     assert got == expected
+
+
+def test_clustered_recall_fixture_separates_tiers_and_moves(spark, sf_dir):
+    """knn_recall_clustered's reason to exist: on the isotropic fixture
+    multiprobe recall floors at 0.04 and a retrieval regression is
+    invisible. The in-query 10-Gaussian mixture must (a) order the tiers
+    brute > ivf > pq > multiprobe with every approximate tier strictly
+    inside (0, 1) — mid-range, room to move BOTH ways — and (b) actually
+    move when the search effort is perturbed (nprobe, probes), which is
+    the property a regression detector needs."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        multiprobe_signlsh_knn, pq_knn,
+    )
+    from kafka_streams_examples_spark.registry import _clustered_embeddings
+
+    cl = _clustered_embeddings(spark, sf_dir).localCheckpoint()
+    q = cl.filter(F.col("vec_id") < 20)
+    bf = {(r["q_id"], r["c_id"])
+          for r in brute_force_knn(q, cl, k=5).collect()}
+
+    def recall(df):
+        got = {(r["q_id"], r["c_id"]) for r in df.collect()}
+        return len(got & bf) / len(bf)
+
+    r_ivf = {n: recall(ivf_knn(q, cl, k=5, nprobe=n)) for n in (1, 2, 4)}
+    r_mp = {p: recall(multiprobe_signlsh_knn(q, cl, k=5, planes=8, dim=64,
+                                             probes=p)) for p in (1, 3, 6)}
+    r_pq = recall(pq_knn(q, cl, k=5, m=4, codebook=16, iters=1, dim=64))
+
+    # (a) mid-range separation at the registry parameters (nprobe=2,
+    # probes=3): brute 1.0 > ivf > pq > multiprobe, all inside (0, 1)
+    assert 1.0 > r_ivf[2] > r_pq > r_mp[3] > 0.0, (r_ivf, r_pq, r_mp)
+    # (b) the metric moves under effort perturbation — monotone in
+    # nprobe/probes AND strictly increasing over the tested span
+    assert r_ivf[1] <= r_ivf[2] <= r_ivf[4] and r_ivf[1] < r_ivf[4]
+    assert r_mp[1] <= r_mp[3] <= r_mp[6] and r_mp[1] < r_mp[6]

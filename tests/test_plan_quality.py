@@ -58,6 +58,9 @@ BNLJ_BY_DESIGN = {
     # 1-row denominator broadcast; the recall overlay itself is an
     # equi-join on (q_id, c_id)
     "knn_recall",
+    # the same composed ladder over the in-query clustered fixture — the
+    # extra work is one scan-side array transform, no new join shapes
+    "knn_recall_clustered",
     # dsir_score's 1-row totals broadcast plus the 1-row exact-percentile
     # threshold broadcast (selection without a global sort)
     "dsir_resample",
