@@ -127,7 +127,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
 
     from kafka_streams_examples_spark.catalog import table
     from kafka_streams_examples_spark.streaming.core import (
-        run_to_memory, stream_table,
+        run_to_memory, shuffle_sized, stream_table,
     )
     from kafka_streams_examples_spark.streaming.dedup import dedup_stream
     from kafka_streams_examples_spark.streaming.pipelines import (
@@ -205,11 +205,17 @@ def stream_bench(spark, sf_dir: str) -> dict:
         # makes single streaming runs swing 3-6x run-to-run, far more
         # than the batch queries — one retry strips most of it
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            _, q = run_to_memory(build(), mode=mode)
-            best = min(best, time.time() - t0)
-            q.stop()
+        # shuffle partitions sized to the stream's input (~50k rows per
+        # partition, floor 2, cap cores): at sf0.1 the session default of
+        # 32 made per-partition state-store commits the dominant cost
+        # (SCALE_r06 interval_join root cause); the sized value is
+        # captured per-query at start, restored after
+        with shuffle_sized(spark, rows_in):
+            for _ in range(2):
+                t0 = time.time()
+                _, q = run_to_memory(build(), mode=mode)
+                best = min(best, time.time() - t0)
+                q.stop()
         out[name] = {"wall_sec": round(best, 3),
                      "rows_per_sec": round(rows_in / best, 1),
                      "rows_in": rows_in}

@@ -56,6 +56,50 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str,
     return df
 
 
+def sized_shuffle_partitions(n_rows: int, cpus: int,
+                             rows_per_partition: int = 50_000) -> int:
+    """Shuffle-partition count scaled to the STREAM'S state size instead
+    of the session default.
+
+    Every stateful operator commits one state store per shuffle partition
+    per micro-batch; at small inputs that commit fan-out IS the wall time
+    (SCALE_r06: interval_join at sf0.1 spent 53.6s of summed
+    commitTimeMs across 2 stores x 32 partitions moving only 200k state
+    rows — fixed cost, not join cost). Target ~50k state rows per
+    partition, floor 2 (so the plan still exercises a real exchange),
+    cap at the session's core count (beyond that adds commit fan-out
+    with no parallelism gain). At 100 TB this is the same knob sized the
+    opposite direction: state volume / executor-memory budget, far above
+    the core count — the point is sizing to STATE, not defaulting.
+    """
+    return max(2, min(cpus, (n_rows + rows_per_partition - 1)
+                      // rows_per_partition))
+
+
+class shuffle_sized:
+    """Context manager: set spark.sql.shuffle.partitions for one
+    streaming query's lifetime (the value is captured at query START and
+    baked into its checkpoint), restore on exit."""
+
+    def __init__(self, spark: SparkSession, n_rows: int,
+                 rows_per_partition: int = 50_000):
+        self.spark = spark
+        self.n_rows = n_rows
+        self.rpp = rows_per_partition
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        cpus = self.spark.sparkContext.defaultParallelism
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(sized_shuffle_partitions(self.n_rows, cpus, self.rpp)))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
+
 def run_to_memory(df: DataFrame, mode: str = "append",
                   name: str | None = None, wait: bool = True) -> tuple[str, object]:
     """Start a memory-sink query, process everything available, return

@@ -191,3 +191,38 @@ def streaming_corpus_filter(docs: DataFrame, min_tokens: int = 10,
     return (kept.withWatermark(ts_col, ttl)
                 .dropDuplicatesWithinWatermark(["fp"])
                 .select(id_col, "fp", "n_tokens"))
+
+
+def music_charts_service(spark, plays: DataFrame, songs: DataFrame,
+                         state_dir: str, n_buckets: int = 8,
+                         min_quantity: float = 5.0):
+    """Flagship 1 composed end-to-end (KafkaMusicExample.java:281-378 +
+    335-375 TopFiveSongs): the streaming play-count half (update mode)
+    feeds the bucketed KTable materializer, and the two-level top-5
+    (per-genre + __overall__) ranks at READ time over the store — the
+    reference architecture exactly: its charts are REST reads over the
+    continuously-updated song-play-count store.
+
+    Returns (query, charts) where `charts()` serves the current top-5
+    table from state (call any time; converges to the batch
+    music_charts oracle once the stream drains, independent of arrival
+    order — counts are cumulative per key and the materializer keeps the
+    newest epoch's value per key). Caller stops the query.
+    """
+    from .ktable import KTableMaterializer
+
+    counts = streaming_music_charts(plays, songs, min_quantity)
+    mat = KTableMaterializer(spark, state_dir, ["genre", "song_id"],
+                             ts_col="__v", n_buckets=n_buckets)
+
+    def sink(batch: DataFrame, epoch: int) -> None:
+        # update-mode batches carry only keys whose count changed; the
+        # epoch number versions them for the latest-per-key merge
+        mat(batch.withColumn("__v", F.lit(epoch).cast("long")), epoch)
+
+    q = (counts.writeStream.outputMode("update").foreachBatch(sink).start())
+
+    def charts() -> DataFrame:
+        return top5_from_counts(mat.state().drop("__v"))
+
+    return q, charts

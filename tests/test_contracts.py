@@ -169,3 +169,15 @@ def test_bench_round_number_tracks_artifacts(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_ROUND")
     # repo has CORRECTNESS_r01..r06 committed -> current round is 7+
     assert bench.round_number() >= 7
+
+
+def test_sized_shuffle_partitions_policy():
+    # ~50k state rows per partition, floor 2 (real exchange), cap cores
+    from kafka_streams_examples_spark.streaming.core import (
+        sized_shuffle_partitions,
+    )
+    assert sized_shuffle_partitions(0, 32) == 2
+    assert sized_shuffle_partitions(200_000, 32) == 4      # sf0.1 events
+    assert sized_shuffle_partitions(2_000_000, 32) == 32   # sf1: hits cap
+    assert sized_shuffle_partitions(2_000_000, 8) == 8     # cap = cores
+    assert sized_shuffle_partitions(50_001, 32) == 2

@@ -46,6 +46,8 @@ CURVE = [
     # r6 additions (composed recall gauge over all ANN tiers; composed
     # score -> threshold -> manifest pipeline)
     "knn_recall", "dsir_resample",
+    # r7 addition (the ladder over the in-query clustered fixture)
+    "knn_recall_clustered",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
