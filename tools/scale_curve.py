@@ -63,6 +63,24 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
     spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
     QUERIES["tpch_q1"].spark(spark, SFS[0][1]).count()          # warmup
 
+    # Load-honesty telemetry, same scheme as bench.py: SCALE_r06 recorded
+    # dedup_clusters at a 7.29x sf1 step that did not reproduce (2.2x on
+    # an idle box, same code + fixture) and carried nothing to show the
+    # run was loaded. loadavg at both ends + a first/last canary let a
+    # reader separate machine load from plan change without re-running.
+    load_start = os.getloadavg()
+
+    def canary() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES["tpch_q1"].spark(spark, SFS[1][1]) \
+                .write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    canary_first = canary()
+
     report: dict[str, dict] = {}
     if only and os.path.exists(out_path):
         with open(out_path) as f:
@@ -82,11 +100,20 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
         row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
         report[name] = row
 
+    canary_last = canary()
+    load_end = os.getloadavg()
     payload = {
         "method": "min-of-2 noop-sink wall per SF; sf1 = density-preserving "
                   "10x of sf0.1 (tools/scale_data.py); 10x data per step, "
                   "so step ratio ~<=10 = at-most-linear",
         "cpus": cpus,
+        "loadavg": {"start": [round(x, 2) for x in load_start],
+                    "end": [round(x, 2) for x in load_end]},
+        "canary": {"query": "tpch_q1", "sf": "0.1",
+                   "first_sec": round(canary_first, 3),
+                   "last_sec": round(canary_last, 3),
+                   "spread": round(max(canary_first, canary_last)
+                                   / min(canary_first, canary_last), 3)},
         "queries": report,
     }
     with open(out_path, "w") as f:
