@@ -40,62 +40,60 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01/r03/r04/r05/r06.json by
+# mechanically from CORRECTNESS_r01/r03/r04/r05/r06/r07.json by
 # `tools/update_window.py --emit`. Queries absent here have never been
 # driver-signed.
-_R04 = (
-    "bigram_novelty", "dedup_clusters_star", "doc_chunks", "global_shuffle",
-    "quality_deciles", "retention_cohorts", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19",
-    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8",
-    "tpch_q9",
-)
 _R05 = (
-    "anonymize_props", "asof_join", "bigram_surprisal", "bpe_fertility",
-    "bpe_train", "decontaminate", "dedup_clusters", "dedup_keep_best",
-    "dedup_ttl", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
-    "epoch_mixture", "exact_substring_dedup", "fk_chain",
-    "funnel_conversion", "having_count", "json_extract", "kmeans_train",
-    "knn_cosine", "knn_ivf", "knn_ivf_trained", "knn_ivfpq",
-    "knn_multiprobe", "ktable_latest", "ktable_reagg", "lang_id",
-    "merge_union", "pack_sequences", "pii_redact", "pipeline_funnel",
-    "pq_knn", "quality_filter_median", "quality_score", "reduce_concat",
-    "repetition_stats", "reservoir_per_stratum", "semantic_dedup",
-    "session_windows", "source_overlap", "stratified_sample",
-    "stream_stream_join", "stream_stream_outer_join", "stream_table_join",
-    "table_table_join", "tfidf_top_terms", "tpch_q17", "unigram_surprisal",
+    "bigram_surprisal", "bpe_fertility", "bpe_train", "decontaminate",
+    "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
+    "epoch_mixture", "exact_substring_dedup", "funnel_conversion",
+    "knn_ivfpq", "lang_id", "pack_sequences", "pii_redact",
+    "pipeline_funnel", "pq_knn", "quality_score", "repetition_stats",
+    "semantic_dedup", "source_overlap", "tpch_q17", "unigram_surprisal",
     "value_percentiles",
 )
 _R06 = (
     "agg_max", "anomaly_daily", "approx_distinct", "branch_counts",
     "cms_estimate", "corpus_prep", "corrupt_skip", "cube_sales",
-    "daily_1800", "daily_1800_nyc", "distinct_users", "dsir_resample",
-    "exact_dedup", "filter_transform", "fingerprint", "fold_letters",
-    "frame_sample", "hopping_6h", "inventory_reservation", "knn_recall",
-    "media_features", "minhash_lsh_pairs", "minhash_signature",
-    "music_charts", "ngram_jaccard", "ngram_jaccard_capped",
-    "order_validation", "pageview_region", "reduce_keep_first",
-    "rollup_sales", "running_counts_trace", "salted_join_skew",
-    "shard_pack", "simhash", "simhash_hamming_pairs", "source_mixture",
-    "sum_odd", "token_count", "top_articles_windowed", "topk_revenue",
-    "tpch_q1", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tumbling_hourly", "windowed_max", "winnow_fingerprints", "wordcount",
+    "daily_1800", "daily_1800_nyc", "distinct_users", "exact_dedup",
+    "filter_transform", "fingerprint", "fold_letters", "frame_sample",
+    "hopping_6h", "inventory_reservation", "media_features",
+    "minhash_lsh_pairs", "minhash_signature", "music_charts",
+    "ngram_jaccard", "ngram_jaccard_capped", "order_validation",
+    "pageview_region", "reduce_keep_first", "rollup_sales",
+    "running_counts_trace", "salted_join_skew", "shard_pack", "simhash",
+    "simhash_hamming_pairs", "source_mixture", "sum_odd", "token_count",
+    "top_articles_windowed", "topk_revenue", "tpch_q1", "tpch_q10",
+    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tumbling_hourly",
+    "windowed_max", "winnow_fingerprints", "wordcount",
 )
-_SIGNED_ROUND: dict[str, int] = {**{n: 4 for n in _R04},
-                                 **{n: 5 for n in _R05},
-                                 **{n: 6 for n in _R06}}
+_R07 = (
+    "anonymize_props", "asof_join", "bigram_novelty", "dedup_clusters",
+    "dedup_clusters_star", "dedup_keep_best", "dedup_ttl", "doc_chunks",
+    "dsir_resample", "fk_chain", "global_shuffle", "having_count",
+    "json_extract", "kmeans_train", "knn_cosine", "knn_ivf",
+    "knn_ivf_trained", "knn_multiprobe", "knn_recall",
+    "knn_recall_clustered", "ktable_latest", "ktable_reagg", "merge_union",
+    "quality_deciles", "quality_filter_median", "reduce_concat",
+    "reservoir_per_stratum", "retention_cohorts", "session_windows",
+    "stratified_sample", "stream_stream_join", "stream_stream_outer_join",
+    "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
+    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7",
+    "tpch_q8", "tpch_q9",
+)
+_SIGNED_ROUND: dict[str, int] = {**{n: 5 for n in _R05},
+                                 **{n: 6 for n in _R06},
+                                 **{n: 7 for n in _R07}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-7 diff: dsir_resample's threshold comparison gained stable_round
-# on both engines (ADVICE medium item) AFTER its r06 signature, so it
-# re-signs; knn_recall's ladder body was extracted into the shared
-# _recall_ladder helper (same plan, but a source change under it) when
-# knn_recall_clustered landed, so it re-signs too. Everything else
-# changed this round is either new (never-signed, auto-fronted) or
-# tooling/tests outside any query path.
+# Round-8 diff: knn_ivfpq / pq_knn gained IVFADC residual encoding and
+# knn_recall_clustered's oracle follows their rewritten SQL, so those
+# three re-sign first; everything else changed this round is streaming
+# bench harness / tooling outside any batch query path.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "dsir_resample", "knn_recall",
+    "knn_ivfpq", "pq_knn", "knn_recall_clustered",
 )
 
 

@@ -118,17 +118,17 @@ STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
                        "ordered_concat", "pack_sequences")
 
 
-def stream_bench(spark, sf_dir: str) -> dict:
-    """Streaming throughput: replay sf tables as file-stream micro-batches
-    through the smoke pipelines (wordcount / windows / sessions / dedup /
-    stream-stream join) and report rows/sec — the commit-interval
-    throughput analog (WordCountLambdaExample.java:170-174)."""
+def stream_cases(spark, sf_dir: str) -> dict:
+    """Build the streaming-bench pipeline table:
+    {name: (build_fn, output_mode, rows_in, cost_class)}.
+
+    Shared by stream_bench (in-harness numbers in BENCH_SELF_r{N}.json)
+    and tools/stream_ab.py (isolated numbers in STREAM_AB_r{N}.json) so
+    the two artifacts always time IDENTICAL pipelines."""
     from pyspark.sql import functions as F
 
     from kafka_streams_examples_spark.catalog import table
-    from kafka_streams_examples_spark.streaming.core import (
-        run_to_memory, shuffle_sized, stream_table,
-    )
+    from kafka_streams_examples_spark.streaming.core import stream_table
     from kafka_streams_examples_spark.streaming.dedup import dedup_stream
     from kafka_streams_examples_spark.streaming.pipelines import (
         interval_join_stream, session_counts, streaming_wordcount,
@@ -150,15 +150,24 @@ def stream_bench(spark, sf_dir: str) -> dict:
     n_events = table(spark, sf_dir, "events").count()
     ev = lambda: stream_table(spark, sf_dir, "events")  # noqa: E731
 
+    # Cost class per pipeline (BENCH_r07 postmortem / verdict #1): "jvm"
+    # pipelines are state-commit-bound — size shuffle partitions to state
+    # (~50k rows/part); "python" pipelines run their per-key fold in
+    # applyInPandasWithState workers, where partition count IS Python
+    # parallelism — size to ~5k rows/worker. pack_sequences is
+    # applyInPandasWithState too but numpy-vectorized over ~5 source
+    # keys, so extra partitions are empty commit overhead — jvm class.
     cases = {
         "wordcount": (
             lambda: streaming_wordcount(stream_table(spark, sf_dir, "documents")),
-            "complete", n_tokens),
-        "windowed_counts": (lambda: windowed_counts(ev()), "append", n_events),
-        "session_counts": (lambda: session_counts(ev()), "append", n_events),
+            "complete", n_tokens, "jvm"),
+        "windowed_counts": (lambda: windowed_counts(ev()), "append",
+                            n_events, "jvm"),
+        "session_counts": (lambda: session_counts(ev()), "append",
+                           n_events, "jvm"),
         "dedup_ttl": (
             lambda: dedup_stream(ev().select("event_id", "ts"), ["event_id"]),
-            "append", n_events),
+            "append", n_events, "jvm"),
         # self-join on the unique event id (1:1 match) so the stream-stream
         # join machinery is timed without a fan-out-dependent output size
         "interval_join": (
@@ -169,7 +178,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
                             (F.col("ts") + F.expr("INTERVAL 30 SECONDS"))
                             .alias("r_ts")),
                 "key"),
-            "append", n_events),
+            "append", n_events, "jvm"),
         # applyInPandasWithState path: per-customer sequential session
         # spend (the vectorized segment-cumsum fold in streaming/stateful)
         "fraud_check": (
@@ -179,13 +188,13 @@ def stream_bench(spark, sf_dir: str) -> dict:
                             F.col("value").alias("order_value"),
                             F.col("ts")),
                 limit=1000.0),
-            "update", n_events),
+            "update", n_events, "python"),
         # event-time-ordered per-key fold (A3 streaming analog): state grows
         # with events/key, so this times the sort-merge-state path
         "ordered_concat": (
             lambda: ordered_concat(
                 ev().select("event_id", "ts", "user_id", "event_type")),
-            "update", n_events),
+            "update", n_events, "python"),
         # per-source token-tape packing (one long of state per source;
         # numpy span explode): work unit = the packed token
         "pack_sequences": (
@@ -196,21 +205,31 @@ def stream_bench(spark, sf_dir: str) -> dict:
                                     lambda x: x != ""))
                      .cast("long").alias("n_tokens")),
                 budget=256),
-            "append", n_tokens),
+            "append", n_tokens, "jvm"),
     }
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
+    return cases
+
+
+def stream_bench(spark, sf_dir: str) -> dict:
+    """Streaming throughput: replay sf tables as file-stream micro-batches
+    through the smoke pipelines (wordcount / windows / sessions / dedup /
+    stream-stream join) and report rows/sec — the commit-interval
+    throughput analog (WordCountLambdaExample.java:170-174)."""
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, shuffle_sized,
+    )
+
+    cases = stream_cases(spark, sf_dir)
     out: dict[str, dict] = {}
-    for name, (build, mode, rows_in) in cases.items():
+    for name, (build, mode, rows_in, cost_class) in cases.items():
         # min-of-2 like the batch section: micro-batch trigger scheduling
         # makes single streaming runs swing 3-6x run-to-run, far more
         # than the batch queries — one retry strips most of it
         best = float("inf")
-        # shuffle partitions sized to the stream's input (~50k rows per
-        # partition, floor 2, cap cores): at sf0.1 the session default of
-        # 32 made per-partition state-store commits the dominant cost
-        # (SCALE_r06 interval_join root cause); the sized value is
-        # captured per-query at start, restored after
-        with shuffle_sized(spark, rows_in):
+        # shuffle partitions sized per cost class (see `cases` comment);
+        # the sized value is captured per-query at start, restored after
+        with shuffle_sized(spark, rows_in, cost_class=cost_class) as sz:
             for _ in range(2):
                 t0 = time.time()
                 _, q = run_to_memory(build(), mode=mode)
@@ -218,7 +237,9 @@ def stream_bench(spark, sf_dir: str) -> dict:
                 q.stop()
         out[name] = {"wall_sec": round(best, 3),
                      "rows_per_sec": round(rows_in / best, 1),
-                     "rows_in": rows_in}
+                     "rows_in": rows_in,
+                     "shuffle_partitions": sz.parts,
+                     "cost_class": cost_class}
     return out
 
 
@@ -229,9 +250,35 @@ def _run_once(name, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def wait_for_idle(threshold: float = 2.0, timeout: float = 900.0,
+                  poll: float = 10.0) -> float:
+    """Block until the 1-min loadavg drops below `threshold` (or timeout).
+
+    Two of the last three driver BENCH artifacts were load-noise (r5
+    loadavg ~8, r7 loadavg 10.9 → uniform 1.2-1.3× inflation across
+    untouched queries); the r6/r7 telemetry *diagnoses* that after the
+    fact but doesn't prevent it. This gate spends bounded wall time to
+    buy a clean signal; the wait (and whether the gate gave up) is
+    recorded in the payload so a timed-out run is self-evidently dirty.
+    Override: SPARK_GRAFT_NO_IDLE_GATE=1 skips (returns 0.0)."""
+    if os.environ.get("SPARK_GRAFT_NO_IDLE_GATE"):
+        return 0.0
+    t0 = time.time()
+    while os.getloadavg()[0] >= threshold:
+        if time.time() - t0 > timeout:
+            break
+        time.sleep(poll)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+    # Idle-gate BEFORE the session spins up: the gate reads host load, and
+    # a JVM launch itself perturbs the 1-min average.
+    idle_wait = wait_for_idle()
+
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 
     # Load-honesty telemetry (BENCH_r05 postmortem: a loaded box inflated
@@ -269,7 +316,8 @@ def main() -> None:
     full = payload(
         timings, streaming,
         float(sf) if sf.replace(".", "").isdigit() else sf,
-        load_start, load_end, canary_first, canary_last)
+        load_start, load_end, canary_first, canary_last,
+        idle_wait_sec=idle_wait)
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              f"BENCH_SELF_r{round_number():02d}.json")
     with open(self_path, "w") as f:
@@ -281,17 +329,30 @@ def main() -> None:
 
 def round_number() -> int:
     """Current build round: $SPARK_GRAFT_ROUND if set, else one past the
-    newest CORRECTNESS_r{N}.json at the repo root (the driver writes that
-    artifact at the END of a round, so during round N the newest is N-1)."""
+    newest COMPLETED round at the repo root.
+
+    A round is complete only when BOTH its driver artifacts exist
+    (CORRECTNESS_r{N}.json and BENCH_r{N}.json). Using CORRECTNESS alone
+    mis-numbered r7: the driver writes CORRECTNESS first and runs bench
+    second, so the driver's own bench invocation saw CORRECTNESS_r07
+    already on disk and stamped its payload r08 (ADVICE r7). min() over
+    the two families is correct in every phase: mid-round-N build both
+    maxes are N-1; in the driver's verify window, whichever artifact
+    lands first leaves the other at N-1 until the round truly ends."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
         return int(env)
     import glob
     import re
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-              for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))]
-    return (max(rounds) + 1) if rounds else 1
+
+    def newest(pattern: str) -> int:
+        rounds = [int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+                  for p in glob.glob(os.path.join(here, pattern))]
+        return max(rounds, default=0)
+
+    done = min(newest("CORRECTNESS_r*.json"), newest("BENCH_r*.json"))
+    return done + 1
 
 
 def printed_line(full: dict) -> dict:
@@ -310,21 +371,26 @@ def printed_line(full: dict) -> dict:
 
 
 def payload(timings, streaming, sf, load_start, load_end,
-            canary_first: float, canary_last: float) -> dict:
+            canary_first: float, canary_last: float,
+            idle_wait_sec: float = 0.0) -> dict:
     """Assemble the one-line BENCH JSON. The load-honesty fields
-    (loadavg, canary.spread) are contract-tested — a judge reading
-    BENCH_r{N}.json with no Spark session must be able to distinguish
-    machine load from plan regression."""
+    (loadavg, canary.spread, idle_wait_sec) are contract-tested — a judge
+    reading BENCH_r{N}.json with no Spark session must be able to
+    distinguish machine load from plan regression. `round` is embedded so
+    a mis-globbed filename can never again mislabel a payload's
+    provenance (ADVICE r7: the r7 self-bench landed as BENCH_SELF_r08)."""
     cs = max(canary_first, canary_last) / min(canary_first, canary_last)
     return {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "round": round_number(),
         "queries": timings,
         "streaming": streaming,
         "sf": sf,
         "loadavg": {"start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end]},
+        "idle_wait_sec": idle_wait_sec,
         "canary": {"query": "tpch_q1",
                    "first_sec": round(canary_first, 3),
                    "last_sec": round(canary_last, 3),
