@@ -743,3 +743,29 @@ def test_clustered_recall_fixture_separates_tiers_and_moves(spark, sf_dir):
     # nprobe/probes AND strictly increasing over the tested span
     assert r_ivf[1] <= r_ivf[2] <= r_ivf[4] and r_ivf[1] < r_ivf[4]
     assert r_mp[1] <= r_mp[3] <= r_mp[6] and r_mp[1] < r_mp[6]
+
+
+def test_all_pairs_fallback_is_fenced(spark):
+    """embedding_near_dup_pairs with bucket_col=None is O(n²); above
+    ALL_PAIRS_ROW_LIMIT it must raise unless explicitly overridden
+    (r7 verdict #3 — a caller mistake at 100 TB would be a cartesian
+    product, not a slow query)."""
+    import pytest
+
+    from kafka_streams_examples_spark.operators.dedup import (
+        ALL_PAIRS_ROW_LIMIT, embedding_near_dup_pairs,
+    )
+
+    n = ALL_PAIRS_ROW_LIMIT + 1
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dup_pairs(big, bucket_col=None)
+    # small inputs need no override, and the explicit override builds the
+    # plan without raising (identical vectors -> all C(4,2) pairs)
+    small = big.limit(4)
+    assert (embedding_near_dup_pairs(small, threshold=0.9,
+                                     bucket_col=None).count() == 6)
+    assert (embedding_near_dup_pairs(small, threshold=0.9, bucket_col=None,
+                                     allow_all_pairs=True).count() == 6)
