@@ -11,8 +11,8 @@ training-data pipeline operators (dedup / similarity / text analysis).
 
 Ordering policy (signature freshness, NOT hide-the-greens)
 ----------------------------------------------------------
-The driver hash-checks only the first 50 registry entries per round (120
-entries as of round 6), so full coverage takes three rounds per cycle.
+The driver hash-checks only the first 50 registry entries per round (121
+entries as of round 7), so full coverage takes three rounds per cycle.
 Queries are ordered by how STALE their latest driver signature is:
 
 1. queries whose implementation (or a shared code path under them) changed
@@ -93,7 +93,7 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 5 for n in _R05},
 # three re-sign first; everything else changed this round is streaming
 # bench harness / tooling outside any batch query path.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "knn_ivfpq", "pq_knn", "knn_recall_clustered",
+    "knn_ivfpq", "pq_knn", "knn_recall", "knn_recall_clustered",
 )
 
 

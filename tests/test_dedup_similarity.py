@@ -557,8 +557,11 @@ def test_pq_knn_exact_on_reconstructible_corpus(spark):
              (0, 1), (1, 0), (2, 3), (3, 2), (0, 3), (2, 1)]
     rows = [(i, protos[a] + protos[b]) for i, (a, b) in enumerate(mixes)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # normalize=False: this fixture tests the QUANTIZER at zero error in
+    # raw L2 — per-vector normalization would scale each prototype
+    # differently and destroy the exact-reconstruction property
     got = pq_knn(df.filter("vec_id < 3"), df, k=3, m=2, codebook=4,
-                 iters=1, dim=4).collect()
+                 iters=1, dim=4, normalize=False).collect()
 
     def sqd(u, v):
         return sum((x - y) ** 2 for x, y in zip(u, v))
@@ -596,23 +599,37 @@ def test_pq_knn_empty_inputs(spark):
     assert pq_knn(empty, one, k=3).count() == 0
 
 
-def test_ivfpq_probe_all_equals_pq(spark, sf_dir):
-    """With nprobe = coarse_k every cell is probed, so the cell
-    restriction admits the whole corpus and IVFPQ must reduce exactly
-    to plain PQ/ADC ranking."""
+def test_ivfpq_single_cell_equals_centered_pq(spark, sf_dir):
+    """Residual-IVFADC reduction invariant (replaces the r5 probe-all ==
+    raw-pq test, which residual encoding retires by design): with ONE
+    coarse cell every vector's residual is x − the global centroid, so
+    ivfpq must equal plain PQ run on the centered corpus — built here
+    with the same _kmeans_fit/_unit/zip_with arithmetic the operator
+    uses internally, so the equality is exact including adc_dist."""
+    from pyspark.sql import functions as SF
+
     from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.functions import stable_round
     from kafka_streams_examples_spark.operators.similarity import (
-        ivfpq_knn, pq_knn,
+        _kmeans_fit, _unit, ivfpq_knn, pq_knn,
     )
     emb = cat_table(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id < 6")
+    cents, assigned = _kmeans_fit(_unit(emb, "vec_id", "embedding"), 1, 1)
+    centered = (assigned
+                .join(SF.broadcast(cents), assigned["cid"] == cents["cid"])
+                .select("vec_id",
+                        SF.zip_with("e", "cent",
+                                    lambda x, y: stable_round(x - y, 6))
+                          .alias("embedding")))
     full = [(r.q_id, r.c_id, r.adc_dist, r.rnk) for r in
-            pq_knn(q, emb, k=4, m=4, codebook=8, iters=1).collect()]
-    probe_all = [(r.q_id, r.c_id, r.adc_dist, r.rnk) for r in
-                 ivfpq_knn(q, emb, k=4, nprobe=4, coarse_k=4,
-                           coarse_iters=1, m=4, codebook=8,
-                           pq_iters=1).collect()]
-    assert sorted(probe_all) == sorted(full)
+            pq_knn(centered.filter("vec_id < 6"), centered, k=4, m=4,
+                   codebook=8, iters=1, normalize=False).collect()]
+    single_cell = [(r.q_id, r.c_id, r.adc_dist, r.rnk) for r in
+                   ivfpq_knn(q, emb, k=4, nprobe=1, coarse_k=1,
+                             coarse_iters=1, m=4, codebook=8,
+                             pq_iters=1).collect()]
+    assert sorted(single_cell) == sorted(full)
 
 
 def test_ivfpq_candidates_confined_to_probed_cells(spark, sf_dir):

@@ -54,14 +54,27 @@ SFS = [("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1"),
        ("1", ".scale/sf1")]
 
+# the next decade (r8): .scale/sf10 = tools/scale_data.py with 100
+# replicas; measured only for the dedup/ANN families whose 100 TB story
+# the verdict asked to evidence one rung higher (--sf10 flag)
+SFS_10 = [("0.1", "/root/testdata/sf0.1"),
+          ("1", ".scale/sf1"),
+          ("10", ".scale/sf10")]
+CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
+            "simhash_hamming_pairs", "knn_ivf_trained",
+            "exact_substring_dedup"]
 
-def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> None:
+
+def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
+         sfs: list[tuple[str, str]] = SFS) -> None:
     """Measure CURVE (or just `only`) and write/merge the report: when
     `only` is given and out_path exists, rows merge into it so a new
     operator's curve lands without re-running the whole family."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    import bench
+    idle_wait = bench.wait_for_idle()   # same gate as bench.py (r8)
     spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
-    QUERIES["tpch_q1"].spark(spark, SFS[0][1]).count()          # warmup
+    QUERIES["tpch_q1"].spark(spark, sfs[0][1]).count()          # warmup
 
     # Load-honesty telemetry, same scheme as bench.py: SCALE_r06 recorded
     # dedup_clusters at a 7.29x sf1 step that did not reproduce (2.2x on
@@ -87,7 +100,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
             report = json.load(f).get("queries", {})
     for name in (only or CURVE):
         row: dict[str, float] = {}
-        for sf, sf_dir in SFS:
+        for sf, sf_dir in sfs:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
@@ -96,8 +109,12 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
                 best = min(best, time.time() - t0)
             row[f"sec_sf{sf}"] = round(best, 3)
             print(f"{name} sf{sf}: {best:.2f}s", flush=True)
-        row["r_01_to_1"] = round(row["sec_sf0.1"] / row["sec_sf0.01"], 2)
-        row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
+        if sfs is SFS:   # historical key names (SCALE_r05..r07 continuity)
+            row["r_01_to_1"] = round(row["sec_sf0.1"] / row["sec_sf0.01"], 2)
+            row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
+        else:            # sf10 decade: each key names its 10x step
+            row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
+            row["r_10_to_100"] = round(row["sec_sf10"] / row["sec_sf1"], 2)
         report[name] = row
 
     canary_last = canary()
@@ -109,6 +126,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
         "cpus": cpus,
         "loadavg": {"start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end]},
+        "idle_wait_sec": idle_wait,
         "canary": {"query": "tpch_q1", "sf": "0.1",
                    "first_sec": round(canary_first, 3),
                    "last_sec": round(canary_last, 3),
@@ -122,5 +140,10 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None) -> Non
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r06.json",
-         only=sys.argv[2:] or None)
+    argv = sys.argv[1:]
+    sf10 = "--sf10" in argv
+    if sf10:
+        argv.remove("--sf10")
+    main(argv[0] if argv else "SCALE_r06.json",
+         only=(argv[1:] or (CURVE_10 if sf10 else None)),
+         sfs=SFS_10 if sf10 else SFS)

@@ -22,6 +22,12 @@ needs is "10x the volume at the SAME dup/match density per row":
   traffic — windows get denser, the realistic scale-up).
 
 Output: ``.scale/sf1/*.parquet`` under the repo root (gitignored).
+``python tools/scale_data.py .scale/sf10 100`` builds the next decade
+(r8, verdict task 7): same construction with 100 replicas — the
+embedding circular shift repeats every dim=64 replicas, which is fine
+(labels still offset per replica, so blocks stay constant-size and a
+vector only ever meets its exact-shift twin through the label-blocked
+paths, which the offset prevents).
 """
 
 from __future__ import annotations
@@ -75,7 +81,7 @@ def _replica(df: DataFrame, name: str, k: int) -> DataFrame:
     return out
 
 
-def main(dest: str = ".scale/sf1") -> None:
+def main(dest: str = ".scale/sf1", replicas: int = REPLICAS) -> None:
     spark = get_spark("scale-data", cpus=os.cpu_count() or 8,
                       shuffle_partitions=32)
     os.makedirs(dest, exist_ok=True)
@@ -86,14 +92,16 @@ def main(dest: str = ".scale/sf1") -> None:
             scaled = src
         else:
             scaled = _replica(src, name, 0)
-            for k in range(1, REPLICAS):
+            for k in range(1, replicas):
                 scaled = scaled.unionByName(_replica(src, name, k))
         # one flat parquet FILE per table, like the driver's layout
         # (catalog.table reads {dir}/{name}.parquet; a directory works too)
-        scaled.repartition(8).write.mode("overwrite") \
+        nparts = 8 if replicas <= 10 else 32
+        scaled.repartition(nparts).write.mode("overwrite") \
               .parquet(f"{dest}/{name}.parquet")
         print(f"{name}: {spark.read.parquet(f'{dest}/{name}.parquet').count()} rows")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1")
+    main(sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1",
+         int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS)
