@@ -223,14 +223,16 @@ def stream_bench(spark, sf_dir: str) -> dict:
     cases = stream_cases(spark, sf_dir)
     out: dict[str, dict] = {}
     for name, (build, mode, rows_in, cost_class) in cases.items():
-        # min-of-2 like the batch section: micro-batch trigger scheduling
-        # makes single streaming runs swing 3-6x run-to-run, far more
-        # than the batch queries — one retry strips most of it
+        # min-of-3 (was min-of-2 through r7): micro-batch trigger
+        # scheduling makes single streaming runs swing 3-6x run-to-run
+        # — r8 measured fraud_check 75k vs 45k rows/s on back-to-back
+        # idle-box min-of-2 runs; a third sample costs ~1s per pipeline
+        # and strips most of the remaining swing
         best = float("inf")
         # shuffle partitions sized per cost class (see `cases` comment);
         # the sized value is captured per-query at start, restored after
         with shuffle_sized(spark, rows_in, cost_class=cost_class) as sz:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 _, q = run_to_memory(build(), mode=mode)
                 best = min(best, time.time() - t0)
@@ -291,10 +293,15 @@ def main() -> None:
     load_start = os.getloadavg()
 
     # warmup: JVM + codegen + parquet footer caches + the noop-write
-    # committer path (one _run_once, or the first canary sample would
-    # time cold codegen instead of machine load)
+    # committer path. FOUR noop runs, not one: every recorded round
+    # r5-r8 shows canary_first 1.5-2.9x canary_last even on an idle box
+    # — the C2 JIT keeps compiling scan/agg hot paths through the first
+    # few plan executions, so a single-warmup first canary times JIT
+    # residue, not load, and poisons the spread signal the canary
+    # exists to provide
     QUERIES["tpch_q1"].spark(spark, sf_dir).count()
-    _run_once("tpch_q1", spark, sf_dir)
+    for _ in range(4):
+        _run_once("tpch_q1", spark, sf_dir)
     # min-of-2 canary samples, same methodology as the queries they
     # calibrate — the spread must reflect load, not scheduler jitter
     canary_first = min(_run_once("tpch_q1", spark, sf_dir) for _ in range(2))

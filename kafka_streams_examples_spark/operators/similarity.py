@@ -109,15 +109,28 @@ def _unit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     bigger codebook, was the missing piece. The fold in l2_norm is
     left-to-right, matching the oracle's list_reduce association, so
     the rounded components are bit-identical across engines. A zero
-    vector (no direction) maps to itself rather than NaN."""
+    vector (no direction) maps to itself rather than NaN.
+
+    Two lazy localCheckpoints, both load-bearing for cost (r8: the
+    first bench run recorded pq_knn 6.2s -> 30.4s from their absence):
+    the first is a Catalyst barrier so the norm binds as a real column
+    — without it CollapseProject inlines the 64-element norm fold into
+    every component's lambda, turning normalization O(dim) into
+    O(dim²) per row; the second materializes the normalized vectors so
+    the PQ/IVF trainers' repeated corpus scans re-read instead of
+    re-normalizing. At 100 TB the second is the standard
+    normalize-at-ingest materialization (one corpus-sized write)."""
     n = l2_norm(F.col(vec_col))
-    return df.select(
+    base = (df.select(F.col(id_col), F.col(vec_col), n.alias("__n"))
+              .localCheckpoint(eager=False))
+    return (base.select(
         F.col(id_col),
         F.transform(F.col(vec_col),
                     lambda x: stable_round(
-                        F.when(n == 0.0, F.lit(0.0))
-                         .otherwise(x.cast("double") / n), 6))
+                        F.when(F.col("__n") == 0.0, F.lit(0.0))
+                         .otherwise(x.cast("double") / F.col("__n")), 6))
          .alias(vec_col))
+        .localCheckpoint(eager=False))
 
 
 def _sq_dist(a, b):

@@ -121,11 +121,18 @@ def test_bench_payload_carries_load_honesty_fields():
     # the run's noise floor.
     import bench
     p = bench.payload({"q": 1.0}, {}, 0.1,
-                      (1.0, 2.0, 3.0), (4.0, 5.0, 6.0), 0.30, 0.45)
+                      (1.0, 2.0, 3.0), (4.0, 5.0, 6.0), 0.30, 0.45,
+                      idle_wait_sec=12.5)
     assert p["loadavg"] == {"start": [1.0, 2.0, 3.0], "end": [4.0, 5.0, 6.0]}
     assert p["canary"]["query"] == "tpch_q1"
     assert p["canary"]["spread"] == 1.5
     assert p["canary"]["first_sec"] == 0.3 and p["canary"]["last_sec"] == 0.45
+    # r8 additions: the idle-gate wait is recorded (a run that timed out
+    # waiting is self-evidently dirty) and the payload self-identifies
+    # its round so a mis-globbed filename can't mislabel provenance
+    # (ADVICE r7: the r7 self-bench landed as BENCH_SELF_r08.json)
+    assert p["idle_wait_sec"] == 12.5
+    assert p["round"] == bench.round_number()
     # spread is symmetric: a slow FIRST canary (warm-up residue) must not
     # report < 1.0
     assert bench.payload({}, {}, 0.1, (0,) * 3, (0,) * 3,
