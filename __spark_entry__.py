@@ -93,7 +93,8 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 5 for n in _R05},
 # three re-sign first; everything else changed this round is streaming
 # bench harness / tooling outside any batch query path.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "knn_ivfpq", "pq_knn", "knn_recall", "knn_recall_clustered",
+    "knn_ivfpq", "pq_knn", "knn_multiprobe", "knn_recall",
+    "knn_recall_clustered",
 )
 
 

@@ -228,18 +228,25 @@ def stream_bench(spark, sf_dir: str) -> dict:
         # — r8 measured fraud_check 75k vs 45k rows/s on back-to-back
         # idle-box min-of-2 runs; a third sample costs ~1s per pipeline
         # and strips most of the remaining swing
-        best = float("inf")
+        samples = []
         # shuffle partitions sized per cost class (see `cases` comment);
         # the sized value is captured per-query at start, restored after
         with shuffle_sized(spark, rows_in, cost_class=cost_class) as sz:
             for _ in range(3):
                 t0 = time.time()
                 _, q = run_to_memory(build(), mode=mode)
-                best = min(best, time.time() - t0)
+                samples.append(round(time.time() - t0, 3))
                 q.stop()
-        out[name] = {"wall_sec": round(best, 3),
+        best = min(samples)
+        # all three samples recorded: BENCH r8 caught one process where
+        # the applyInPandasWithState pipelines ran 3x slow on EVERY
+        # sample (BENCH_SELF_r08_run6.json) while an isolated rerun was
+        # normal — with only the min recorded, a reader can't tell
+        # "one slow sample" from "the whole process was degraded"
+        out[name] = {"wall_sec": best,
                      "rows_per_sec": round(rows_in / best, 1),
                      "rows_in": rows_in,
+                     "samples_sec": samples,
                      "shuffle_partitions": sz.parts,
                      "cost_class": cost_class}
     return out

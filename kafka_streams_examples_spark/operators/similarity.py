@@ -439,7 +439,7 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
 def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
                            planes: int = 8, dim: int = 64, probes: int = 3,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           salt: str = "slsh",
+                           salt: str = "slsh", tables: int = 1,
                            exclude_self: bool = True) -> DataFrame:
     """Multi-probe sign-LSH kNN (Lv et al., VLDB'07 multi-probe idea on
     Charikar hyperplane LSH): the third ANN tier, needing neither a label
@@ -461,43 +461,69 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     and cosines round through the engine-portable stable_round so probe
     choice and ranking are reproducible across engines (ties: lower plane
     index, then lower candidate id).
+
+    ``tables=T`` (r8) is the OTHER classic LSH recall knob: T
+    independently-salted hyperplane sets, each probed the same way, the
+    candidate id-sets unioned and deduplicated before ONE exact rerank.
+    Recall compounds (measured candidate coverage of the clustered
+    fixture's cosine top-5: 0.17 → 0.33 at T=2) at linear cost — per
+    extra table, one more scan-side bucket expression and one more
+    bucket equi-join; the rerank reads each distinct candidate once.
+    Table t>0 salts as ``{salt}-t{t}``, so tables=1 is bit-identical to
+    the historical single-table operator.
     """
     from .dedup import signlsh_bucket_bits, signlsh_weights
 
     assert 1 <= probes <= planes + 1
-    W = signlsh_weights(planes, dim, salt)
+    assert tables >= 1
     v = F.col(vec_col)
 
-    def plane_dot(p, vec):
-        wp = F.array(*[F.lit(x) for x in W[p]])
-        return F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    def table_candidates(tsalt: str) -> DataFrame:
+        W = signlsh_weights(planes, dim, tsalt)
 
-    c = corpus.select(F.col(id_col).alias("c_id"), v.alias("c_vec"),
-                      l2_norm(v).alias("c_norm"),
-                      signlsh_bucket_bits(v, planes, dim, salt).alias("bk"))
-    # margin = |rounded dot|, abs taken AFTER the engine-portable rounding
-    # so it is exactly abs(d) of the oracle's per-plane d — rounding the
-    # abs instead diverges for negative dots on half-microstep boundaries
-    margins = F.array(*[
-        F.struct(F.abs(stable_round(plane_dot(p, v), 6)).alias("m"),
-                 F.lit(p).alias("p"),
-                 F.lit(2 ** p).cast("long").alias("mask"))
-        for p in range(planes)])
-    q0 = queries.select(F.col(id_col).alias("q_id"), v.alias("q_vec"),
-                        l2_norm(v).alias("q_norm"),
-                        signlsh_bucket_bits(v, planes, dim, salt).alias("q_bk"),
-                        F.slice(F.array_sort(margins), 1, probes - 1)
-                         .alias("__flips"))
-    probe_buckets = F.concat(
-        F.array(F.col("q_bk")),
-        F.transform(F.col("__flips"),
-                    lambda s: F.col("q_bk").bitwiseXOR(s["mask"])))
-    qp = q0.select("q_id", "q_vec", "q_norm",
-                   F.explode(probe_buckets).alias("bk"))
-    cand = c.join(F.broadcast(qp), ["bk"])
+        def plane_dot(p, vec):
+            wp = F.array(*[F.lit(x) for x in W[p]])
+            return F.aggregate(
+                F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+
+        c = corpus.select(
+            F.col(id_col).alias("c_id"),
+            signlsh_bucket_bits(v, planes, dim, tsalt).alias("bk"))
+        # margin = |rounded dot|, abs AFTER the engine-portable rounding
+        # so it is exactly abs(d) of the oracle's per-plane d — rounding
+        # the abs instead diverges for negative dots on half-microstep
+        # boundaries
+        margins = F.array(*[
+            F.struct(F.abs(stable_round(plane_dot(p, v), 6)).alias("m"),
+                     F.lit(p).alias("p"),
+                     F.lit(2 ** p).cast("long").alias("mask"))
+            for p in range(planes)])
+        q0 = queries.select(
+            F.col(id_col).alias("q_id"),
+            signlsh_bucket_bits(v, planes, dim, tsalt).alias("q_bk"),
+            F.slice(F.array_sort(margins), 1, probes - 1).alias("__flips"))
+        probe_buckets = F.concat(
+            F.array(F.col("q_bk")),
+            F.transform(F.col("__flips"),
+                        lambda s: F.col("q_bk").bitwiseXOR(s["mask"])))
+        qp = q0.select("q_id", F.explode(probe_buckets).alias("bk"))
+        return c.join(F.broadcast(qp), ["bk"]).select("q_id", "c_id")
+
+    cand_ids = None
+    for t in range(tables):
+        ct = table_candidates(salt if t == 0 else f"{salt}-t{t}")
+        cand_ids = ct if cand_ids is None else cand_ids.unionByName(ct)
+    # a candidate found by several tables (or several probes across
+    # tables) reranks once
+    cand_ids = cand_ids.dropDuplicates(["q_id", "c_id"])
     if exclude_self:
-        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+        cand_ids = cand_ids.filter(F.col("q_id") != F.col("c_id"))
+    cv = corpus.select(F.col(id_col).alias("c_id"), v.alias("c_vec"),
+                       l2_norm(v).alias("c_norm"))
+    qv = queries.select(F.col(id_col).alias("q_id"), v.alias("q_vec"),
+                        l2_norm(v).alias("q_norm"))
+    cand = cand_ids.join(cv, "c_id").join(F.broadcast(qv), "q_id")
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return _rank_topk(cand.select("q_id", "c_id",
                                   stable_round(sim, 6).alias("__sim")), k)

@@ -1213,44 +1213,58 @@ def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
-                    topk: int = 5) -> str:
+                    topk: int = 5, tables: int = 1) -> str:
     """Oracle for knn_multiprobe: the same hyperplane literals as the
     Spark operator, with the probe-selection done relationally (one row
     per (query, plane), margin-ranked) and all rounding through the
-    engine-portable floor(x*1eD + 0.5)/1eD."""
-    w = D.signlsh_weights(planes, dim)
+    engine-portable floor(x*1eD + 0.5)/1eD. With ``tables`` > 1 the
+    per-table candidate id-sets (table t salts as ``slsh-t{t}``) union,
+    dedupe, and rerank once — mirroring the Spark operator's multi-table
+    path stage-for-stage."""
+    per_table = []
+    for t in range(tables):
+        salt = "slsh" if t == 0 else f"slsh-t{t}"
+        w = D.signlsh_weights(planes, dim, salt)
+        s = f"t{t}_"
 
-    def wlit(p: int) -> str:
-        return "[" + ", ".join(repr(x) for x in w[p]) + "]::DOUBLE[]"
+        def wlit(p: int) -> str:
+            return "[" + ", ".join(repr(x) for x in w[p]) + "]::DOUBLE[]"
 
-    bits = " + ".join(
-        f"(CASE WHEN floor(list_dot_product(v, {wlit(p)}) * 1e6 + 0.5) / 1e6 >= 0"
-        f" THEN {2 ** p} ELSE 0 END)"
-        for p in range(planes))
-    pl_rows = ", ".join(f"({p}, {wlit(p)})" for p in range(planes))
-    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pl(p, w) AS (SELECT * FROM (VALUES {pl_rows})),
-    cb AS (SELECT vec_id, v, CAST({bits} AS BIGINT) AS bk FROM e),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
-    qd AS (SELECT q_id, p,
+        bits = " + ".join(
+            f"(CASE WHEN floor(list_dot_product(v, {wlit(p)}) * 1e6 + 0.5) / 1e6 >= 0"
+            f" THEN {2 ** p} ELSE 0 END)"
+            for p in range(planes))
+        pl_rows = ", ".join(f"({p}, {wlit(p)})" for p in range(planes))
+        per_table.append(f"""{s}pl(p, w) AS (SELECT * FROM (VALUES {pl_rows})),
+    {s}cb AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bk FROM e),
+    {s}qd AS (SELECT q_id, p,
              floor(list_dot_product(qv, w) * 1e6 + 0.5) / 1e6 AS d
-           FROM q CROSS JOIN pl),
-    qb AS (SELECT q_id,
+           FROM q CROSS JOIN {s}pl),
+    {s}qb AS (SELECT q_id,
              CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bk
-           FROM qd GROUP BY q_id),
-    fl AS (SELECT q_id, p FROM (
+           FROM {s}qd GROUP BY q_id),
+    {s}fl AS (SELECT q_id, p FROM (
              SELECT q_id, p, row_number() OVER
-               (PARTITION BY q_id ORDER BY abs(d), p) AS rn FROM qd)
+               (PARTITION BY q_id ORDER BY abs(d), p) AS rn FROM {s}qd)
            WHERE rn <= {probes - 1}),
-    pr AS (SELECT q_id, bk FROM qb
+    {s}pr AS (SELECT q_id, bk FROM {s}qb
            UNION ALL
            SELECT f.q_id, xor(qb.bk, 1::BIGINT << f.p)
-           FROM fl f JOIN qb ON qb.q_id = f.q_id),
-    cand AS (SELECT p.q_id, c.vec_id AS c_id,
+           FROM {s}fl f JOIN {s}qb qb ON qb.q_id = f.q_id),
+    {s}cnd AS (SELECT p.q_id, c.vec_id AS c_id
+             FROM {s}pr p JOIN {s}cb c ON c.bk = p.bk
+             WHERE p.q_id <> c.vec_id)""")
+    union = " UNION ALL ".join(
+        f"SELECT q_id, c_id FROM t{t}_cnd" for t in range(tables))
+    tables_sql = ",\n    ".join(per_table)
+    return f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 20),
+    {tables_sql},
+    ids AS (SELECT DISTINCT q_id, c_id FROM ({union})),
+    cand AS (SELECT i.q_id, i.c_id,
                floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5) / 1e6 AS s6
-             FROM pr p JOIN q ON q.q_id = p.q_id
-             JOIN cb c ON c.bk = p.bk
-             WHERE p.q_id <> c.vec_id)
+             FROM ids i JOIN q ON q.q_id = i.q_id
+             JOIN e c ON c.vec_id = i.c_id)
     SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
       SELECT q_id, c_id, s6,
         row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
@@ -1259,21 +1273,27 @@ def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
 
 @query(
     "knn_multiprobe",
-    _multiprobe_sql(planes=8, dim=64, probes=3, topk=5),
-    "Multi-probe sign-LSH kNN — the third ANN tier, needing neither a "
-    "label nor a trained codebook: corpus buckets are 8 hyperplane sign "
-    "bits computed scan-side (no shuffle to assign; at 100 TB the corpus "
-    "is written partitioned by bucket once), and each query probes its "
-    "own bucket plus the Hamming-1 buckets on its 2 lowest-|margin| "
-    "planes (the least-confident sign bits are where a true neighbor "
-    "most likely flipped). Candidates meet only in the bucket equi-join, "
-    "then exact cosine rerank. Oracle replicates bucket bits, margin "
-    "ranking and rerank with identical literals and portable rounding.",
+    _multiprobe_sql(planes=8, dim=64, probes=3, topk=5, tables=2),
+    "Multi-probe multi-TABLE sign-LSH kNN — the third ANN tier, needing "
+    "neither a label nor a trained codebook: corpus buckets are 8 "
+    "hyperplane sign bits computed scan-side (no shuffle to assign; at "
+    "100 TB the corpus is written partitioned by bucket once), and each "
+    "query probes its own bucket plus the Hamming-1 buckets on its 2 "
+    "lowest-|margin| planes (the least-confident sign bits are where a "
+    "true neighbor most likely flipped). r8 adds the second classic LSH "
+    "recall knob: 2 independently-salted tables whose candidate id-sets "
+    "union + dedupe before ONE exact cosine rerank — clustered-fixture "
+    "recall@5 0.17 -> 0.33 at linear cost (one extra scan-side bucket "
+    "expression + bucket equi-join). Candidates meet only in bucket "
+    "equi-joins. Oracle replicates per-table bucket bits, margin "
+    "ranking, the distinct-union, and the rerank with identical "
+    "literals and portable rounding.",
 )
 def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return SIM.multiprobe_signlsh_knn(emb.filter(F.col("vec_id") < 20), emb,
-                                      k=5, planes=8, dim=64, probes=3)
+                                      k=5, planes=8, dim=64, probes=3,
+                                      tables=2)
 
 
 def _semantic_dedup_sql(iters: int = 2, threshold: float = 0.25) -> str:
@@ -3853,7 +3873,7 @@ def _recall_ladder(emb: DataFrame) -> DataFrame:
         ("brute", brute),
         ("ivf", SIM.ivf_knn(q, emb, k=5, nprobe=2)),
         ("multiprobe", SIM.multiprobe_signlsh_knn(
-            q, emb, k=5, planes=8, dim=64, probes=3)),
+            q, emb, k=5, planes=8, dim=64, probes=3, tables=2)),
         ("pq", SIM.pq_knn(q, emb, k=5, m=4, codebook=16, iters=1, dim=64)),
         ("ivfpq", SIM.ivfpq_knn(q, emb, k=5, nprobe=2, coarse_k=8,
                                 coarse_iters=2, m=4, codebook=16,
@@ -3979,13 +3999,14 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
     "fixture derived in-query: a 10-Gaussian mixture built by adding a "
     "deterministic per-label centroid to each isotropic vector "
     "(stable_round(4) both engines; see _EMB_CLUSTERED_SQL). Centroid "
-    "scale is tuned so within-cluster cosine ~0.5 — sf0.01 recall@5: "
-    "ivf 0.98, pq/ivfpq ~0.35, multiprobe 0.17, all mid-range with "
-    "headroom in BOTH directions, unlike the isotropic fixture where "
-    "multiprobe floors at 0.04 and a real retrieval regression cannot "
-    "move the number. Tier ordering (brute > ivf > pq > multiprobe) and "
-    "perturbation sensitivity (nprobe 1/2/4 -> 0.91/0.98/1.0; probes "
-    "1/3/6 -> 0.06/0.17/0.23) are pinned in tests/test_dedup_similarity. "
+    "scale is tuned so within-cluster cosine ~0.5 — sf0.01 recall@5 "
+    "as of r8: brute 1.0 > ivf 0.98 > ivfpq 0.90 (residual IVFADC + "
+    "refine) > pq 0.36 > multiprobe 0.33 (2 tables), all mid-range "
+    "with headroom in BOTH directions, unlike the isotropic fixture "
+    "where single-table multiprobe floors at 0.04 and a real retrieval "
+    "regression cannot move the number. Tier ordering and perturbation "
+    "sensitivity (nprobe 1/2/4 monotone; single-table probes 1/3/6 -> "
+    "0.06/0.17/0.23) are pinned in tests/test_dedup_similarity. "
     "Scale shape: identical to knn_recall plus one scan-side transform "
     "(no extra shuffle; the clustered corpus is never materialized).",
 )
