@@ -211,16 +211,24 @@ def stream_cases(spark, sf_dir: str) -> dict:
     return cases
 
 
-def stream_bench(spark, sf_dir: str) -> dict:
+def stream_bench(spark, sf_dir: str, only: list[str] | None = None,
+                 n_samples: int = 3) -> dict:
     """Streaming throughput: replay sf tables as file-stream micro-batches
     through the smoke pipelines (wordcount / windows / sessions / dedup /
     stream-stream join) and report rows/sec — the commit-interval
-    throughput analog (WordCountLambdaExample.java:170-174)."""
+    throughput analog (WordCountLambdaExample.java:170-174).
+
+    `only` restricts to a pipeline subset (the sf10 decade run times one
+    representative per cost class instead of all 8); `n_samples` trades
+    sampling robustness for wall time (default 3; 2 at sf10 where one
+    sample is minutes)."""
     from kafka_streams_examples_spark.streaming.core import (
         run_to_memory, shuffle_sized,
     )
 
     cases = stream_cases(spark, sf_dir)
+    if only:
+        cases = {n: cases[n] for n in only}
     out: dict[str, dict] = {}
     for name, (build, mode, rows_in, cost_class) in cases.items():
         # min-of-3 (was min-of-2 through r7): micro-batch trigger
@@ -232,7 +240,7 @@ def stream_bench(spark, sf_dir: str) -> dict:
         # shuffle partitions sized per cost class (see `cases` comment);
         # the sized value is captured per-query at start, restored after
         with shuffle_sized(spark, rows_in, cost_class=cost_class) as sz:
-            for _ in range(3):
+            for _ in range(n_samples):
                 t0 = time.time()
                 _, q = run_to_memory(build(), mode=mode)
                 samples.append(round(time.time() - t0, 3))

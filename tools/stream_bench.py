@@ -29,16 +29,25 @@ from bench import stream_bench
 from kafka_streams_examples_spark.session import get_spark
 
 SF1 = ".scale/sf1"
+SF10 = ".scale/sf10"
+# sf10 decade subset: one representative per streaming cost class —
+# jvm complete-mode agg (wordcount), jvm dedup state (dedup_ttl),
+# python applyInPandasWithState (fraud_check). One sf10 sample is
+# minutes, so 2 samples and 3 pipelines instead of 3x8.
+SCALE10_PIPELINES = ["wordcount", "dedup_ttl", "fraud_check"]
 
 
-def scale_report(spark) -> dict:
-    base = stream_bench(spark, "/root/testdata/sf0.1")
-    big = stream_bench(spark, SF1)
+def scale_report(spark, lo_dir: str = "/root/testdata/sf0.1",
+                 hi_dir: str = SF1, lo_key: str = "sf0.1",
+                 hi_key: str = "sf1", only: list[str] | None = None,
+                 n_samples: int = 3) -> dict:
+    base = stream_bench(spark, lo_dir, only=only, n_samples=n_samples)
+    big = stream_bench(spark, hi_dir, only=only, n_samples=n_samples)
     out: dict[str, dict] = {}
     for name in base:
         out[name] = {
-            "sf0.1": base[name],
-            "sf1": big[name],
+            lo_key: base[name],
+            hi_key: big[name],
             # >1 = per-row cost FELL at 10x input (fixed cost amortized);
             # ~0.1 would mean wall grew 100x for 10x data — super-linear.
             # Computed from the unrounded rows_in/wall_sec, not the
@@ -51,6 +60,39 @@ def scale_report(spark) -> dict:
 
 
 def main():
+    if "--scale10" in sys.argv[1:]:
+        # the next streaming decade: sf1 -> sf10 for one pipeline per
+        # cost class (state machinery at 10M events / 27M tokens). Merges
+        # a "streaming_sf10" section into the given artifact.
+        if not os.path.isdir(SF10):
+            sys.exit(f"{SF10} missing — run "
+                     f"`python tools/scale_data.py {SF10} 100` first")
+        rest = [a for a in sys.argv[1:] if a != "--scale10"]
+        names = rest[1:] or SCALE10_PIPELINES
+        spark = get_spark("stream-bench")
+        report = scale_report(spark, lo_dir=SF1, hi_dir=SF10,
+                              lo_key="sf1", hi_key="sf10",
+                              only=names, n_samples=2)
+        if rest and rest[0].endswith(".json"):
+            payload = {}
+            if os.path.exists(rest[0]):
+                with open(rest[0]) as f:
+                    payload = json.load(f)
+            sect = payload.setdefault("streaming_sf10", {
+                "method": "per-pipeline file-stream replay at sf1 and the "
+                          "density-preserving sf10 (100x of sf0.1); "
+                          "min-of-2 wall; ratio = rows_per_sec(sf10) / "
+                          "rows_per_sec(sf1), >1 means per-row cost still "
+                          "falls one decade up",
+                "pipelines": {}})
+            sect["pipelines"].update(report)
+            with open(rest[0], "w") as f:
+                json.dump(payload, f, indent=1)
+            print(f"merged streaming_sf10 section into {rest[0]}")
+        else:
+            print(json.dumps({"metric": "streaming_scale_sf10",
+                              "pipelines": report}))
+        return
     if "--scale" in sys.argv[1:]:
         if not os.path.isdir(SF1):
             sys.exit(f"{SF1} missing — run `python tools/scale_data.py` first")
