@@ -220,10 +220,30 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                         stable_round(F.col("d"), 4).alias("dist"))
 
 
+def _exact_rerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: int, id_col: str, vec_col: str) -> DataFrame:
+    """FAISS-style refine tail shared by pq_knn and ivfpq_knn: exactly
+    re-rank a (q_id, c_id) shortlist by cosine on the true vectors —
+    R·|queries| vector reads, independent of corpus size. Output matches
+    the exact tiers: (q_id, c_id, cos_sim, rnk)."""
+    cv = corpus.select(F.col(id_col).alias("c_id"),
+                       F.col(vec_col).alias("c_vec"),
+                       l2_norm(F.col(vec_col)).alias("c_norm"))
+    qn = queries.select(F.col(id_col).alias("q_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        l2_norm(F.col(vec_col)).alias("q_norm"))
+    pairs = short.join(cv, "c_id").join(F.broadcast(qn), "q_id")
+    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
+    return _rank_topk(
+        pairs.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
+
+
 def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
            m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
            id_col: str = "vec_id", vec_col: str = "embedding",
-           exclude_self: bool = True, normalize: bool = True) -> DataFrame:
+           exclude_self: bool = True, normalize: bool = True,
+           refine: int | None = None) -> DataFrame:
     """Product-quantization ANN (Jégou et al., TPAMI'11): the
     memory-bound scale tier — each corpus vector compresses to m small
     codes, and query scoring never touches the original vectors.
@@ -247,6 +267,13 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     sum adds left-to-right identically on both engines; output is
     (q_id, c_id, adc_dist rounded 4, rnk), ascending distance, ties to
     the lower candidate id.
+
+    ``refine=R`` (r8, same knob as `ivfpq_knn`): 16-bit codes shortlist
+    well but cannot RANK fine within-neighborhood structure — the ADC
+    top-R per query is exactly re-ranked by cosine on the true vectors
+    (`_exact_rerank`, R·|queries| vector reads, corpus-size
+    independent). With refine the output is (q_id, c_id, cos_sim, rnk)
+    like the exact tiers.
     """
     if normalize:
         corpus = _unit(corpus, id_col, vec_col)
@@ -257,7 +284,11 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
         F.col(id_col).alias("q_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"))
     pds = _pq_query_dists(qdf, cents_list, dim // m)
-    return _adc_topk(codes, pds, m, k, exclude_self)
+    if refine is None:
+        return _adc_topk(codes, pds, m, k, exclude_self)
+    short = (_adc_topk(codes, pds, m, refine, exclude_self)
+             .select("q_id", "c_id"))
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
 
 
 def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
@@ -423,17 +454,7 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
                          key_cols=("q_id", "__cell"))
     short = _adc_topk(cand, pds, m, refine, exclude_self,
                       key_cols=("q_id", "__cell")).select("q_id", "c_id")
-    cv = corpus.select(F.col(id_col).alias("c_id"),
-                       F.col(vec_col).alias("c_vec"),
-                       l2_norm(F.col(vec_col)).alias("c_norm"))
-    qn = queries.select(F.col(id_col).alias("q_id"),
-                        F.col(vec_col).alias("q_vec"),
-                        l2_norm(F.col(vec_col)).alias("q_norm"))
-    pairs = short.join(cv, "c_id").join(F.broadcast(qn), "q_id")
-    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
-           / (F.col("q_norm") * F.col("c_norm")))
-    return _rank_topk(
-        pairs.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
+    return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
 
 
 def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,

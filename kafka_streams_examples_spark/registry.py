@@ -1273,18 +1273,21 @@ def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
 
 @query(
     "knn_multiprobe",
-    _multiprobe_sql(planes=8, dim=64, probes=3, topk=5, tables=2),
+    _multiprobe_sql(planes=8, dim=64, probes=7, topk=5, tables=2),
     "Multi-probe multi-TABLE sign-LSH kNN — the third ANN tier, needing "
     "neither a label nor a trained codebook: corpus buckets are 8 "
     "hyperplane sign bits computed scan-side (no shuffle to assign; at "
     "100 TB the corpus is written partitioned by bucket once), and each "
-    "query probes its own bucket plus the Hamming-1 buckets on its 2 "
+    "query probes its own bucket plus the Hamming-1 buckets on its 6 "
     "lowest-|margin| planes (the least-confident sign bits are where a "
-    "true neighbor most likely flipped). r8 adds the second classic LSH "
-    "recall knob: 2 independently-salted tables whose candidate id-sets "
-    "union + dedupe before ONE exact cosine rerank — clustered-fixture "
-    "recall@5 0.17 -> 0.33 at linear cost (one extra scan-side bucket "
-    "expression + bucket equi-join). Candidates meet only in bucket "
+    "true neighbor most likely flipped; probes=7 of the 2^8 bucket "
+    "space — the A/B showed probe count is cost-flat, so it runs at the "
+    "knee: 0.33 -> 0.48 clustered recall@5 vs probes=3 for free). r8 "
+    "also adds the second classic LSH recall knob: 2 independently-"
+    "salted tables whose candidate id-sets union + dedupe before ONE "
+    "exact cosine rerank (0.17 -> 0.33 at probes=3, one extra "
+    "scan-side bucket expression + bucket equi-join per table). "
+    "Candidates meet only in bucket "
     "equi-joins. Oracle replicates per-table bucket bits, margin "
     "ranking, the distinct-union, and the rerank with identical "
     "literals and portable rounding.",
@@ -1292,7 +1295,7 @@ def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
 def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return SIM.multiprobe_signlsh_knn(emb.filter(F.col("vec_id") < 20), emb,
-                                      k=5, planes=8, dim=64, probes=3,
+                                      k=5, planes=8, dim=64, probes=7,
                                       tables=2)
 
 
@@ -3389,13 +3392,15 @@ def _adc_tail(topk: int) -> str:
 
 
 def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
-            topk: int = 5) -> str:
+            topk: int = 5, refine: int | None = None) -> str:
     """Oracle for the PQ/ADC pipeline: L2-normalize (`_NORM_CTE`, so the
     L2 quantizer ranks in the cosine metric — r8), then one
     `_kmeans_ctes` block per subspace (prefixed, sliced vec_expr,
     trained FROM embn), codes joined per vector, per-query
     partial-distance tables, and the m-term ADC sum added left-to-right
-    exactly as the Spark expression does."""
+    exactly as the Spark expression does. ``refine=R`` mirrors the Spark
+    refine stage: shortlist the ADC top-R per query, exact cosine
+    re-rank on the normalized vectors (same tail as `_ivfpq_sql`)."""
     parts, codes = _pq_parts(m, codebook, iters, dim, from_table="embn")
     pd_joins = " ".join(
         f"JOIN pd{s} p{s} ON p{s}.q_id = p0.q_id AND p{s}.cid = x.k{s}"
@@ -3404,8 +3409,24 @@ def _pq_sql(m: int = 4, codebook: int = 16, iters: int = 1, dim: int = 64,
     cand = (f"cand AS (SELECT p0.q_id, x.vec_id AS c_id, {ad} AS ad "
             f"FROM codes x JOIN pd0 p0 ON p0.cid = x.k0 {pd_joins} "
             f"WHERE p0.q_id <> x.vec_id)")
-    body = ",\n    ".join([_NORM_CTE] + parts + [codes, cand])
-    return f"WITH {body} {_adc_tail(topk)}"
+    if refine is None:
+        body = ",\n    ".join([_NORM_CTE] + parts + [codes, cand])
+        return f"WITH {body} {_adc_tail(topk)}"
+    short = (f"short AS (SELECT q_id, c_id FROM ("
+             f"SELECT q_id, c_id, row_number() OVER "
+             f"(PARTITION BY q_id ORDER BY ad, c_id) AS rnk FROM cand) t "
+             f"WHERE rnk <= {refine})")
+    rcand = ("rcand AS (SELECT s.q_id, s.c_id, "
+             "floor(list_cosine_similarity(q.embedding, c.embedding) "
+             "* 1e6 + 0.5) / 1e6 AS s6 "
+             "FROM short s JOIN embn q ON q.vec_id = s.q_id "
+             "JOIN embn c ON c.vec_id = s.c_id)")
+    tail = (f"SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk "
+            f"FROM (SELECT q_id, c_id, s6, row_number() OVER "
+            f"(PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk FROM rcand) t "
+            f"WHERE rnk <= {topk}")
+    body = ",\n    ".join([_NORM_CTE] + parts + [codes, cand, short, rcand])
+    return f"WITH {body} {tail}"
 
 
 def _ivfpq_sql(nprobe: int = 2, coarse_k: int = 8, coarse_iters: int = 2,
@@ -3479,7 +3500,7 @@ def _ivfpq_sql(nprobe: int = 2, coarse_k: int = 8, coarse_iters: int = 2,
 
 @query(
     "pq_knn",
-    _pq_sql(m=4, codebook=16, iters=1, dim=64, topk=5),
+    _pq_sql(m=4, codebook=16, iters=1, dim=64, topk=5, refine=50),
     "Product-quantization ANN (Jegou et al., TPAMI'11), the memory-bound "
     "scale tier of the ANN ladder: each 64-dim vector compresses to four "
     "subspace codes (16-centroid codebook per subspace, `_kmeans_fit` "
@@ -3489,14 +3510,18 @@ def _ivfpq_sql(nprobe: int = 2, coarse_k: int = 8, coarse_iters: int = 2,
     "I/O at 100 TB). Both sides L2-normalize first (r8: on the unit "
     "sphere the L2 quantizer ranks in the graded cosine metric). "
     "Trainer and encoder are localCheckpoint'ed, so the serving plan "
-    "carries no Lloyd's lineage. Oracle: normalize CTE + per-subspace "
-    "`_kmeans_ctes` (prefixed, sliced, FROM embn) + the identical ADC "
-    "join/sum.",
+    "carries no Lloyd's lineage. refine=50 (r8, same knob as "
+    "knn_ivfpq): 16-bit codes shortlist well but cannot rank fine "
+    "within-neighborhood structure, so the ADC top-50 per query is "
+    "exactly cosine-re-ranked on the true vectors — 50 vector reads "
+    "per query, corpus-size independent. Oracle: normalize CTE + "
+    "per-subspace `_kmeans_ctes` (prefixed, sliced, FROM embn) + the "
+    "identical ADC join/sum + the identical shortlist/re-rank tail.",
 )
 def q_pq_knn(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return SIM.pq_knn(emb.filter(F.col("vec_id") < 20), emb,
-                      k=5, m=4, codebook=16, iters=1, dim=64)
+                      k=5, m=4, codebook=16, iters=1, dim=64, refine=50)
 
 
 @query(
@@ -3873,8 +3898,9 @@ def _recall_ladder(emb: DataFrame) -> DataFrame:
         ("brute", brute),
         ("ivf", SIM.ivf_knn(q, emb, k=5, nprobe=2)),
         ("multiprobe", SIM.multiprobe_signlsh_knn(
-            q, emb, k=5, planes=8, dim=64, probes=3, tables=2)),
-        ("pq", SIM.pq_knn(q, emb, k=5, m=4, codebook=16, iters=1, dim=64)),
+            q, emb, k=5, planes=8, dim=64, probes=7, tables=2)),
+        ("pq", SIM.pq_knn(q, emb, k=5, m=4, codebook=16, iters=1, dim=64,
+                          refine=50)),
         ("ivfpq", SIM.ivfpq_knn(q, emb, k=5, nprobe=2, coarse_k=8,
                                 coarse_iters=2, m=4, codebook=16,
                                 pq_iters=1, dim=64, refine=50)),

@@ -592,6 +592,25 @@ def test_pq_knn_recall_on_corpus(spark, sf_dir):
     assert recall > 0.2, recall  # far above the ~5/500 random baseline
 
 
+def test_pq_knn_refine_covering_shortlist_equals_brute(spark, sf_dir):
+    """refine=R re-ranks the ADC top-R by exact cosine; with R >= |corpus|
+    the shortlist is everything, so the refined result must recover the
+    brute-force top-5 id set exactly (and switch to the exact tiers'
+    (q_id, c_id, cos_sim, rnk) schema)."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        brute_force_knn, pq_knn,
+    )
+    emb = cat_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    refined = pq_knn(q, emb, k=5, m=4, codebook=16, iters=1,
+                     refine=10_000)
+    assert "cos_sim" in refined.columns and "adc_dist" not in refined.columns
+    exact = {(r.q_id, r.c_id) for r in brute_force_knn(q, emb, k=5).collect()}
+    got = {(r.q_id, r.c_id) for r in refined.collect()}
+    assert got == exact
+
+
 def test_pq_knn_empty_inputs(spark):
     from kafka_streams_examples_spark.operators.similarity import pq_knn
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
@@ -753,8 +772,9 @@ def test_clustered_recall_fixture_separates_tiers_and_moves(spark, sf_dir):
                                              probes=p)) for p in (1, 3, 6)}
     r_pq = recall(pq_knn(q, cl, k=5, m=4, codebook=16, iters=1, dim=64))
 
-    # (a) mid-range separation at the registry parameters (nprobe=2,
-    # probes=3): brute 1.0 > ivf > pq > multiprobe, all inside (0, 1)
+    # (a) mid-range separation of the RAW tiers (no refine, single
+    # table, nprobe=2/probes=3 — the registry entries add refine=50 and
+    # probes=7 on top): brute 1.0 > ivf > pq > multiprobe, all in (0, 1)
     assert 1.0 > r_ivf[2] > r_pq > r_mp[3] > 0.0, (r_ivf, r_pq, r_mp)
     # (b) the metric moves under effort perturbation — monotone in
     # nprobe/probes AND strictly increasing over the tested span
