@@ -142,13 +142,24 @@ def _sq_dist(a, b):
 
 def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+                vec_col: str = "embedding",
+                ckpt_each_iter: bool = False) -> tuple[DataFrame, DataFrame]:
     """Lloyd's loop shared by `kmeans_train` and `pq_knn`: returns
     (codebook, assignment) where codebook is the final (cid, cent) table
     the assignment was computed against — PQ's ADC step needs exactly
     that table, not a re-derived mean. Same contract as `kmeans_train`
     (lowest-id seeds, fixed iterations, stable_round'ed distances and
-    centroid components, ties to the lower cid)."""
+    centroid components, ties to the lower cid).
+
+    ``ckpt_each_iter``: materialize each iteration's k-row codebook with
+    a lazy localCheckpoint. Without it, every subsequent broadcast
+    collect RE-EXECUTES all prior iterations' assign+means lineage —
+    fine when the result is consumed once (kmeans_train: A/B measured
+    the checkpoint a net loss there, 1.38→1.69s, the extra
+    materialization job outweighing the small re-execution), a real
+    cost when the codebook and assignment feed several downstream
+    consumers (ivfpq_knn broadcasts cents three more times for
+    residuals and routing: 5.72→4.79s with the checkpoint)."""
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
@@ -189,6 +200,8 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                               F.transform("__dm",
                                           lambda s: stable_round(s["m"], 6))
                                .alias("cent")))
+        if ckpt_each_iter:
+            cents = cents.localCheckpoint(eager=False)
     return cents, assign(cents)
 
 
@@ -298,20 +311,72 @@ def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
     subvectors, fit a `codebook`-centroid k-means per subspace
     (`_kmeans_fit` contract), and return (codes, [cents_0..cents_{m-1}])
     where codes is the encoded corpus (vec_id, k0..k{m-1}) — trainer
-    lineage checkpointed away on both halves."""
+    lineage checkpointed away on both halves.
+
+    All m subspace fits run as ONE job set grouped by a subspace column
+    `s` (r8: the sequential per-subspace loop serialized m×(iters+1)
+    tiny Lloyd's jobs behind one another and measured 4.4s of an 8.7s
+    ivfpq at sf0.1; merged, the same arithmetic is one pipeline whose
+    broadcast codebook is m·codebook rows). Numerics are unchanged —
+    per-subspace seeds are the codebook lowest vec_ids (every vec_id
+    appears in every subspace, so the per-s seed SET equals the old
+    per-subspace TakeOrdered), distances/centroid components round
+    through the same stable_round(6), argmin ties break to the lower
+    cid, and means use the same avg over the same groups — so the
+    DuckDB oracle (`_pq_sql`) needs no change; hash parity verifies it.
+    """
     assert dim % m == 0, "dim must split evenly into m subspaces"
     w = dim // m
-    codes, cents_list = None, []
-    for s in range(m):
-        sub_c = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * w + 1, w).alias(vec_col))
-        cents, assigned = _kmeans_fit(sub_c, codebook, iters, id_col, vec_col)
-        cents = cents.localCheckpoint(eager=False)
-        code_s = (assigned.select("vec_id", F.col("cid").alias(f"k{s}"))
-                          .localCheckpoint(eager=False))
-        codes = code_s if codes is None else codes.join(code_s, "vec_id")
-        cents_list.append(cents)
+    # (s, vec_id, e): each vector contributes one row per subspace with
+    # its s-th slice cast to double — m× the rows at 1/m the width
+    v = (corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.explode(F.array(*[
+                F.struct(F.lit(s).cast("int").alias("s"),
+                         F.transform(F.slice(F.col(vec_col), s * w + 1, w),
+                                     lambda x: x.cast("double")).alias("e"))
+                for s in range(m)])).alias("__sv"))
+           .select("vec_id", F.col("__sv.s").alias("s"),
+                   F.col("__sv.e").alias("e")))
+    sw = Window.partitionBy("s").orderBy("vec_id")
+    cents = (v.withColumn("__r", F.row_number().over(sw))
+              .filter(F.col("__r") <= codebook)
+              .select("s", (F.col("__r") - 1).cast("long").alias("cid"),
+                      F.col("e").alias("cent")))
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        # same partial-aggregable min(struct(d, cid, e)) argmin as
+        # `_kmeans_fit`, keyed by (s, vec_id) instead of vec_id
+        pairs = v.join(F.broadcast(cent_df), "s")
+        d = stable_round(_sq_dist(F.col("e"), F.col("cent")), 6)
+        return (pairs.select(
+                    "s", "vec_id",
+                    F.struct(d.alias("d"), F.col("cid").alias("cid"),
+                             F.col("e").alias("e")).alias("__s"))
+                     .groupBy("s", "vec_id").agg(F.min("__s").alias("__s"))
+                     .select("s", "vec_id", F.col("__s.e").alias("e"),
+                             F.col("__s.cid").alias("cid")))
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        dims = assigned.select("s", "cid", F.posexplode("e").alias("dim", "x"))
+        means = dims.groupBy("s", "cid", "dim").agg(F.avg("x").alias("m"))
+        cents = (means.groupBy("s", "cid")
+                      .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                            .alias("__dm"))
+                      .select("s", "cid",
+                              F.transform("__dm",
+                                          lambda st: stable_round(st["m"], 6))
+                               .alias("cent"))
+                      .localCheckpoint(eager=False))
+    cents = cents.localCheckpoint(eager=False)
+    codes = (assign(cents)
+             .groupBy("vec_id")
+             .agg(*[F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"k{s}")
+                    for s in range(m)])
+             .localCheckpoint(eager=False))
+    cents_list = [cents.filter(F.col("s") == s).select("cid", "cent")
+                  for s in range(m)]
     return codes, cents_list
 
 
@@ -409,7 +474,7 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
         corpus = _unit(corpus, id_col, vec_col)
         queries = _unit(queries, id_col, vec_col)
     cents, assigned = _kmeans_fit(corpus, coarse_k, coarse_iters,
-                                  id_col, vec_col)
+                                  id_col, vec_col, ckpt_each_iter=True)
     cents = cents.localCheckpoint(eager=False)
     lab = (assigned.select("vec_id", F.col("cid").alias("__cell"))
                    .localCheckpoint(eager=False))
