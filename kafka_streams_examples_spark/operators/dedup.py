@@ -408,6 +408,33 @@ def signlsh_weights(planes: int, dim: int, salt: str = "slsh") -> list[list[floa
             for p in range(planes)]
 
 
+def signlsh_dots(vec, planes: int, dim: int, salt: str = "slsh"):
+    """All `planes` hyperplane dot products of one vector as a single
+    array<double> column, each engine-portably stable_round(…, 6)'d:
+    ONE transform over the planes×dim weight-matrix literal (which
+    ConstantFolding collapses to a single array<array<double>> literal)
+    instead of `planes` separate fold expressions. Same arithmetic and
+    rounding as the historical per-plane folds — the left-to-right
+    zip_with/aggregate dot per plane is unchanged — but the expression
+    tree and generated code shrink ~planes×, which is the dominant cost
+    of the LSH kNN tiers (r8: knn_multiprobe's wall time was measured
+    flat across SFs, i.e. compile-constant-bound, not data-bound)."""
+    from ..functions import stable_round
+    W = signlsh_weights(planes, dim, salt)
+    w_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in W])
+    return F.transform(
+        w_lit,
+        lambda wp: stable_round(
+            F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0), lambda acc, x: acc + x), 6))
+
+
+def signlsh_masks(planes: int):
+    """array<long> literal [1, 2, 4, …, 2^(planes-1)] — plane p's bucket
+    bit weight, shared by bucket assembly and multi-probe flipping."""
+    return F.array(*[F.lit(2 ** p).cast("long") for p in range(planes)])
+
+
 def signlsh_bucket_bits(vec, planes: int, dim: int,
                        salt: str = "slsh"):
     """Sign-LSH bucket id for one vector: `planes` sign bits of dot
@@ -420,16 +447,19 @@ def signlsh_bucket_bits(vec, planes: int, dim: int,
     floor(x*1e6 + 0.5)/1e6 exactly (built-in round() diverges on
     half-boundary doubles — see functions.stable_round).
     """
-    from ..functions import stable_round
-    W = signlsh_weights(planes, dim, salt)
-    b = None
-    for p in range(planes):
-        wp = F.array(*[F.lit(x) for x in W[p]])
-        dot = F.aggregate(F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        bit = F.when(stable_round(dot, 6) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-        b = bit if b is None else b + bit
-    return b.cast("long")
+    return signlsh_bits_from_dots(signlsh_dots(vec, planes, dim, salt),
+                                  planes)
+
+
+def signlsh_bits_from_dots(dots, planes: int):
+    """Bucket id from an already-computed (rounded) dots array: sum of
+    2^p over the non-negative planes. Split out so callers that also
+    need the dots (multi-probe margins) hash ONE dots expression instead
+    of recomputing every plane dot per consumer."""
+    return F.aggregate(
+        F.zip_with(dots, signlsh_masks(planes),
+                   lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def embedding_signlsh_pairs(emb: DataFrame, planes: int = 8, dim: int = 64,

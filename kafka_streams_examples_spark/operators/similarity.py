@@ -558,36 +558,37 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     Table t>0 salts as ``{salt}-t{t}``, so tables=1 is bit-identical to
     the historical single-table operator.
     """
-    from .dedup import signlsh_bucket_bits, signlsh_weights
+    from .dedup import (signlsh_bits_from_dots, signlsh_bucket_bits,
+                        signlsh_dots)
 
     assert 1 <= probes <= planes + 1
     assert tables >= 1
     v = F.col(vec_col)
 
     def table_candidates(tsalt: str) -> DataFrame:
-        W = signlsh_weights(planes, dim, tsalt)
-
-        def plane_dot(p, vec):
-            wp = F.array(*[F.lit(x) for x in W[p]])
-            return F.aggregate(
-                F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-
         c = corpus.select(
             F.col(id_col).alias("c_id"),
             signlsh_bucket_bits(v, planes, dim, tsalt).alias("bk"))
+        # the query side needs both the bucket AND the per-plane margins:
+        # derive both from ONE dots array (historically each plane's dot
+        # was a separate fold computed twice — once for the bucket bits,
+        # once for the margin)
+        dots = signlsh_dots(v, planes, dim, tsalt)
+        pm = F.array(*[
+            F.struct(F.lit(p).alias("p"),
+                     F.lit(2 ** p).cast("long").alias("mask"))
+            for p in range(planes)])
         # margin = |rounded dot|, abs AFTER the engine-portable rounding
         # so it is exactly abs(d) of the oracle's per-plane d — rounding
         # the abs instead diverges for negative dots on half-microstep
         # boundaries
-        margins = F.array(*[
-            F.struct(F.abs(stable_round(plane_dot(p, v), 6)).alias("m"),
-                     F.lit(p).alias("p"),
-                     F.lit(2 ** p).cast("long").alias("mask"))
-            for p in range(planes)])
+        margins = F.zip_with(
+            dots, pm,
+            lambda d, s: F.struct(F.abs(d).alias("m"), s["p"].alias("p"),
+                                  s["mask"].alias("mask")))
         q0 = queries.select(
             F.col(id_col).alias("q_id"),
-            signlsh_bucket_bits(v, planes, dim, tsalt).alias("q_bk"),
+            signlsh_bits_from_dots(dots, planes).alias("q_bk"),
             F.slice(F.array_sort(margins), 1, probes - 1).alias("__flips"))
         probe_buckets = F.concat(
             F.array(F.col("q_bk")),
