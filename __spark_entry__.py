@@ -88,13 +88,16 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 5 for n in _R05},
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-8 diff: knn_ivfpq / pq_knn gained IVFADC residual encoding and
-# knn_recall_clustered's oracle follows their rewritten SQL, so those
-# three re-sign first; everything else changed this round is streaming
-# bench harness / tooling outside any batch query path.
+# Round-8 diff: the PQ tiers gained IVFADC residual encoding + refine and
+# the merged grouped subspace training; `_kmeans_fit` gained the
+# ckpt_each_iter knob (touching every k-means consumer); the sign-LSH
+# bucket path was rewritten through `signlsh_dots`. All numerics are
+# oracle-verified unchanged, but the policy fronts every query whose
+# code path moved since its last signature.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "knn_ivfpq", "pq_knn", "knn_multiprobe", "knn_recall",
-    "knn_recall_clustered",
+    "knn_recall_clustered", "kmeans_train", "knn_ivf_trained",
+    "semantic_dedup", "embedding_lsh_pairs",
 )
 
 
