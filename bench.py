@@ -108,6 +108,10 @@ HEADLINE = [
     "knn_ivfpq",
     "exact_substring_dedup",
     "dsir_score",
+    # r8 additions: incremental (batch-vs-index) dedup and the
+    # dedup-aware train/val/test split
+    "incremental_dedup",
+    "leakage_split",
 ]
 
 

@@ -249,6 +249,75 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
             .filter(F.col("jac") >= jaccard_threshold))
 
 
+def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
+                              num_hashes: int = 8, bands: int = 4, n: int = 3,
+                              jaccard_threshold: float = 0.5,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING corpus — the
+    day-over-day shape 100 TB dedup actually runs in: the corpus's band
+    signatures are a precomputed index (at scale: written once,
+    partitioned by band value, reread per batch), today's batch is
+    orders of magnitude smaller, and the candidate join is strictly
+    batch-bands x corpus-bands. Corpus x corpus never happens — the
+    quadratic term the full `minhash_lsh_pairs` pays every run is
+    replaced by |batch| x bucket-occupancy, and AQE broadcasts the batch
+    side. Same signature/band/verify arithmetic as `minhash_lsh_pairs`
+    (so the two compose: run the full pass once, this one per increment).
+
+    The two inputs must be id-disjoint (the caller's batch predicate
+    guarantees it); output is (new_id, corpus_id, jac) at
+    ``jac >= jaccard_threshold``, exact Jaccard over the same hashed
+    shingle sets the signatures minimize.
+    """
+    rows = num_hashes // bands
+    aggs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % MINHASH_P)
+         .alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+         .alias("band_val")
+        for b in range(bands)
+    ]
+
+    def index(docs_df: DataFrame, out_id: str):
+        sh = minhash_shingle_hashes(docs_df, n=n, text_col=text_col,
+                                    id_col=id_col, distinct=False)
+        sigs = sh.groupBy(id_col).agg(*aggs)
+        banded = sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_cols)).alias("band_id", "band_val"))
+        sizes = sh.groupBy(id_col).agg(F.count_distinct("h").alias("sz")) \
+                  .select(F.col(id_col).alias(out_id), "sz")
+        hashes = sh.select(F.col(id_col).alias(out_id), "h")
+        return banded, sizes, hashes
+
+    nb, nsz, nh = index(new_docs, "new_id")
+    cb, csz, ch = index(corpus, "corpus_id")
+    cand = (nb.join(cb, ["band_id", "band_val"])
+              .select("new_id", "corpus_id").distinct())
+    inter = (cand.join(nh, "new_id")
+                 .join(ch, ["corpus_id", "h"])
+                 .groupBy("new_id", "corpus_id")
+                 .agg(F.count_distinct("h").alias("inter")))
+    # stable_round, not F.round: integer-ratio Jaccards land on exact
+    # X.XXXX5 boundaries (1/32 = 0.03125), where Spark's HALF_UP decimal
+    # and DuckDB's double round() disagree — the DESIGN.md rounding
+    # policy for post-r5 oracle-graded outputs
+    from ..functions import stable_round
+    return (inter
+            .join(nsz.withColumnRenamed("sz", "sz1"), "new_id")
+            .join(csz.withColumnRenamed("sz", "sz2"), "corpus_id")
+            .select("new_id", "corpus_id",
+                    stable_round(F.col("inter")
+                                 / (F.col("sz1") + F.col("sz2")
+                                    - F.col("inter")), 4)
+                     .alias("jac"))
+            .filter(F.col("jac") >= jaccard_threshold))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         candidates: DataFrame | None = None,

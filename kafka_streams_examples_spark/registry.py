@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import table
-from .functions import tokens
+from .functions import md5_hash64, tokens
 from .operators import bpe as BPE
 from .operators import dedup as D
 from .operators import joins as J
@@ -863,6 +863,133 @@ def q_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
              .select("cluster_id", F.col("doc_id").alias("keeper_id"),
                      F.col("quality").alias("keeper_quality"),
                      F.col("n_members").cast("long").alias("n_members")))
+
+
+_INC_BATCH_PRED = "doc_id % 10 = 7"
+
+# per-side LSH CTEs for the incremental (batch-vs-corpus) dedup: the
+# same hash/signature/band arithmetic as _LSH_CTES, split by the batch
+# predicate so candidates are strictly batch-bands x corpus-bands
+_INC_CTES = f"""nhsh AS (
+      SELECT DISTINCT doc_id,
+        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
+      FROM ({SQL_SHINGLES}) WHERE {_INC_BATCH_PRED}),
+    chsh AS (
+      SELECT DISTINCT doc_id,
+        CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 1073741824 AS h
+      FROM ({SQL_SHINGLES}) WHERE NOT ({_INC_BATCH_PRED})),
+    nsig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM nhsh GROUP BY doc_id),
+    csig AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM chsh GROUP BY doc_id),
+    nband AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)) AS band_val FROM nsig
+      UNION ALL SELECT doc_id, 1,
+             md5(CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR)) FROM nsig
+      UNION ALL SELECT doc_id, 2,
+             md5(CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR)) FROM nsig
+      UNION ALL SELECT doc_id, 3,
+             md5(CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR)) FROM nsig),
+    cband AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '|' || CAST(mh1 AS VARCHAR)) AS band_val FROM csig
+      UNION ALL SELECT doc_id, 1,
+             md5(CAST(mh2 AS VARCHAR) || '|' || CAST(mh3 AS VARCHAR)) FROM csig
+      UNION ALL SELECT doc_id, 2,
+             md5(CAST(mh4 AS VARCHAR) || '|' || CAST(mh5 AS VARCHAR)) FROM csig
+      UNION ALL SELECT doc_id, 3,
+             md5(CAST(mh6 AS VARCHAR) || '|' || CAST(mh7 AS VARCHAR)) FROM csig),
+    icand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      FROM nband a JOIN cband b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val),
+    nsz AS (SELECT doc_id, count(*) AS sz FROM nhsh GROUP BY doc_id),
+    csz AS (SELECT doc_id, count(*) AS sz FROM chsh GROUP BY doc_id),
+    iint AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS i
+      FROM nhsh a JOIN chsh b ON a.h = b.h
+      GROUP BY 1, 2)"""
+
+
+@query(
+    "incremental_dedup",
+    f"""WITH {_INC_CTES}
+    SELECT c.new_id, c.corpus_id,
+           floor(i.i / (s1.sz + s2.sz - i.i) * 1e4 + 0.5) / 1e4 AS jac
+    FROM icand c
+    JOIN iint i ON i.new_id = c.new_id AND i.corpus_id = c.corpus_id
+    JOIN nsz s1 ON c.new_id = s1.doc_id
+    JOIN csz s2 ON c.corpus_id = s2.doc_id
+    WHERE floor(i.i / (s1.sz + s2.sz - i.i) * 1e4 + 0.5) / 1e4 >= 0.2""",
+    "Incremental dedup — today's batch (doc_id % 10 = 7 stands in for "
+    "the new partition) LSH-joined against the EXISTING corpus's band "
+    "index, the day-over-day shape 100 TB dedup actually runs in: the "
+    "corpus's band signatures are a write-once index (at scale "
+    "partitioned by band value on disk), the batch side is tiny and "
+    "broadcastable, and corpus x corpus never happens — candidate work "
+    "is |batch| x bucket occupancy instead of the full pass's "
+    "|corpus| x occupancy. Same md5+affine signature, banding and "
+    "exact-Jaccard-verify arithmetic as minhash_lsh_pairs, so one full "
+    "pass plus per-increment runs compose into the same pair graph. "
+    "Jaccard rounds through the portable floor formula (integer-ratio "
+    "values DO land on X.XXXX5 boundaries: 1/32). Oracle replicates the "
+    "per-side CTEs and the asymmetric band join.",
+)
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_minhash_pairs(new, corpus, num_hashes=8, bands=4,
+                                       jaccard_threshold=0.2)
+
+
+@query(
+    "leakage_split",
+    f"""WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node),
+    cl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY node),
+    bk AS (SELECT doc_id, cluster_id,
+             CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 100 AS split_bucket
+           FROM cl)
+    SELECT doc_id, cluster_id, split_bucket,
+           CASE WHEN split_bucket < 90 THEN 'train'
+                WHEN split_bucket < 95 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM bk""",
+    "Leakage-free train/validation/test split — the step between dedup "
+    "and training that keeps near-duplicates from straddling split "
+    "boundaries (eval contamination): every doc inherits its duplicate "
+    "CLUSTER's split, assigned by a portable md5 hash of the cluster id "
+    "into 100 buckets (90/5/5). Whole clusters move atomically because "
+    "the hash keys on cluster_id, so a doc and its near-dups can never "
+    "land in different splits; singletons are their own cluster. "
+    "Deterministic (re-runs give byte-identical splits — the property a "
+    "100 TB pipeline needs for resumable shard writes), one scan-side "
+    "hash on top of the dedup_clusters plan, no extra shuffle. Oracle "
+    "composes the recursive-CTE components fixpoint with the identical "
+    "bucket arithmetic.",
+)
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                jaccard_threshold=0.2)
+    cc = D.connected_components(pairs, docs.select("doc_id"))
+    bucket = md5_hash64(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % 100
+    return (cc.select("doc_id",
+                      F.col("cluster_id").cast("long").alias("cluster_id"))
+              .withColumn("split_bucket", bucket)
+              .withColumn("split",
+                          F.when(F.col("split_bucket") < 90, "train")
+                           .when(F.col("split_bucket") < 95, "validation")
+                           .otherwise("test")))
 
 
 _CMS_PERMS_SQL = ", ".join(

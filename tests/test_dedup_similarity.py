@@ -806,3 +806,61 @@ def test_all_pairs_fallback_is_fenced(spark):
                                      bucket_col=None).count() == 6)
     assert (embedding_near_dup_pairs(small, threshold=0.9, bucket_col=None,
                                      allow_all_pairs=True).count() == 6)
+
+
+def test_incremental_dedup_equals_cross_side_full_pass(spark, sf_dir):
+    """incremental_minhash_pairs(batch, corpus) must equal the FULL
+    minhash_lsh_pairs run restricted to (batch, corpus) cross pairs —
+    same signatures, same bands, same Jaccard — because one full pass
+    plus per-increment runs are supposed to compose into the same pair
+    graph. (Rounding differs by design: the incremental op uses the
+    portable floor formula, so compare on ids + jac to 3 decimals.)"""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import (
+        incremental_minhash_pairs, minhash_lsh_pairs,
+    )
+    docs = cat_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    inc = {(r.new_id, r.corpus_id, round(r.jac, 3))
+           for r in incremental_minhash_pairs(
+               new, corpus, num_hashes=8, bands=4,
+               jaccard_threshold=0.2).collect()}
+    full = minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                             jaccard_threshold=0.2).collect()
+    cross = {(a, b, round(r.jac, 3))
+             for r in full
+             for a, b in [(r.d1, r.d2), (r.d2, r.d1)]
+             if a % 10 == 7 and b % 10 != 7}
+    assert inc == cross and inc, (len(inc), len(cross))
+
+
+def test_leakage_split_clusters_move_atomically(spark, sf_dir):
+    """Every duplicate cluster lands in exactly one split (the whole
+    point), near-dup pair members never straddle splits, the bucket is
+    the portable md5 hash (deterministic across runs), and the split
+    labels partition the corpus."""
+    from kafka_streams_examples_spark.registry import QUERIES
+    rows = QUERIES["leakage_split"].spark(spark, sf_dir).collect()
+    docs_total = {r.doc_id for r in rows}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert r.split in ("train", "validation", "test")
+        assert 0 <= r.split_bucket < 100
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # determinism: an independent second build gives identical rows
+    again = {(r.doc_id, r.cluster_id, r.split_bucket, r.split)
+             for r in QUERIES["leakage_split"].spark(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.cluster_id, r.split_bucket, r.split)
+                     for r in rows}
+    # pair members share a split (implied by cluster atomicity, asserted
+    # directly against the pair generator the split derives from)
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import minhash_lsh_pairs
+    split_of = {r.doc_id: r.split for r in rows}
+    pairs = minhash_lsh_pairs(cat_table(spark, sf_dir, "documents"),
+                              num_hashes=8, bands=4,
+                              jaccard_threshold=0.2).collect()
+    assert pairs and all(split_of[p.d1] == split_of[p.d2] for p in pairs)
+    assert len(docs_total) == len(rows)  # one row per doc, no dupes

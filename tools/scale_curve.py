@@ -48,6 +48,9 @@ CURVE = [
     "knn_recall", "dsir_resample",
     # r7 addition (the ladder over the in-query clustered fixture)
     "knn_recall_clustered",
+    # r8 additions (asymmetric batch-vs-index band join; CC + portable
+    # cluster-hash split)
+    "incremental_dedup", "leakage_split",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
