@@ -119,7 +119,8 @@ HEADLINE = [
 # refactor cannot silently drop one (BENCH r3 set the baseline).
 STREAMING_PIPELINES = ("wordcount", "windowed_counts", "session_counts",
                        "dedup_ttl", "interval_join", "fraud_check",
-                       "ordered_concat", "pack_sequences")
+                       "ordered_concat", "pack_sequences",
+                       "stream_near_dup")
 
 
 def stream_cases(spark, sf_dir: str) -> dict:
@@ -153,6 +154,17 @@ def stream_cases(spark, sf_dir: str) -> dict:
                 .select(F.explode(tokens(F.col("text")))).count())
     n_events = table(spark, sf_dir, "events").count()
     ev = lambda: stream_table(spark, sf_dir, "events")  # noqa: E731
+
+    # stream_near_dup's static side: the corpus band index, materialized
+    # HERE so its (batch) build cost never lands in a probe sample
+    from kafka_streams_examples_spark.streaming.dedup import (
+        near_dup_index, stream_near_dup,
+    )
+    docs_b = table(spark, sf_dir, "documents")
+    n_new_docs = docs_b.filter(F.col("doc_id") % 10 == 7).count()
+    _snd_index = (near_dup_index(docs_b.filter(F.col("doc_id") % 10 != 7))
+                  .localCheckpoint(eager=False))
+    _snd_index.count()
 
     # Cost class per pipeline (BENCH_r07 postmortem / verdict #1): "jvm"
     # pipelines are state-commit-bound — size shuffle partitions to state
@@ -210,6 +222,19 @@ def stream_cases(spark, sf_dir: str) -> dict:
                      .cast("long").alias("n_tokens")),
                 budget=256),
             "append", n_tokens, "jvm"),
+        # stream-static near-dup probe (streaming half of the batch
+        # incremental_dedup query): arriving docs compute scan-side
+        # minhash profiles and LSH-probe a batch-built corpus band
+        # index — entirely STATELESS (stream-static equi-join + per-row
+        # array_intersect verify). The index is materialized before
+        # timing: its build cost is the batch pass, not probe
+        # throughput; work unit = one probed document.
+        "stream_near_dup": (
+            lambda: stream_near_dup(
+                stream_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 10 == 7),
+                _snd_index, threshold=0.2),
+            "append", n_new_docs, "jvm"),
     }
     assert set(cases) == set(STREAMING_PIPELINES), "update STREAMING_PIPELINES"
     return cases
@@ -393,6 +418,14 @@ def printed_line(full: dict) -> dict:
     out = dict(full)
     out["streaming"] = {name: int(round(row["rows_per_sec"]))
                         for name, row in full["streaming"].items()}
+    # 2-decimal query seconds on the wire (r8: the 54-query HEADLINE +
+    # 9th pipeline pushed the worst-case line past the budget) — ±5 ms
+    # printed resolution is below run noise; full 3-decimal timings stay
+    # in BENCH_SELF_r{N}.json
+    out["queries"] = {n: round(v, 2) for n, v in full["queries"].items()}
+    # loadavg detail and idle wait likewise live only in the self file
+    out.pop("idle_wait_sec", None)
+    out["loadavg"] = {"start": full["loadavg"]["start"]}
     return out
 
 

@@ -249,6 +249,41 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
             .filter(F.col("jac") >= jaccard_threshold))
 
 
+def minhash_doc_profile(docs: DataFrame, num_hashes: int = 8,
+                        bands: int = 4, n: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document minhash profile as ONE stateless projection —
+    (id, __hs distinct shingle hashes, __bands band values) — the
+    streaming-safe form of the signature pipeline: every column is a
+    scan-side array fold (tokens → shingles → md5+mod → per-permutation
+    array minima → banded md5), so it runs identically on a batch
+    DataFrame and on a readStream with NO shuffle and NO state. Band
+    values are bit-identical to `minhash_lsh_pairs`' (same affine
+    constants, same '|' concat), which is what lets a streaming consumer
+    join a batch-built index."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes > {len(MINHASH_A)} needs more constants")
+    rows = num_hashes // bands
+    toks = tokens(text_col)
+    d = (docs.select("*", toks.alias("__toks"))
+             .filter(F.size("__toks") >= n)
+             .withColumn("__hs", F.array_distinct(
+                 F.transform(word_shingles(F.col("__toks"), n),
+                             lambda s: md5_hash64(s) % MINHASH_M))))
+    mh = [F.array_min(F.transform(
+             "__hs",
+             lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                       % MINHASH_P)).alias(f"__mh{i}")
+          for i in range(num_hashes)]
+    d = d.select(F.col(id_col), "__hs", *mh)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"__mh{b * rows + r}")
+                                 for r in range(rows)]))
+        for b in range(bands)]
+    return d.select(id_col, "__hs", F.array(*band_cols).alias("__bands"))
+
+
 def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
                               num_hashes: int = 8, bands: int = 4, n: int = 3,
                               jaccard_threshold: float = 0.5,

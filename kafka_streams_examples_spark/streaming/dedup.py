@@ -19,3 +19,84 @@ def dedup_stream(events: DataFrame, keys: Sequence[str], ttl: str = "10 minutes"
                  ts_col: str = "ts") -> DataFrame:
     return (events.withWatermark(ts_col, ttl)
                   .dropDuplicatesWithinWatermark(list(keys)))
+
+
+def near_dup_index(corpus: DataFrame, num_hashes: int = 8, bands: int = 4,
+                   n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Batch half of streaming near-dup: the corpus's band index, one row
+    per (doc, band) — (corpus_id, band_id, band_val, plus the doc's full
+    band array, distinct shingle-hash set and set size for the verify).
+    At 100 TB this is written ONCE, partitioned by band_val, and every
+    arriving batch probes it; here it is the static side of a
+    stream-static join."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_doc_profile
+
+    prof = minhash_doc_profile(corpus, num_hashes, bands, n,
+                               text_col, id_col)
+    return (prof.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("__hs").alias("c_hs"),
+                F.col("__bands").alias("c_bands"),
+                F.size("__hs").alias("c_sz"),
+                F.posexplode("__bands").alias("band_id", "band_val")))
+
+
+def stream_near_dup(new_docs: DataFrame, index: DataFrame,
+                    num_hashes: int = 8, bands: int = 4, n: int = 3,
+                    threshold: float = 0.2, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Streaming incremental near-dup: arriving documents LSH-probe a
+    batch-built corpus index — the streaming half of
+    `incremental_minhash_pairs`, and the 100 TB continuous-ingest shape
+    (every new document is checked against the corpus BEFORE it is
+    admitted).
+
+    Entirely STATELESS: the stream side computes its minhash profile
+    with scan-side array folds (`minhash_doc_profile` — no shuffle, no
+    state), the candidate step is a stream-static inner equi-join on
+    (band_id, band_val) (no watermark, no state store — Spark treats
+    the static side as a lookup), and the exact-Jaccard verify is a
+    per-row `array_intersect` of the two distinct shingle-hash sets
+    carried on the joined row (no second join). A pair colliding in
+    several bands would emit once per band; instead of a stateful
+    dropDuplicates, the row is kept only where the matched band is the
+    FIRST band the two docs share — a pure expression over both band
+    arrays, so output is exactly-once per pair with zero state.
+
+    Output: (new_id, corpus_id, jac) with jac = |∩| / (|a| + |b| − |∩|)
+    rounded via the portable formula, filtered at ``threshold`` — the
+    same values `incremental_minhash_pairs` produces batch-side
+    (equivalence is unit-tested)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import stable_round
+    from ..operators.dedup import minhash_doc_profile
+
+    prof = (minhash_doc_profile(new_docs, num_hashes, bands, n,
+                                text_col, id_col)
+            .select(F.col(id_col).alias("new_id"),
+                    F.col("__hs").alias("n_hs"),
+                    F.col("__bands").alias("n_bands"),
+                    F.size("__hs").alias("n_sz"))
+            .withColumn("band_id",
+                        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+            .withColumn("band_val", F.col("n_bands")[F.col("band_id")]))
+    joined = prof.join(index, ["band_id", "band_val"])
+    # first band the two docs share == this band → emit once per pair:
+    # positions where the band arrays agree, keep only the minimum
+    match_positions = F.filter(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda i: F.when(F.col("n_bands")[i]
+                                     == F.col("c_bands")[i], i)
+                               .otherwise(F.lit(-1))),
+        lambda x: x >= 0)
+    dedup = joined.filter(F.col("band_id")
+                          == F.array_min(match_positions))
+    inter = F.size(F.array_intersect(F.col("n_hs"), F.col("c_hs")))
+    jac = stable_round(
+        inter / (F.col("n_sz") + F.col("c_sz") - inter).cast("double"), 4)
+    return (dedup.select("new_id", "corpus_id", jac.alias("jac"))
+                 .filter(F.col("jac") >= threshold))

@@ -698,3 +698,42 @@ def test_music_charts_service_converges_shuffled_on_rocksdb(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_stream_near_dup_equals_batch_incremental(spark, sf_dir):
+    """The stream-static near-dup probe must produce EXACTLY the batch
+    incremental_minhash_pairs rows for the same batch/corpus split —
+    same profiles, same bands, same Jaccard — and must do it statelessly
+    (one emission per pair via the first-common-band filter, no
+    dropDuplicates state)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.dedup import (
+        near_dup_index, stream_near_dup,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    idx = near_dup_index(corpus).localCheckpoint(eager=False)
+    out = stream_near_dup(
+        stream_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 7),
+        idx, threshold=0.2)
+    name, q = run_to_memory(out, mode="append")
+    rows = spark.table(name).collect()
+    q.stop()
+    got = {(r.new_id, r.corpus_id, r.jac) for r in rows}
+    want = {(r.new_id, r.corpus_id, r.jac)
+            for r in incremental_minhash_pairs(
+                docs.filter(F.col("doc_id") % 10 == 7), corpus,
+                num_hashes=8, bands=4, jaccard_threshold=0.2).collect()}
+    assert got == want and got
+    # exactly-once per pair even though pairs can collide in >1 band
+    assert len(rows) == len({(r.new_id, r.corpus_id) for r in rows})
