@@ -98,9 +98,20 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
     canary_first = canary()
 
     report: dict[str, dict] = {}
+    extra_sections: dict = {}
     if only and os.path.exists(out_path):
         with open(out_path) as f:
-            report = json.load(f).get("queries", {})
+            prior = json.load(f)
+        report = prior.get("queries", {})
+        # preserve sections other tools merged into this artifact (the
+        # streaming replay from tools/stream_bench.py --scale): an
+        # `only` re-measure of a few queries must not clobber them —
+        # r8 bug, SCALE_r08's streaming section was silently dropped
+        # and had to be restored from git
+        extra_sections = {k: v for k, v in prior.items()
+                          if k not in ("method", "cpus", "loadavg",
+                                       "idle_wait_sec", "canary",
+                                       "queries")}
     for name in (only or CURVE):
         row: dict[str, float] = {}
         for sf, sf_dir in sfs:
@@ -136,6 +147,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
                    "spread": round(max(canary_first, canary_last)
                                    / min(canary_first, canary_last), 3)},
         "queries": report,
+        **extra_sections,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
