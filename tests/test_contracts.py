@@ -198,3 +198,39 @@ def test_sized_shuffle_partitions_policy():
     assert sized_shuffle_partitions(2_000_000, 32, cost_class="python") == 32
     # jvm class unchanged by the new parameter
     assert sized_shuffle_partitions(100_000, 32, cost_class="jvm") == 2
+
+
+def test_noise_gauge_flags_uniform_inflation():
+    """The gauge compares multi-second bench timings against the newest
+    SCALE artifact: clean run -> median_ratio ~1 / inflated False; a
+    uniformly 1.3x-inflated run -> inflated True. (r8: co-tenant noise is
+    invisible to loadavg — full-bench totals swung 52.7-66.1s on
+    identical code at loadavg-0.1 starts.)"""
+    import glob
+    import json as _json
+    import os as _os
+
+    import bench
+    paths = sorted(glob.glob(_os.path.join(
+        _os.path.dirname(_os.path.abspath(bench.__file__)), "SCALE_r*.json")))
+    assert paths, "scale artifact expected in repo root"
+    with open(paths[-1]) as f:
+        rows = _json.load(f).get("queries", {})
+    base = {q: r["sec_sf0.1"] for q, r in rows.items()
+            if r.get("sec_sf0.1", 0) >= 1.0}
+    assert len(base) >= 5
+    clean = bench.noise_gauge(dict(base))
+    assert clean is not None and not clean["inflated"]
+    assert 0.99 <= clean["median_ratio"] <= 1.01
+    noisy = bench.noise_gauge({q: v * 1.3 for q, v in base.items()})
+    assert noisy["inflated"] and noisy["median_ratio"] > 1.25
+    # sub-second-only timings -> no verdict rather than a noisy one
+    assert bench.noise_gauge({"tpch_q1": 0.3}) is None
+    # the gauge rides the payload only at sf 0.1
+    streaming = {n: {"wall_sec": 1.0, "rows_per_sec": 1.0, "rows_in": 1}
+                 for n in bench.STREAMING_PIPELINES}
+    t = {n: 9.9 for n in bench.HEADLINE}
+    assert bench.payload(t, streaming, 0.1, (0,)*3, (0,)*3, 1, 1)[
+        "noise_gauge"] is not None
+    assert bench.payload(t, streaming, 0.01, (0,)*3, (0,)*3, 1, 1)[
+        "noise_gauge"] is None
