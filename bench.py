@@ -112,6 +112,7 @@ HEADLINE = [
     # dedup-aware train/val/test split
     "incremental_dedup",
     "leakage_split",
+    "dedup_recall",
 ]
 
 

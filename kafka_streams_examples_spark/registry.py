@@ -748,9 +748,7 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash(table(spark, sf, "documents"), bits=16)
 
 
-@query(
-    "simhash_hamming_pairs",
-    f"""WITH s AS ({_simhash_sql(32)}),
+_SIMHASH_PAIRS_SQL = f"""WITH s AS ({_simhash_sql(32)}),
     banded AS (
       SELECT doc_id, simhash, b AS band_id, (simhash >> (b * 8)) & 255 AS band_val
       FROM s, generate_series(0, 3) AS t(b)),
@@ -761,7 +759,12 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
         ON a.band_id = b.band_id AND a.band_val = b.band_val
        AND a.doc_id < b.doc_id)
     SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-    FROM cand WHERE bit_count(xor(h1, h2)) <= 3""",
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 3"""
+
+
+@query(
+    "simhash_hamming_pairs",
+    _SIMHASH_PAIRS_SQL,
     "SimHash near-dup PAIRS via bit-band LSH (32-bit fingerprint, 4 bands "
     "of 8 bits): Hamming <= 3 implies at least one identical band "
     "(pigeonhole), so candidates meet in an equi-join on (band_id, "
@@ -990,6 +993,86 @@ def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
                           F.when(F.col("split_bucket") < 90, "train")
                            .when(F.col("split_bucket") < 95, "validation")
                            .otherwise("test")))
+
+
+_NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
+    tsz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
+    tint AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh0 a JOIN sh0 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT d1, d2 FROM tint
+      JOIN tsz s1 ON d1 = s1.doc_id JOIN tsz s2 ON d2 = s2.doc_id
+      WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.2)"""
+
+
+@query(
+    "dedup_recall",
+    f"""WITH {_LSH_CTES},
+    {_NGRAM_TRUTH_CTE},
+    mh AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sim AS (SELECT d1, d2 FROM (
+      {_SIMHASH_PAIRS_SQL}
+    )),
+    det AS (
+      SELECT 'exact' AS detector, d1, d2 FROM truth
+      UNION ALL SELECT 'minhash_lsh', d1, d2 FROM mh
+      UNION ALL SELECT 'simhash', d1, d2 FROM sim),
+    nt AS (SELECT count(*) AS n FROM truth)
+    SELECT det.detector,
+           CAST(nt.n AS BIGINT) AS n_truth,
+           CAST(count(*) AS BIGINT) AS n_detected,
+           CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           floor(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                 / nt.n * 1e4 + 0.5) / 1e4 AS recall
+    FROM det
+    LEFT JOIN truth t ON det.d1 = t.d1 AND det.d2 = t.d2
+    CROSS JOIN nt
+    GROUP BY det.detector, nt.n""",
+    "Detection-quality gauge for the dedup family — the `knn_recall` "
+    "analog: exact n-gram-Jaccard pairs (threshold 0.2) are the ground "
+    "truth, and each probabilistic detector is graded by the fraction "
+    "of true pairs it surfaces. 'exact' is the built-in control "
+    "(recall 1.0); 'minhash_lsh' measures pure BANDING loss (same "
+    "Jaccard metric, so every miss is a pair whose signature agreed in "
+    "no band — the b·r trade made measurable); 'simhash' is the "
+    "cross-metric detector (Hamming<=3 on 32-bit fingerprints), whose "
+    "recall against a Jaccard truth quantifies how much the cheaper "
+    "fingerprint misses. n_detected alongside n_hits exposes precision "
+    "loss too (detected-but-not-true pairs). One composed plan: truth "
+    "checkpointed once, detectors union with a label, hits are an "
+    "equi-join. Oracle reuses the three detectors' CTEs verbatim.",
+)
+def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    truth = (D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+              .select("d1", "d2").localCheckpoint(eager=False))
+    detectors = [
+        ("exact", truth),
+        ("minhash_lsh", D.minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4,
+            jaccard_threshold=0.2).select("d1", "d2")),
+        ("simhash", D.simhash_hamming_pairs(
+            docs, bits=32, bands=4, max_hamming=3).select("d1", "d2")),
+    ]
+    det = None
+    for name, df in detectors:
+        lab = df.select(F.lit(name).alias("detector"), "d1", "d2")
+        det = lab if det is None else det.unionByName(lab)
+    nt = truth.count()
+    from .functions import stable_round
+    hits = det.join(truth.withColumn("__t", F.lit(1)), ["d1", "d2"], "left")
+    return (hits.groupBy("detector")
+                .agg(F.count("*").cast("long").alias("n_detected"),
+                     F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+                      .cast("long").alias("n_hits"))
+                .select("detector",
+                        F.lit(nt).cast("long").alias("n_truth"),
+                        "n_detected", "n_hits",
+                        stable_round(F.col("n_hits") / F.lit(nt).cast("double"),
+                                     4).alias("recall")))
 
 
 _CMS_PERMS_SQL = ", ".join(

@@ -50,7 +50,7 @@ CURVE = [
     "knn_recall_clustered",
     # r8 additions (asymmetric batch-vs-index band join; CC + portable
     # cluster-hash split)
-    "incremental_dedup", "leakage_split",
+    "incremental_dedup", "leakage_split", "dedup_recall",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
