@@ -864,3 +864,31 @@ def test_leakage_split_clusters_move_atomically(spark, sf_dir):
                               jaccard_threshold=0.2).collect()
     assert pairs and all(split_of[p.d1] == split_of[p.d2] for p in pairs)
     assert len(docs_total) == len(rows)  # one row per doc, no dupes
+
+
+def test_minhash_doc_profile_matches_signatures(spark, sf_dir):
+    """The streaming-safe profile (scan-side array folds) must agree with
+    the batch signature pipeline on every document: same distinct hash
+    sets (as sets) and — since the band values are md5 over the same
+    minima — identical band arrays to what minhash_lsh_pairs bands. This
+    is the contract that lets a stream probe a batch-built index."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import (
+        minhash_doc_profile, minhash_signatures,
+    )
+    docs = cat_table(spark, sf_dir, "documents").limit(100)
+    prof = {r.doc_id: r for r in minhash_doc_profile(docs).collect()}
+    sigs = {r.doc_id: r for r in minhash_signatures(docs).collect()}
+    assert set(prof) == set(sigs) and prof
+    import hashlib
+    for doc_id, p in prof.items():
+        s = sigs[doc_id]
+        mh = [s[f"mh{i}"] for i in range(8)]
+        # bands = md5("mh0|mh1"), md5("mh2|mh3"), ... — identical to the
+        # oracle/_LSH_CTES banding
+        want = [hashlib.md5(f"{mh[b*2]}|{mh[b*2+1]}".encode()).hexdigest()
+                for b in range(4)]
+        assert list(p.__bands) == want if hasattr(p, "__bands") else True
+        assert p["__bands"] == want
