@@ -98,6 +98,9 @@ _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "knn_ivfpq", "pq_knn", "knn_multiprobe", "knn_recall",
     "knn_recall_clustered", "kmeans_train", "knn_ivf_trained",
     "semantic_dedup", "embedding_lsh_pairs",
+    # oracle-string refactor only (moved to a shared constant for
+    # dedup_recall; byte-identical SQL) — fronted on policy anyway
+    "simhash_hamming_pairs",
 )
 
 
