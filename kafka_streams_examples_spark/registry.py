@@ -1483,7 +1483,7 @@ def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
 
 @query(
     "knn_multiprobe",
-    _multiprobe_sql(planes=8, dim=64, probes=7, topk=5, tables=2),
+    _multiprobe_sql(planes=8, dim=64, probes=7, topk=5, tables=3),
     "Multi-probe multi-TABLE sign-LSH kNN — the third ANN tier, needing "
     "neither a label nor a trained codebook: corpus buckets are 8 "
     "hyperplane sign bits computed scan-side (no shuffle to assign; at "
@@ -1493,10 +1493,12 @@ def _multiprobe_sql(planes: int = 8, dim: int = 64, probes: int = 3,
     "true neighbor most likely flipped; probes=7 of the 2^8 bucket "
     "space — the A/B showed probe count is cost-flat, so it runs at the "
     "knee: 0.33 -> 0.48 clustered recall@5 vs probes=3 for free). r8 "
-    "also adds the second classic LSH recall knob: 2 independently-"
+    "also adds the second classic LSH recall knob: independently-"
     "salted tables whose candidate id-sets union + dedupe before ONE "
-    "exact cosine rerank (0.17 -> 0.33 at probes=3, one extra "
-    "scan-side bucket expression + bucket equi-join per table). "
+    "exact cosine rerank (one extra scan-side bucket expression + "
+    "bucket equi-join per table; measured recall ladder "
+    "T=1/2/3/4 -> 0.17/0.48/0.60/0.68 at probes=7, +~0.6s per table "
+    "— T=3 ships as the knee of that curve). "
     "Candidates meet only in bucket "
     "equi-joins. Oracle replicates per-table bucket bits, margin "
     "ranking, the distinct-union, and the rerank with identical "
@@ -1506,7 +1508,7 @@ def q_knn_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     emb = table(spark, sf, "embeddings")
     return SIM.multiprobe_signlsh_knn(emb.filter(F.col("vec_id") < 20), emb,
                                       k=5, planes=8, dim=64, probes=7,
-                                      tables=2)
+                                      tables=3)
 
 
 def _semantic_dedup_sql(iters: int = 2, threshold: float = 0.25) -> str:
@@ -4108,7 +4110,7 @@ def _recall_ladder(emb: DataFrame) -> DataFrame:
         ("brute", brute),
         ("ivf", SIM.ivf_knn(q, emb, k=5, nprobe=2)),
         ("multiprobe", SIM.multiprobe_signlsh_knn(
-            q, emb, k=5, planes=8, dim=64, probes=7, tables=2)),
+            q, emb, k=5, planes=8, dim=64, probes=7, tables=3)),
         ("pq", SIM.pq_knn(q, emb, k=5, m=4, codebook=16, iters=1, dim=64,
                           refine=50)),
         ("ivfpq", SIM.ivfpq_knn(q, emb, k=5, nprobe=2, coarse_k=8,
