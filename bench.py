@@ -113,6 +113,9 @@ HEADLINE = [
     "incremental_dedup",
     "leakage_split",
     "dedup_recall",
+    # r8 addition: the published Gopher heuristic gate (scan-speed rule
+    # battery, the pre-dedup filter of the corpus-build pipeline)
+    "gopher_rules",
 ]
 
 

@@ -564,3 +564,91 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
                         F.coalesce("n_bigrams", F.lit(0)).cast("long")
                          .alias("n_bigrams"),
                         F.coalesce("dsir", F.lit(0.0)).alias("dsir")))
+
+
+# Rae et al. 2021 (Gopher), Appendix A1.1: a document must contain at
+# least two of these words to pass the stopword rule. Shared verbatim
+# with the DuckDB oracle.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", words_per_line: int = 12,
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021, A1.1) — the
+    published heuristic gate every large text-corpus build runs before
+    dedup: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, bullet-line / ellipsis-line fractions, alphabetic-word
+    fraction and the required-stopword rule, each reported per document
+    alongside the combined ``kept`` verdict.
+
+    All pure Column expressions (array folds + regexp counts) — the whole
+    battery runs at scan speed inside whole-stage codegen, nothing
+    shuffles, so at 100 TB it is bounded by the parquet scan exactly like
+    quality_score/repetition_stats (the other members of this family).
+
+    The fixture corpus is single-line prose with no bullets or ellipses,
+    so—like pii_redact's deterministic PII injection—the line-level rules
+    are exercised against a derived line structure: tokens wrap every
+    ``words_per_line`` words, and line i of document d is prefixed with a
+    "- " bullet when (d + i) % 7 == 0 and suffixed with "..." when
+    (d + i) % 5 == 0, identically in the oracle. The rule predicates
+    themselves (startswith/endswith/regexp-count over the line strings)
+    are the real Gopher checks a multi-line corpus would hit unchanged.
+    """
+    ws = F.filter(tokens(text_col), lambda x: x != "")
+    d = (docs.select(F.col(id_col), F.col(text_col))
+             .withColumn("__ws", ws)
+             .withColumn("n_words", F.size("__ws").cast("long")))
+    wpl = words_per_line
+    n_lines = F.greatest(F.ceil(F.col("n_words") / wpl), F.lit(1)).cast("int")
+    line = lambda i: F.concat(
+        F.when(((F.col(id_col) + i) % 7) == 0, F.lit("- ")).otherwise(F.lit("")),
+        F.concat_ws(" ", F.slice(F.col("__ws"), i * wpl + 1, wpl)),
+        F.when(((F.col(id_col) + i) % 5) == 0, F.lit("...")).otherwise(F.lit("")))
+    d = d.withColumn("__lines",
+                     F.transform(F.sequence(F.lit(0), n_lines - 1), line))
+    nl = F.size("__lines").cast("double")
+    joined = F.concat_ws("\n", F.col("__lines"))
+    mean_word_len = (F.aggregate(F.transform(F.col("__ws"), F.length),
+                                 F.lit(0), lambda a, x: a + x).cast("double")
+                     / F.col("n_words"))
+    frac_alpha = (F.size(F.filter(F.col("__ws"),
+                                  lambda x: x.rlike("[a-z]"))).cast("double")
+                  / F.col("n_words"))
+    symbols = (F.regexp_count(joined, F.lit("#"))
+               + F.regexp_count(joined, F.lit(r"\.\.\."))).cast("double")
+    sw_hits = F.size(F.array_intersect(
+        F.array_distinct(F.col("__ws")),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).cast("long")
+    d = d.select(
+        F.col(id_col), F.col("n_words"),
+        stable_round(mean_word_len, 4).alias("mean_word_len"),
+        stable_round(frac_alpha, 4).alias("frac_alpha_words"),
+        stable_round(symbols / F.col("n_words"), 4).alias("symbol_ratio"),
+        stable_round(F.size(F.filter(F.col("__lines"),
+                                     lambda l: l.startswith("- ")))
+                     / nl, 4).alias("frac_bullet_lines"),
+        stable_round(F.size(F.filter(F.col("__lines"),
+                                     lambda l: l.endswith("...")))
+                     / nl, 4).alias("frac_ellipsis_lines"),
+        sw_hits.alias("stopword_hits"))
+    # per-rule verdicts reported alongside the combined gate: the useful
+    # corpus diagnostic is WHICH rule rejects how much (and on a fixture
+    # where one rule dominates, the per-rule booleans keep every other
+    # rule's threshold inside the hash-checked surface)
+    rules = {
+        "rule_word_count": F.col("n_words").between(min_words, max_words),
+        "rule_word_len": F.col("mean_word_len").between(3.0, 10.0),
+        "rule_symbols": F.col("symbol_ratio") <= 0.1,
+        "rule_bullets": F.col("frac_bullet_lines") <= 0.9,
+        "rule_ellipsis": F.col("frac_ellipsis_lines") <= 0.3,
+        "rule_alpha": F.col("frac_alpha_words") >= 0.8,
+        "rule_stopwords": F.col("stopword_hits") >= 2,
+    }
+    for name, expr in rules.items():
+        d = d.withColumn(name, expr)
+    kept = None
+    for expr in rules.values():
+        kept = expr if kept is None else (kept & expr)
+    return d.withColumn("kept", kept)

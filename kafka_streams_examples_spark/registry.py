@@ -4250,3 +4250,65 @@ def q_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_knn_recall_clustered(spark: SparkSession, sf: str) -> DataFrame:
     return _recall_ladder(_clustered_embeddings(spark, sf))
+
+
+def _gopher_sql(wpl: int = 12) -> str:
+    from .operators.text import GOPHER_STOPWORDS
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             greatest(CAST(ceil(len(ws) / {wpl}.0) AS INT), 1) AS n_lines FROM tk),
+    ln AS (SELECT doc_id, ws, n_words,
+           list_transform(generate_series(0, n_lines - 1), i ->
+             (CASE WHEN (doc_id + i) % 7 = 0 THEN '- ' ELSE '' END)
+             || array_to_string(list_slice(ws, i*{wpl}+1, i*{wpl}+{wpl}), ' ')
+             || (CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END)) AS ls
+           FROM base),
+    m AS (SELECT doc_id, n_words,
+       floor(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+             / CAST(n_words AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_word_len,
+       floor(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+             / n_words * 10000 + 0.5) / 10000 AS frac_alpha_words,
+       floor(CAST(len(regexp_extract_all(array_to_string(ls, chr(10)), '#'))
+                  + len(regexp_extract_all(array_to_string(ls, chr(10)), '\.\.\.')) AS DOUBLE)
+             / n_words * 10000 + 0.5) / 10000 AS symbol_ratio,
+       floor(CAST(len(list_filter(ls, l -> l LIKE '- %')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS frac_bullet_lines,
+       floor(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)
+             / len(ls) * 10000 + 0.5) / 10000 AS frac_ellipsis_lines,
+       CAST(len(list_intersect(list_distinct(ws), [{sw}])) AS BIGINT) AS stopword_hits
+       FROM ln)
+    SELECT *,
+      (rule_word_count AND rule_word_len AND rule_symbols AND rule_bullets
+       AND rule_ellipsis AND rule_alpha AND rule_stopwords) AS kept
+    FROM (SELECT *,
+       n_words BETWEEN 50 AND 100000 AS rule_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS rule_word_len,
+       symbol_ratio <= 0.1 AS rule_symbols,
+       frac_bullet_lines <= 0.9 AS rule_bullets,
+       frac_ellipsis_lines <= 0.3 AS rule_ellipsis,
+       frac_alpha_words >= 0.8 AS rule_alpha,
+       stopword_hits >= 2 AS rule_stopwords
+     FROM m)"""
+
+
+@query(
+    "gopher_rules",
+    _gopher_sql(),
+    "Gopher quality-filter rule battery (Rae et al. 2021, A1.1): "
+    "word-count bounds, mean-word-length bounds, symbol-to-word ratio, "
+    "bullet/ellipsis line fractions, alphabetic-word fraction and the "
+    "8-stopword rule, per document, with the combined kept verdict — "
+    "the published heuristic gate corpus builds run BEFORE dedup "
+    "(corpus_prep's ad-hoc gate, upgraded to the published battery). "
+    "Pure Column expressions at scan speed, nothing shuffles. The "
+    "fixture corpus is single-line, so the line-level rules run on a "
+    "deterministic derived line structure (12-word wrap + (doc_id+i)%7 "
+    "bullet / %5 ellipsis injection, identical in the oracle — the "
+    "pii_redact pattern); the predicates themselves are the real "
+    "checks a multi-line corpus would hit unchanged.",
+)
+def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.gopher_rules(table(spark, sf, "documents"))

@@ -892,3 +892,38 @@ def test_minhash_doc_profile_matches_signatures(spark, sf_dir):
                 for b in range(4)]
         assert list(p.__bands) == want if hasattr(p, "__bands") else True
         assert p["__bands"] == want
+
+
+def test_gopher_rules_battery(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) trips on a doc crafted to
+    fail exactly it (plus the word-count side effects of the single-line
+    injection cases); the clean doc passes the combined gate."""
+    from kafka_streams_examples_spark.operators.text import gopher_rules
+
+    w = [f"word{i:02d}" for i in range(58)]
+    rows = [
+        # 60 words, 2 stopwords, derived lines get 1 bullet + 1 ellipsis
+        (0, " ".join(["the", "of"] + w)),
+        (1, "the of tiny doc fails word count rule here now"),   # 10 words
+        (2, " ".join(["the", "of"] + ["x" * 12] * 58)),          # mean len
+        (3, " ".join(["the", "of"] + ["#"] * 10 + w[:48])),      # symbols
+        (4, " ".join(["the"] + w + ["extra"])),                  # 1 stopword
+        (6, " ".join(["the", "of"] + ["123"] * 15 + w[:43])),    # alpha
+        # single derived line; (5+0)%5==0 injects the ellipsis suffix
+        (5, " ".join(w[:12])),
+        # single derived line; (7+0)%7==0 injects the bullet prefix
+        (7, " ".join(w[:12])),
+    ]
+    got = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert got[0]["kept"] and got[0]["stopword_hits"] == 2
+    assert got[0]["frac_bullet_lines"] == 0.2   # i=0 of 5 lines
+    assert got[0]["frac_ellipsis_lines"] == 0.2
+    assert not got[1]["rule_word_count"] and got[1]["rule_stopwords"]
+    assert not got[2]["rule_word_len"] and got[2]["mean_word_len"] > 10
+    assert not got[3]["rule_symbols"] and got[3]["rule_alpha"]
+    assert not got[4]["rule_stopwords"] and got[4]["rule_word_count"]
+    assert not got[6]["rule_alpha"] and got[6]["rule_symbols"]
+    assert not got[5]["rule_ellipsis"] and got[5]["rule_bullets"]
+    assert not got[7]["rule_bullets"] and got[7]["rule_ellipsis"]
+    assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5, 6, 7))

@@ -51,6 +51,10 @@ CURVE = [
     # r8 additions (asymmetric batch-vs-index band join; CC + portable
     # cluster-hash split)
     "incremental_dedup", "leakage_split", "dedup_recall",
+    # r8 addition (scan-speed Gopher rule battery — the flat-cost floor
+    # of the text family; a super-linear step here would mean the scan
+    # itself regressed)
+    "gopher_rules",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
