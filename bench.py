@@ -116,6 +116,9 @@ HEADLINE = [
     # r8 addition: the published Gopher heuristic gate (scan-speed rule
     # battery, the pre-dedup filter of the corpus-build pipeline)
     "gopher_rules",
+    # r8 addition: cluster-balanced subsampling (learned-strata quota —
+    # the diversity-preserving curation shape; k-means + WindowGroupLimit)
+    "cluster_sample",
 ]
 
 
@@ -430,10 +433,14 @@ def printed_line(full: dict) -> dict:
     # loadavg detail and idle wait likewise live only in the self file
     out.pop("idle_wait_sec", None)
     out["loadavg"] = {"start": full["loadavg"]["start"]}
-    # the gauge collapses to its one actionable number on the wire
+    # the gauge and the canary collapse to their one actionable number
+    # on the wire (full detail stays in BENCH_SELF_r{N}.json) — r8: the
+    # 56-query HEADLINE pushed the worst case past the budget again
     gauge = out.pop("noise_gauge", None)
     if gauge:
         out["noise"] = gauge["median_ratio"]
+    if isinstance(out.get("canary"), dict):
+        out["canary"] = out["canary"]["spread"]
     return out
 
 

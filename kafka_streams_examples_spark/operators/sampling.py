@@ -171,3 +171,42 @@ def epoch_order_key(key_col: str = "doc_id", epoch_col: str = "epoch",
     return md5_hash64(F.concat(
         F.lit(seed + "|"), F.col(epoch_col).cast("string"),
         F.lit("|"), F.col(key_col).cast("string")))
+
+
+def cluster_quota_sample(emb: DataFrame, k: int = 8, iters: int = 2,
+                         quota: int = 20, salt: str = "csmp",
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Cluster-balanced subsampling: cap each LEARNED stratum at a quota.
+
+    The stratified/reservoir samplers above stratify on a given column;
+    diversity-preserving corpus curation stratifies on semantic clusters
+    instead, so head topics cannot dominate the sample. k-means
+    (similarity.kmeans_train — broadcast centroids, corpus never shuffled
+    during training) assigns each embedding a cluster, then each cluster
+    keeps its `quota` smallest members under the portable md5(id||salt)
+    permutation (a uniform within-cluster sample, stable across runs and
+    engines), with the cluster's total size attached so downstream
+    re-weighting can correct the selection bias.
+
+    Scale: the quota rank compiles to WindowGroupLimit — map tasks forward
+    at most `quota` rows per cluster, so the per-cluster exchange sees
+    executors*quota rows, not the corpus. With few clusters the exchange
+    keys skew; at 100 TB raise k with the corpus or two-phase the quota
+    the way global_shuffle two-phases its ranking.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import kmeans_train
+
+    lab = kmeans_train(emb, k=k, iters=iters, id_col=id_col,
+                       vec_col=vec_col)
+    hk = md5_hash64(F.concat(F.col("vec_id").cast("string"), F.lit(salt)))
+    w = Window.partitionBy("cluster").orderBy(hk.asc(), F.col("vec_id").asc())
+    return (lab.withColumn("n_in_cluster",
+                           F.count("*").over(Window.partitionBy("cluster"))
+                            .cast("long"))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= quota)
+               .select("vec_id", "cluster", "n_in_cluster",
+                       F.col("rn").cast("long").alias("rn")))

@@ -143,7 +143,9 @@ def _sq_dist(a, b):
 def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                ckpt_each_iter: bool = False) -> tuple[DataFrame, DataFrame]:
+                ckpt_each_iter: bool = False,
+                routed: bool = False,
+                route_probes: int = 2) -> tuple[DataFrame, DataFrame]:
     """Lloyd's loop shared by `kmeans_train` and `pq_knn`: returns
     (codebook, assignment) where codebook is the final (cid, cent) table
     the assignment was computed against — PQ's ADC step needs exactly
@@ -159,7 +161,24 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
     materialization job outweighing the small re-execution), a real
     cost when the codebook and assignment feed several downstream
     consumers (ivfpq_knn broadcasts cents three more times for
-    residuals and routing: 5.72→4.79s with the checkpoint)."""
+    residuals and routing: 5.72→4.79s with the checkpoint).
+
+    ``routed``: replace the exact brute-force assign (n*k distance
+    folds per pass) with coarse-cell routing — the public FAISS/IVF
+    practice for large k ("quantizer as index"): cluster the k fine
+    centroids into k1 ≈ sqrt(2k) cells with one tiny exact Lloyd's
+    pass, route each vector to its `route_probes` nearest cells via a
+    constant-folded literal cell-centroid matrix (one scan expression,
+    no shuffle — the signlsh_dots pattern), and brute-force only the
+    ~route_probes*k/k1 fine centroids inside the probed cells. Per-pass
+    cost drops from n*k to n*(k1 + route_probes*k/k1) ≈ n*2*sqrt(2k) —
+    for k scaled with the corpus (semantic_dedup's k = n/250) that
+    turns the O(n^2) assign into O(n^1.5) with small constants.
+    APPROXIMATE: a vector whose true nearest centroid lives outside
+    its probed cells mis-assigns (the standard IVF recall trade);
+    callers gate it to k large enough that no oracle-verified SF takes
+    this path. Tie-breaks and rounding inside the probed set are
+    identical to the exact path."""
     v = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
@@ -189,8 +208,50 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                              F.col("__s.cid").alias("cid"),
                              F.col("__s.d").alias("d")))
 
+    def assign_routed(cent_df: DataFrame) -> DataFrame:
+        # coarse level: one exact mini-Lloyd's over the k centroid ROWS
+        # (k*k1 flops — trivial), cells collected into a literal matrix
+        # so the vector->cell routing is a pure scan expression
+        k1 = max(4, int(round((2 * k) ** 0.5)))
+        cellbook, casg = _kmeans_fit(
+            cent_df.select(F.col("cid").alias("vec_id"),
+                           F.col("cent").alias("embedding")),
+            k=k1, iters=1)
+        fine = (casg.select(F.col("vec_id").alias("fid"),
+                            F.col("cid").alias("cell"))
+                    .join(cent_df.select(F.col("cid").alias("fid"),
+                                         F.col("cent").alias("fcent")),
+                          "fid"))
+        cb = sorted(cellbook.collect(), key=lambda r: r["cid"])
+        mat = F.array(*[F.array(*[F.lit(float(x)) for x in r["cent"]])
+                        for r in cb])
+        cells = F.array(*[F.lit(int(r["cid"])).cast("long") for r in cb])
+        dists = F.transform(
+            mat, lambda c: stable_round(_sq_dist(F.col("e"), c), 6))
+        top = F.slice(
+            F.array_sort(F.zip_with(
+                dists, cells,
+                lambda d, c: F.struct(d.alias("d"), c.alias("cell")))),
+            1, route_probes)
+        ve = (v.select("vec_id", "e", F.explode(top).alias("__t"))
+               .select("vec_id", "e", F.col("__t.cell").alias("cell")))
+        pairs = ve.join(F.broadcast(fine), "cell")
+        d = stable_round(_sq_dist(F.col("e"), F.col("fcent")), 6)
+        return (pairs.select(
+                    "vec_id",
+                    F.struct(d.alias("d"), F.col("fid").alias("cid"),
+                             F.col("e").alias("e")).alias("__s"))
+                     .groupBy("vec_id").agg(F.min("__s").alias("__s"))
+                     .select("vec_id", F.col("__s.e").alias("e"),
+                             F.col("__s.cid").alias("cid"),
+                             F.col("__s.d").alias("d")))
+
+    # the routed path re-reads each iteration's cents several times
+    # (mini-trainer, literal collect, fine-table broadcast) — always
+    # checkpoint there; the exact path keeps the measured A/B choice
+    asg_fn = assign_routed if routed else assign
     for _ in range(iters):
-        assigned = assign(cents)
+        assigned = asg_fn(cents)
         dims = assigned.select("cid", F.posexplode("e").alias("dim", "x"))
         means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
         cents = (means.groupBy("cid")
@@ -200,13 +261,14 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                               F.transform("__dm",
                                           lambda s: stable_round(s["m"], 6))
                                .alias("cent")))
-        if ckpt_each_iter:
+        if ckpt_each_iter or routed:
             cents = cents.localCheckpoint(eager=False)
-    return cents, assign(cents)
+    return cents, asg_fn(cents)
 
 
 def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 routed: bool = False) -> DataFrame:
     """Lloyd's k-means with deterministic init — trains the coarse
     quantizer that `ivf_knn` routes through (the codebook-building half of
     an IVF index, so the ANN path no longer depends on a provided label).
@@ -226,8 +288,15 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
     argmin is reproducible across engines (ties break toward the lower
     centroid id). Returns the final assignment:
     (vec_id, cluster, dist) with dist = squared L2, rounded to 4.
+
+    ``routed=True`` swaps every assign pass for the coarse-cell routed
+    approximation (see _kmeans_fit) — n*2*sqrt(2k) flops per pass
+    instead of n*k. Callers whose k scales with the corpus
+    (semantic_dedup) enable it above the exact-path's affordable k;
+    oracle-verified scales stay exact.
     """
-    _, final = _kmeans_fit(corpus, k, iters, id_col, vec_col)
+    _, final = _kmeans_fit(corpus, k, iters, id_col, vec_col,
+                           routed=routed)
     return final.select("vec_id",
                         F.col("cid").alias("cluster"),
                         stable_round(F.col("d"), 4).alias("dist"))

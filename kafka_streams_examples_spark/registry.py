@@ -1551,7 +1551,12 @@ def _semantic_dedup_sql(iters: int = 2, threshold: float = 0.25) -> str:
     "keeps its member nearest the trained centroid (the deterministic "
     "keeper policy; ties to the lower id). The cluster count scales "
     "with the corpus (k = max(8, n/250)) on BOTH sides, keeping the "
-    "pair stage linear per 10x step. End-to-end: the modern "
+    "pair stage linear per 10x step; past the measured cost crossover "
+    "(n*k > 50M assign folds — never reached at an oracle-verified SF) "
+    "the assign passes switch to coarse-cell routing (kmeans_train "
+    "routed=True — the FAISS quantizer-as-index practice), cutting the "
+    "per-pass cost from n*k to ~n*2*sqrt(2k): the sf10 decade measured "
+    "452s exact vs 68.8s routed (SCALE10_r08). End-to-end: the modern "
     "embedding-space dedup a 100 TB text corpus gets, composed from "
     "kmeans_train + embedding_near_dup_pairs + connected_components, "
     "with the training output materialized once (lazy localCheckpoint). "
@@ -1564,8 +1569,17 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # stage stays O(n * avg_cluster_size); the count is one driver
     # scalar (same class as the CC convergence check). k resolves to 8
     # at every oracle-gated SF (n <= 2000) and grows past them.
-    k = max(8, emb.count() // 250)
-    asg = (SIM.kmeans_train(emb, k=k, iters=2)
+    n = emb.count()
+    k = max(8, n // 250)
+    # routing gates on the assign pass's actual cost (n*k distance
+    # folds): below ~50M the routed path's fixed overhead (mini-trainer
+    # jobs + collects + checkpoints, ~8s measured at sf1) outweighs the
+    # saved folds — sf1 (10M) measured exact 15.3s vs routed 23.6s,
+    # sf10 (1B) exact 452s vs routed 68.8s. Every oracle-verified SF
+    # (sf0.1: n=5000, k=20 -> 100k) is far below the gate, so hash
+    # parity always runs the exact bit-identical assign.
+    asg = (SIM.kmeans_train(emb, k=k, iters=2,
+                            routed=n * k > 50_000_000)
               .localCheckpoint(eager=False))      # (vec_id, cluster, dist)
     lab = emb.select("vec_id", "embedding").join(
         asg.select("vec_id", F.col("cluster").alias("label")), "vec_id")
@@ -4312,3 +4326,40 @@ def _gopher_sql(wpl: int = 12) -> str:
 )
 def q_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     return TX.gopher_rules(table(spark, sf, "documents"))
+
+
+def _cluster_sample_sql(k: int = 8, iters: int = 2, quota: int = 20) -> str:
+    return f"""WITH {_kmeans_ctes(k, iters)},
+    lab AS (SELECT vec_id, cid AS cluster FROM a{iters}),
+    sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_in_cluster
+           FROM lab GROUP BY cluster),
+    r AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+            ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || 'csmp'), 1, 15) AS BIGINT),
+                     vec_id) AS rn
+          FROM lab)
+    SELECT r.vec_id, r.cluster, sz.n_in_cluster, CAST(rn AS BIGINT) AS rn
+    FROM r JOIN sz USING (cluster) WHERE rn <= {quota}"""
+
+
+@query(
+    "cluster_sample",
+    _cluster_sample_sql(),
+    "Cluster-balanced subsampling — the learned-strata analog of "
+    "reservoir_per_stratum and the shape diversity-preserving corpus "
+    "curation runs (cap each semantic cluster at a quota instead of "
+    "letting head topics dominate a uniform sample): k-means assigns "
+    "every embedding to one of 8 clusters (kmeans_train's exact "
+    "arithmetic — broadcast centroids, corpus never shuffled during "
+    "training), then each cluster keeps its 20 smallest by the portable "
+    "md5(vec_id||'csmp') permutation, with the cluster's total size "
+    "attached for selection-bias accounting. The quota rank compiles to "
+    "WindowGroupLimit (map tasks forward at most quota rows per "
+    "cluster); at 100 TB with few clusters the per-cluster exchange "
+    "would skew, so the scale path raises k with the corpus (the CTE "
+    "parameterizes it) or two-phases the quota like global_shuffle — "
+    "the 8-cluster fixture keeps the oracle tractable. Oracle: the "
+    "shared kmeans CTEs + identical hash-rank arithmetic.",
+)
+def q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return SAMP.cluster_quota_sample(table(spark, sf, "embeddings"),
+                                     k=8, iters=2, quota=20)

@@ -927,3 +927,97 @@ def test_gopher_rules_battery(spark):
     assert not got[5]["rule_ellipsis"] and got[5]["rule_bullets"]
     assert not got[7]["rule_bullets"] and got[7]["rule_ellipsis"]
     assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5, 6, 7))
+
+
+def test_cluster_quota_sample_caps_each_learned_stratum(spark):
+    """The quota binds per CLUSTER: a dominant blob is capped while small
+    blobs survive whole, sizes are reported, and the hash order makes the
+    pick deterministic."""
+    from kafka_streams_examples_spark.operators.sampling import (
+        cluster_quota_sample)
+
+    # blob A: 8 points around (0,0); blob B: 3 points around (10,10);
+    # ids interleaved so the two seeds (lowest ids) start one-per-blob
+    pts = {0: [0.0, 0.0], 1: [10.0, 10.0], 2: [0.2, 0.0],
+           3: [10.2, 10.0], 4: [0.0, 0.2], 5: [10.0, 10.2],
+           6: [0.1, 0.1], 7: [0.2, 0.2], 8: [0.1, 0.0],
+           9: [0.0, 0.1], 10: [0.2, 0.1]}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<double>")
+    rows = cluster_quota_sample(df, k=2, iters=2, quota=4).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 2
+    # blob A: 8 members, capped at 4 sampled; blob B: 3 of 3 survive
+    # (keyed by reported cluster size — the hash sample need not retain
+    # any particular id)
+    sizes = sorted((v[0]["n_in_cluster"], len(v))
+                   for v in by_cluster.values())
+    assert sizes == [(3, 3), (8, 4)]
+    assert all(1 <= r["rn"] <= 4 for r in rows)
+    again = {(r["vec_id"], r["rn"])
+             for r in cluster_quota_sample(df, k=2, iters=2, quota=4)
+             .collect()}
+    assert again == {(r["vec_id"], r["rn"]) for r in rows}
+
+
+def test_routed_kmeans_matches_exact_on_separated_blobs(spark):
+    """With well-separated blobs the coarse-cell routed assign is exact:
+    every vector's probed cells contain its true nearest centroid, so
+    codebook and assignment come out bit-identical to the brute path."""
+    from kafka_streams_examples_spark.operators.similarity import _kmeans_fit
+
+    pts = {0: [0.0, 0.0], 1: [10.0, 10.0], 2: [-10.0, 5.0], 3: [5.0, -9.0],
+           4: [0.2, 0.0], 5: [10.2, 10.0], 6: [-10.2, 5.0], 7: [5.2, -9.0],
+           8: [0.0, 0.2], 9: [10.0, 10.2], 10: [-10.0, 5.2], 11: [5.0, -8.8]}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<double>")
+    _, exact = _kmeans_fit(df, k=4, iters=2)
+    _, routed = _kmeans_fit(df, k=4, iters=2, routed=True)
+    ex = {r["vec_id"]: (r["cid"], r["d"]) for r in exact.collect()}
+    ro = {r["vec_id"]: (r["cid"], r["d"]) for r in routed.collect()}
+    assert ex == ro
+
+
+def test_routed_kmeans_agreement_on_corpus(spark, sf_dir):
+    """On the real fixture with k=8/k1=4/probes=2 — the ADVERSARIAL
+    setting: isotropic data gives routing no cluster structure to
+    exploit, and probing 2 of 4 cells covers only half the centroid
+    space — the routed approximation still agrees with the exact
+    assignment for the large majority of vectors (measured 0.754;
+    bound 0.7). The production setting (semantic_dedup, k > 64) probes
+    2 of ~sqrt(2k) cells whose contents ARE the cluster structure, and
+    near-dup PAIRS co-route regardless (their cell distances are
+    nearly identical), which is the property dedup needs. Determinism
+    across calls holds."""
+    from kafka_streams_examples_spark.operators.similarity import kmeans_train
+    from kafka_streams_examples_spark.catalog import table as cat_table
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    ex = {r["vec_id"]: r["cluster"]
+          for r in kmeans_train(emb, k=8, iters=2).collect()}
+    ro = {r["vec_id"]: r["cluster"]
+          for r in kmeans_train(emb, k=8, iters=2, routed=True).collect()}
+    assert set(ex) == set(ro)
+    agree = sum(ex[i] == ro[i] for i in ex) / len(ex)
+    assert agree >= 0.7, agree
+    ro2 = {r["vec_id"]: r["cluster"]
+           for r in kmeans_train(emb, k=8, iters=2, routed=True).collect()}
+    assert ro == ro2
+    # the property semantic_dedup needs: near-dup PAIRS co-cluster as
+    # often under routing as under exact assignment (measured 806 vs
+    # 782 co-clustered of the fixture's cos>=0.25 pairs)
+    import numpy as np
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    V = np.array([np.array(x, dtype=float) for x in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    iu = np.triu_indices(len(ids), 1)
+    m = (Vn @ Vn.T)[iu] >= 0.25
+    prs = list(zip(ids[iu[0][m]], ids[iu[1][m]]))
+    co_ex = sum(ex[a] == ex[b] for a, b in prs)
+    co_ro = sum(ro[a] == ro[b] for a, b in prs)
+    assert co_ro >= 0.9 * co_ex, (co_ro, co_ex)

@@ -35,6 +35,8 @@ BNLJ_BY_DESIGN = {
     # Lloyd's assignment step: the k-row (k*dim doubles) centroid table
     # broadcasts against the corpus scan each iteration by construction
     "kmeans_train",
+    # cluster-balanced sampling embeds the same Lloyd's assignment step
+    "cluster_sample",
     # composed trained-IVF pipeline: kmeans assignment (above) + IVF
     # centroid routing (knn_ivf's broadcast centroid set)
     "knn_ivf_trained",

@@ -55,6 +55,8 @@ CURVE = [
     # of the text family; a super-linear step here would mean the scan
     # itself regressed)
     "gopher_rules",
+    # r8 addition (k-means training + per-cluster WindowGroupLimit quota)
+    "cluster_sample",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
