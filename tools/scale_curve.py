@@ -165,6 +165,11 @@ if __name__ == "__main__":
     sf10 = "--sf10" in argv
     if sf10:
         argv.remove("--sf10")
+        # sf10 joins build runtime hash tables the default 8g driver
+        # heap cannot hold (tpch_q21 measured a broadcast OOM); local
+        # mode hosts every "executor's" broadcast copy in one JVM, so
+        # size the heap for the decade unless the caller already did
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     main(argv[0] if argv else "SCALE_r06.json",
          only=(argv[1:] or (CURVE_10 if sf10 else None)),
          sfs=SFS_10 if sf10 else SFS)
