@@ -1021,3 +1021,62 @@ def test_routed_kmeans_agreement_on_corpus(spark, sf_dir):
     co_ex = sum(ex[a] == ex[b] for a, b in prs)
     co_ro = sum(ro[a] == ro[b] for a, b in prs)
     assert co_ro >= 0.9 * co_ex, (co_ro, co_ex)
+
+
+def test_gopher_rules_matches_python_reference(spark):
+    """Column-for-column agreement with a plain-Python replica of the
+    battery (floor-rounding included) on a seeded random corpus that
+    exercises every rule boundary (short/long docs, symbol runs,
+    numeric tokens, stopword-rich and stopword-free vocab)."""
+    import math
+    import random
+
+    from kafka_streams_examples_spark.operators.text import (
+        GOPHER_STOPWORDS, gopher_rules)
+
+    rng = random.Random(81)
+    vocab = (["the", "of", "and", "with", "word", "table", "scan", "12345",
+              "###", "x" * 14, "ab"] + [f"tok{i}" for i in range(20)])
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 120))))
+            for i in range(60)]
+
+    def fl4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def ref(doc_id, text):
+        ws = [w for w in text.lower().split() if w]
+        n = len(ws)
+        n_lines = max(1, math.ceil(n / 12))
+        lines = []
+        for i in range(n_lines):
+            ln = " ".join(ws[i * 12:(i + 1) * 12])
+            if (doc_id + i) % 7 == 0:
+                ln = "- " + ln
+            if (doc_id + i) % 5 == 0:
+                ln = ln + "..."
+            lines.append(ln)
+        joined = "\n".join(lines)
+        # non-overlapping left-to-right '...' matches, like regexp_count
+        n_sym = joined.count("#") + len(
+            [m for m in __import__("re").finditer(r"\.\.\.", joined)])
+        return {
+            "n_words": n,
+            "mean_word_len": fl4(sum(map(len, ws)) / n),
+            "frac_alpha_words": fl4(
+                sum(any(c.isalpha() for c in w) for w in ws) / n),
+            "symbol_ratio": fl4(n_sym / n),
+            "frac_bullet_lines": fl4(
+                sum(l.startswith("- ") for l in lines) / len(lines)),
+            "frac_ellipsis_lines": fl4(
+                sum(l.endswith("...") for l in lines) / len(lines)),
+            "stopword_hits": len(set(ws) & set(GOPHER_STOPWORDS)),
+        }
+
+    got = {r["doc_id"]: r for r in gopher_rules(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    for doc_id, text in rows:
+        expect = ref(doc_id, text)
+        for col, val in expect.items():
+            assert got[doc_id][col] == val, (doc_id, col,
+                                             got[doc_id][col], val)
