@@ -223,6 +223,10 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                                          F.col("cent").alias("fcent")),
                           "fid"))
         cb = sorted(cellbook.collect(), key=lambda r: r["cid"])
+        if not cb:
+            # empty corpus -> no cells to build a literal matrix from;
+            # the exact path degrades to an empty result cleanly
+            return assign(cent_df)
         mat = F.array(*[F.array(*[F.lit(float(x)) for x in r["cent"]])
                         for r in cb])
         cells = F.array(*[F.lit(int(r["cid"])).cast("long") for r in cb])
