@@ -201,12 +201,19 @@ def cluster_quota_sample(emb: DataFrame, k: int = 8, iters: int = 2,
 
     lab = kmeans_train(emb, k=k, iters=iters, id_col=id_col,
                        vec_col=vec_col)
+    # cluster sizes as a groupBy aggregate joined back AFTER the rank
+    # filter (the oracle's sz CTE), NOT a count-over-partition window:
+    # an extra window below the rank would sit between row_number and
+    # the exchange and block InsertWindowGroupLimits — the whole corpus
+    # would cross the per-cluster exchange instead of <= quota rows per
+    # map task. The aggregate is partially aggregable and the k-row
+    # size table broadcasts.
+    sizes = lab.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_in_cluster"))
     hk = md5_hash64(F.concat(F.col("vec_id").cast("string"), F.lit(salt)))
     w = Window.partitionBy("cluster").orderBy(hk.asc(), F.col("vec_id").asc())
-    return (lab.withColumn("n_in_cluster",
-                           F.count("*").over(Window.partitionBy("cluster"))
-                            .cast("long"))
-               .withColumn("rn", F.row_number().over(w))
+    return (lab.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= quota)
+               .join(F.broadcast(sizes), "cluster")
                .select("vec_id", "cluster", "n_in_cluster",
                        F.col("rn").cast("long").alias("rn")))

@@ -189,26 +189,31 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                          .cast("long"))
              .select("cid", F.col("e").alias("cent")))
 
-    def assign(cent_df: DataFrame) -> DataFrame:
+    def _argmin(pairs: DataFrame, cid_col: str, cent_col: str) -> DataFrame:
         # argmin as a partial-aggregable min(struct(d, cid, e)) rather
-        # than a Window rank: the broadcast join emits k rows per vector
-        # locally and the map-side combine collapses them to one BEFORE
-        # the exchange, so the shuffle moves 1/k-th of the window
-        # version's volume (and never k copies of the vector). (d, cid)
-        # is unique per vector, so the struct order never reaches e and
-        # the lexicographic min IS the orderBy(d, cid) first row.
-        pairs = v.join(F.broadcast(cent_df), F.lit(True))
-        d = stable_round(_sq_dist(F.col("e"), F.col("cent")), 6)
+        # than a Window rank: the candidate join emits its candidates per
+        # vector locally and the map-side combine collapses them to one
+        # BEFORE the exchange, so the shuffle moves one row per vector
+        # (and never multiple copies of the vector). (d, cid) is unique
+        # per vector, so the struct order never reaches e and the
+        # lexicographic min IS the orderBy(d, cid) first row. Shared by
+        # the exact and routed paths so the argmin contract cannot
+        # diverge between them.
+        d = stable_round(_sq_dist(F.col("e"), F.col(cent_col)), 6)
         return (pairs.select(
                     "vec_id",
-                    F.struct(d.alias("d"), F.col("cid").alias("cid"),
+                    F.struct(d.alias("d"), F.col(cid_col).alias("cid"),
                              F.col("e").alias("e")).alias("__s"))
                      .groupBy("vec_id").agg(F.min("__s").alias("__s"))
                      .select("vec_id", F.col("__s.e").alias("e"),
                              F.col("__s.cid").alias("cid"),
                              F.col("__s.d").alias("d")))
 
-    def assign_routed(cent_df: DataFrame) -> DataFrame:
+    def assign(cent_df: DataFrame) -> DataFrame:
+        return _argmin(v.join(F.broadcast(cent_df), F.lit(True)),
+                       "cid", "cent")
+
+    def assign_routed(cent_df: DataFrame, rescue: bool = True) -> DataFrame:
         # coarse level: one exact mini-Lloyd's over the k centroid ROWS
         # (k*k1 flops — trivial), cells collected into a literal matrix
         # so the vector->cell routing is a pure scan expression
@@ -239,23 +244,31 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
             1, route_probes)
         ve = (v.select("vec_id", "e", F.explode(top).alias("__t"))
                .select("vec_id", "e", F.col("__t.cell").alias("cell")))
-        pairs = ve.join(F.broadcast(fine), "cell")
-        d = stable_round(_sq_dist(F.col("e"), F.col("fcent")), 6)
-        return (pairs.select(
-                    "vec_id",
-                    F.struct(d.alias("d"), F.col("fid").alias("cid"),
-                             F.col("e").alias("e")).alias("__s"))
-                     .groupBy("vec_id").agg(F.min("__s").alias("__s"))
-                     .select("vec_id", F.col("__s.e").alias("e"),
-                             F.col("__s.cid").alias("cid"),
-                             F.col("__s.d").alias("d")))
+        got = _argmin(ve.join(F.broadcast(fine), "cell"), "fid", "fcent")
+        if not rescue:
+            return got
+        # coverage guarantee: a cell can end up with ZERO fine centroids
+        # (cells are the mini-fit's post-mean centroids; a cell that is
+        # nobody's nearest gets no members), and a vector probing only
+        # such cells would vanish from the inner join — an undocumented
+        # cardinality change the exact path never has. Exact-assign the
+        # misses (rare by construction) and union them back. Training
+        # iterations skip the rescue (a mean missing a few vectors is
+        # statistical noise; the anti-join costs an n-row shuffle per
+        # pass — measured ~18s of the sf10 budget across 3 passes);
+        # the FINAL assignment is the output contract and always pays.
+        missed = v.join(got.select("vec_id"), "vec_id", "left_anti")
+        rescued = _argmin(missed.join(F.broadcast(cent_df), F.lit(True)),
+                          "cid", "cent")
+        return got.unionByName(rescued)
 
     # the routed path re-reads each iteration's cents several times
     # (mini-trainer, literal collect, fine-table broadcast) — always
     # checkpoint there; the exact path keeps the measured A/B choice
     asg_fn = assign_routed if routed else assign
     for _ in range(iters):
-        assigned = asg_fn(cents)
+        assigned = (assign_routed(cents, rescue=False) if routed
+                    else assign(cents))
         dims = assigned.select("cid", F.posexplode("e").alias("dim", "x"))
         means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
         cents = (means.groupBy("cid")

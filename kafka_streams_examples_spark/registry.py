@@ -1574,9 +1574,10 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # routing gates on the assign pass's actual cost (n*k distance
     # folds): below ~50M the routed path's fixed overhead (mini-trainer
     # jobs + collects + checkpoints, ~8s measured at sf1) outweighs the
-    # saved folds — sf1 (10M) measured exact 15.3s vs routed 23.6s,
-    # sf10 (1B) exact 452s vs routed 68.8s. Every oracle-verified SF
-    # (sf0.1: n=5000, k=20 -> 100k) is far below the gate, so hash
+    # saved folds — sf1 (n=20k, k=80 -> 1.6M) measured exact 15.3s vs
+    # routed 23.6s; sf10 (n=200k, k=800 -> 160M) exact 452s vs routed
+    # ~41s warm / 52-88s across cold runs. Every oracle-verified SF
+    # (sf0.1: n=2000, k=8 -> 16k) is far below the gate, so hash
     # parity always runs the exact bit-identical assign.
     asg = (SIM.kmeans_train(emb, k=k, iters=2,
                             routed=n * k > 50_000_000)

@@ -1063,8 +1063,11 @@ def test_gopher_rules_matches_python_reference(spark):
         return {
             "n_words": n,
             "mean_word_len": fl4(sum(map(len, ws)) / n),
+            # the battery's predicate is ASCII [a-z] on both engines —
+            # NOT Unicode isalpha(); keep the reference identical
             "frac_alpha_words": fl4(
-                sum(any(c.isalpha() for c in w) for w in ws) / n),
+                sum(bool(__import__("re").search("[a-z]", w))
+                    for w in ws) / n),
             "symbol_ratio": fl4(n_sym / n),
             "frac_bullet_lines": fl4(
                 sum(l.startswith("- ") for l in lines) / len(lines)),
