@@ -610,12 +610,21 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
                      F.transform(F.sequence(F.lit(0), n_lines - 1), line))
     nl = F.size("__lines").cast("double")
     joined = F.concat_ws("\n", F.col("__lines"))
-    mean_word_len = (F.aggregate(F.transform(F.col("__ws"), F.length),
-                                 F.lit(0), lambda a, x: a + x).cast("double")
-                     / F.col("n_words"))
-    frac_alpha = (F.size(F.filter(F.col("__ws"),
-                                  lambda x: x.rlike("[a-z]"))).cast("double")
-                  / F.col("n_words"))
+
+    # zero-word documents: Spark 4 runs ANSI mode where double x/0 is an
+    # ERROR (DuckDB yields NULL) — every per-word ratio zeroes instead,
+    # the repetition_stats contract; the word-count rule already rejects
+    # such documents
+    def per_word(expr):
+        return F.when(F.col("n_words") > 0,
+                      expr / F.col("n_words")).otherwise(F.lit(0.0))
+
+    mean_word_len = per_word(
+        F.aggregate(F.transform(F.col("__ws"), F.length),
+                    F.lit(0), lambda a, x: a + x).cast("double"))
+    frac_alpha = per_word(
+        F.size(F.filter(F.col("__ws"),
+                        lambda x: x.rlike("[a-z]"))).cast("double"))
     symbols = (F.regexp_count(joined, F.lit("#"))
                + F.regexp_count(joined, F.lit(r"\.\.\."))).cast("double")
     sw_hits = F.size(F.array_intersect(
@@ -625,7 +634,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         F.col(id_col), F.col("n_words"),
         stable_round(mean_word_len, 4).alias("mean_word_len"),
         stable_round(frac_alpha, 4).alias("frac_alpha_words"),
-        stable_round(symbols / F.col("n_words"), 4).alias("symbol_ratio"),
+        stable_round(per_word(symbols), 4).alias("symbol_ratio"),
         stable_round(F.size(F.filter(F.col("__lines"),
                                      lambda l: l.startswith("- ")))
                      / nl, 4).alias("frac_bullet_lines"),

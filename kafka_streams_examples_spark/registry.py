@@ -4282,13 +4282,16 @@ def _gopher_sql(wpl: int = 12) -> str:
              || (CASE WHEN (doc_id + i) % 5 = 0 THEN '...' ELSE '' END)) AS ls
            FROM base),
     m AS (SELECT doc_id, n_words,
-       floor(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
-             / CAST(n_words AS DOUBLE) * 10000 + 0.5) / 10000 AS mean_word_len,
-       floor(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
-             / n_words * 10000 + 0.5) / 10000 AS frac_alpha_words,
-       floor(CAST(len(regexp_extract_all(array_to_string(ls, chr(10)), '#'))
-                  + len(regexp_extract_all(array_to_string(ls, chr(10)), '\.\.\.')) AS DOUBLE)
-             / n_words * 10000 + 0.5) / 10000 AS symbol_ratio,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE
+         floor(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+               / CAST(n_words AS DOUBLE) * 10000 + 0.5) / 10000 END AS mean_word_len,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE
+         floor(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / n_words * 10000 + 0.5) / 10000 END AS frac_alpha_words,
+       CASE WHEN n_words = 0 THEN 0.0 ELSE
+         floor(CAST(len(regexp_extract_all(array_to_string(ls, chr(10)), '#'))
+                    + len(regexp_extract_all(array_to_string(ls, chr(10)), '\.\.\.')) AS DOUBLE)
+               / n_words * 10000 + 0.5) / 10000 END AS symbol_ratio,
        floor(CAST(len(list_filter(ls, l -> l LIKE '- %')) AS DOUBLE)
              / len(ls) * 10000 + 0.5) / 10000 AS frac_bullet_lines,
        floor(CAST(len(list_filter(ls, l -> l LIKE '%...')) AS DOUBLE)

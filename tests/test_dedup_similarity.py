@@ -913,6 +913,7 @@ def test_gopher_rules_battery(spark):
         (5, " ".join(w[:12])),
         # single derived line; (7+0)%7==0 injects the bullet prefix
         (7, " ".join(w[:12])),
+        (8, ""),   # zero words: ratios zero, no ANSI divide-by-zero
     ]
     got = {r["doc_id"]: r for r in gopher_rules(
         spark.createDataFrame(rows, "doc_id long, text string")).collect()}
@@ -926,7 +927,9 @@ def test_gopher_rules_battery(spark):
     assert not got[6]["rule_alpha"] and got[6]["rule_symbols"]
     assert not got[5]["rule_ellipsis"] and got[5]["rule_bullets"]
     assert not got[7]["rule_bullets"] and got[7]["rule_ellipsis"]
-    assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5, 6, 7))
+    assert (got[8]["n_words"], got[8]["mean_word_len"],
+            got[8]["symbol_ratio"]) == (0, 0.0, 0.0)
+    assert all(not got[i]["kept"] for i in (1, 2, 3, 4, 5, 6, 7, 8))
 
 
 def test_cluster_quota_sample_caps_each_learned_stratum(spark):
