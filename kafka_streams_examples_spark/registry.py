@@ -1064,6 +1064,11 @@ def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     nt = truth.count()
     from .functions import stable_round
     hits = det.join(truth.withColumn("__t", F.lit(1)), ["d1", "d2"], "left")
+    # nt is a plan-time scalar; on a corpus with NO true pairs the
+    # division would raise under Spark 4's ANSI mode — recall is 0 by
+    # definition there (nothing to find)
+    recall = (F.lit(0.0) if nt == 0 else
+              stable_round(F.col("n_hits") / F.lit(nt).cast("double"), 4))
     return (hits.groupBy("detector")
                 .agg(F.count("*").cast("long").alias("n_detected"),
                      F.sum(F.coalesce(F.col("__t"), F.lit(0)))
@@ -1071,8 +1076,7 @@ def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
                 .select("detector",
                         F.lit(nt).cast("long").alias("n_truth"),
                         "n_detected", "n_hits",
-                        stable_round(F.col("n_hits") / F.lit(nt).cast("double"),
-                                     4).alias("recall")))
+                        recall.alias("recall")))
 
 
 _CMS_PERMS_SQL = ", ".join(
