@@ -357,14 +357,35 @@ def main() -> None:
     # calibrate — the spread must reflect load, not scheduler jitter
     canary_first = min(_run_once("tpch_q1", spark, sf_dir) for _ in range(2))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # min-of-2 (warm caches + strip one load spike); a third run for
-        # sub-second queries, whose relative spread is the widest
-        best = min(_run_once(name, spark, sf_dir) for _ in range(2))
-        if best < 1.0:
-            best = min(best, _run_once(name, spark, sf_dir))
-        timings[name] = round(best, 3)
+    def batch_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            # min-of-2 (warm caches + strip one load spike); a third run
+            # for sub-second queries, whose relative spread is the widest
+            best = min(_run_once(name, spark, sf_dir) for _ in range(2))
+            if best < 1.0:
+                best = min(best, _run_once(name, spark, sf_dir))
+            t[name] = round(best, 3)
+        return t
+
+    timings = batch_pass()
+    # co-tenant noise retry (r8: two gauge-flagged runs at loadavg 0.3-0.9
+    # starts — the idle-gate cannot see another tenant's load): if this
+    # run's own gauge says the batch is inflated, re-run the batch ONCE
+    # (everything is warm) and keep the per-query min; the gauge in the
+    # payload is recomputed from the kept timings, and batch_retries
+    # records that the retry happened so the artifact stays honest.
+    batch_retries = 0
+    g = noise_gauge(timings)
+    # retry at a TIGHTER threshold than the read-side inflated verdict
+    # (1.15): a validation run with median 1.065 still summed 19% over
+    # the clean artifact — concentration in a few queries hides from
+    # the median, and a second pass costs ~2 min for a strictly-better
+    # per-query min
+    if g and g["median_ratio"] > 1.05:
+        retry = batch_pass()
+        timings = {n: min(timings[n], retry[n]) for n in timings}
+        batch_retries = 1
 
     canary_last = min(_run_once("tpch_q1", spark, sf_dir) for _ in range(2))
     streaming = stream_bench(spark, sf_dir)
@@ -376,6 +397,7 @@ def main() -> None:
         float(sf) if sf.replace(".", "").isdigit() else sf,
         load_start, load_end, canary_first, canary_last,
         idle_wait_sec=idle_wait)
+    full["batch_retries"] = batch_retries
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              f"BENCH_SELF_r{round_number():02d}.json")
     with open(self_path, "w") as f:

@@ -156,6 +156,7 @@ def test_bench_printed_line_fits_capture_budget():
     timings = {n: 99.999 for n in bench.HEADLINE}  # worst-case widths
     full = bench.payload(timings, streaming, 0.1,
                          (99.99,) * 3, (99.99,) * 3, 9.999, 9.999)
+    full["batch_retries"] = 1   # main() adds it; worst-case width
     line = json.dumps(bench.printed_line(full), separators=(",", ":"))
     assert len(line) <= 1700, (
         f"printed bench line is {len(line)} chars — would risk the "
