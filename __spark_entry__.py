@@ -40,68 +40,58 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01/r03/r04/r05/r06/r07.json by
-# `tools/update_window.py --emit`. Queries absent here have never been
-# driver-signed.
-_R05 = (
-    "bigram_surprisal", "bpe_fertility", "bpe_train", "decontaminate",
-    "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
-    "epoch_mixture", "exact_substring_dedup", "funnel_conversion",
-    "knn_ivfpq", "lang_id", "pack_sequences", "pii_redact",
-    "pipeline_funnel", "pq_knn", "quality_score", "repetition_stats",
-    "semantic_dedup", "source_overlap", "tpch_q17", "unigram_surprisal",
-    "value_percentiles",
-)
+# mechanically from CORRECTNESS_r01..r08.json by
+# `tools/update_window.py --emit`. Every registry query now has a
+# signature (r8 closed the never-signed set).
 _R06 = (
-    "agg_max", "anomaly_daily", "approx_distinct", "branch_counts",
-    "cms_estimate", "corpus_prep", "corrupt_skip", "cube_sales",
-    "daily_1800", "daily_1800_nyc", "distinct_users", "exact_dedup",
-    "filter_transform", "fingerprint", "fold_letters", "frame_sample",
-    "hopping_6h", "inventory_reservation", "media_features",
-    "minhash_lsh_pairs", "minhash_signature", "music_charts",
-    "ngram_jaccard", "ngram_jaccard_capped", "order_validation",
-    "pageview_region", "reduce_keep_first", "rollup_sales",
-    "running_counts_trace", "salted_join_skew", "shard_pack", "simhash",
-    "simhash_hamming_pairs", "source_mixture", "sum_odd", "token_count",
-    "top_articles_windowed", "topk_revenue", "tpch_q1", "tpch_q10",
-    "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tumbling_hourly",
-    "windowed_max", "winnow_fingerprints", "wordcount",
+    "approx_distinct", "cms_estimate", "corpus_prep", "corrupt_skip",
+    "cube_sales", "daily_1800_nyc", "distinct_users", "fingerprint",
+    "frame_sample", "inventory_reservation", "media_features",
+    "minhash_lsh_pairs", "music_charts", "ngram_jaccard",
+    "ngram_jaccard_capped", "order_validation", "pageview_region",
+    "rollup_sales", "running_counts_trace", "salted_join_skew",
+    "shard_pack", "simhash", "source_mixture", "token_count",
+    "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6", "winnow_fingerprints",
 )
 _R07 = (
     "anonymize_props", "asof_join", "bigram_novelty", "dedup_clusters",
     "dedup_clusters_star", "dedup_keep_best", "dedup_ttl", "doc_chunks",
     "dsir_resample", "fk_chain", "global_shuffle", "having_count",
-    "json_extract", "kmeans_train", "knn_cosine", "knn_ivf",
-    "knn_ivf_trained", "knn_multiprobe", "knn_recall",
-    "knn_recall_clustered", "ktable_latest", "ktable_reagg", "merge_union",
-    "quality_deciles", "quality_filter_median", "reduce_concat",
-    "reservoir_per_stratum", "retention_cohorts", "session_windows",
-    "stratified_sample", "stream_stream_join", "stream_stream_outer_join",
-    "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
+    "json_extract", "knn_cosine", "knn_ivf", "ktable_latest",
+    "ktable_reagg", "merge_union", "quality_deciles",
+    "quality_filter_median", "reduce_concat", "reservoir_per_stratum",
+    "retention_cohorts", "session_windows", "stratified_sample",
+    "stream_stream_join", "stream_stream_outer_join", "stream_table_join",
+    "table_table_join", "tfidf_top_terms", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
     "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7",
     "tpch_q8", "tpch_q9",
 )
-_SIGNED_ROUND: dict[str, int] = {**{n: 5 for n in _R05},
-                                 **{n: 6 for n in _R06},
-                                 **{n: 7 for n in _R07}}
+_R08 = (
+    "agg_max", "anomaly_daily", "bigram_surprisal", "bpe_fertility",
+    "bpe_train", "branch_counts", "cluster_sample", "daily_1800",
+    "decontaminate", "dedup_recall", "dsir_score", "embedding_lsh_pairs",
+    "embedding_near_dup", "epoch_mixture", "exact_dedup",
+    "exact_substring_dedup", "filter_transform", "fold_letters",
+    "funnel_conversion", "gopher_rules", "hopping_6h",
+    "incremental_dedup", "kmeans_train", "knn_ivf_trained", "knn_ivfpq",
+    "knn_multiprobe", "knn_recall", "knn_recall_clustered", "lang_id",
+    "leakage_split", "minhash_signature", "pack_sequences", "pii_redact",
+    "pipeline_funnel", "pq_knn", "quality_score", "reduce_keep_first",
+    "repetition_stats", "semantic_dedup", "simhash_hamming_pairs",
+    "source_overlap", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17",
+    "tumbling_hourly", "unigram_surprisal", "value_percentiles",
+    "windowed_max", "wordcount",
+)
+_SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
+                                 **{n: 7 for n in _R07},
+                                 **{n: 8 for n in _R08}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-8 diff: the PQ tiers gained IVFADC residual encoding + refine and
-# the merged grouped subspace training; `_kmeans_fit` gained the
-# ckpt_each_iter knob (touching every k-means consumer); the sign-LSH
-# bucket path was rewritten through `signlsh_dots`. All numerics are
-# oracle-verified unchanged, but the policy fronts every query whose
-# code path moved since its last signature.
-_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "knn_ivfpq", "pq_knn", "knn_multiprobe", "knn_recall",
-    "knn_recall_clustered", "kmeans_train", "knn_ivf_trained",
-    "semantic_dedup", "embedding_lsh_pairs",
-    # oracle-string refactor only (moved to a shared constant for
-    # dedup_recall; byte-identical SQL) — fronted on policy anyway
-    "simhash_hamming_pairs",
-)
+# Round-9 diff: filled as code changes land this round.
+_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
