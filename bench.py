@@ -382,7 +382,14 @@ def main() -> None:
     # the clean artifact — concentration in a few queries hides from
     # the median, and a second pass costs ~2 min for a strictly-better
     # per-query min
+    first_pass: dict[str, float] | None = None
     if g and g["median_ratio"] > 1.05:
+        # keep the discarded first pass verbatim so a reader can
+        # reconstruct the min-of-2 figure a clean (retry-free) round
+        # would have reported — retried rounds otherwise report
+        # min-of-4 and round-over-round ratios stop being
+        # methodologically comparable (ADVICE r8)
+        first_pass = dict(timings)
         retry = batch_pass()
         timings = {n: min(timings[n], retry[n]) for n in timings}
         batch_retries = 1
@@ -398,6 +405,9 @@ def main() -> None:
         load_start, load_end, canary_first, canary_last,
         idle_wait_sec=idle_wait)
     full["batch_retries"] = batch_retries
+    if first_pass is not None:
+        full["first_pass_queries"] = first_pass
+        full["first_pass_total_sec"] = round(sum(first_pass.values()), 3)
     self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              f"BENCH_SELF_r{round_number():02d}.json")
     with open(self_path, "w") as f:
@@ -463,6 +473,9 @@ def printed_line(full: dict) -> dict:
         out["noise"] = gauge["median_ratio"]
     if isinstance(out.get("canary"), dict):
         out["canary"] = out["canary"]["spread"]
+    # per-query first-pass detail (retried rounds) lives only in the
+    # self artifact; the wire keeps the one-scalar total
+    out.pop("first_pass_queries", None)
     return out
 
 

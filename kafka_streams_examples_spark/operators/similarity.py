@@ -140,6 +140,17 @@ def _sq_dist(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _fill_empty_clusters(prev: DataFrame, new: DataFrame) -> DataFrame:
+    """Lloyd's empty-cluster policy for the routed trainer: a cid absent
+    from the means update keeps its previous centroid, so the codebook's
+    cardinality can never decay across iterations. k-row × k-row join —
+    negligible next to the assign pass."""
+    return (prev.select("cid", F.col("cent").alias("__prev"))
+                .join(new.withColumnRenamed("cent", "__new"), "cid", "left")
+                .select("cid",
+                        F.coalesce("__new", "__prev").alias("cent")))
+
+
 def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                 id_col: str = "vec_id",
                 vec_col: str = "embedding",
@@ -271,13 +282,27 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                     else assign(cents))
         dims = assigned.select("cid", F.posexplode("e").alias("dim", "x"))
         means = dims.groupBy("cid", "dim").agg(F.avg("x").alias("m"))
-        cents = (means.groupBy("cid")
-                      .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
-                            .alias("__dm"))
-                      .select("cid",
-                              F.transform("__dm",
-                                          lambda s: stable_round(s["m"], 6))
-                               .alias("cent")))
+        new_cents = (means.groupBy("cid")
+                          .agg(F.array_sort(
+                                  F.collect_list(F.struct("dim", "m")))
+                                .alias("__dm"))
+                          .select("cid",
+                                  F.transform("__dm",
+                                              lambda s: stable_round(s["m"],
+                                                                     6))
+                                   .alias("cent")))
+        if routed:
+            # Empty-cluster guard for the APPROXIMATE assign: training
+            # iterations run rescue=False, so a fine centroid whose every
+            # member mis-routes in one pass gets no rows in the means
+            # update and would vanish from the codebook — k decaying
+            # data-dependently, a stronger effect than the mean-noise the
+            # rescue skip was priced for. The EXACT path is deliberately
+            # not guarded: an empty cluster there is a genuine argmin
+            # outcome the DuckDB oracle replicates bit-for-bit, so the
+            # codebook contract stays as verified.
+            new_cents = _fill_empty_clusters(cents, new_cents)
+        cents = new_cents
         if ckpt_each_iter or routed:
             cents = cents.localCheckpoint(eager=False)
     return cents, asg_fn(cents)

@@ -1025,8 +1025,9 @@ _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
            CAST(count(*) AS BIGINT) AS n_detected,
            CAST(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_hits,
-           floor(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
-                 / nt.n * 1e4 + 0.5) / 1e4 AS recall
+           CASE WHEN nt.n = 0 THEN 0.0 ELSE
+             floor(sum(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END)
+                   / nt.n * 1e4 + 0.5) / 1e4 END AS recall
     FROM det
     LEFT JOIN truth t ON det.d1 = t.d1 AND det.d2 = t.d2
     CROSS JOIN nt

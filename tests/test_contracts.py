@@ -157,7 +157,12 @@ def test_bench_printed_line_fits_capture_budget():
     full = bench.payload(timings, streaming, 0.1,
                          (99.99,) * 3, (99.99,) * 3, 9.999, 9.999)
     full["batch_retries"] = 1   # main() adds it; worst-case width
+    # retried rounds also carry the first pass (ADVICE r8) — per-query
+    # detail must stay OFF the wire, the scalar total on it
+    full["first_pass_queries"] = dict(timings)
+    full["first_pass_total_sec"] = 9999.999
     line = json.dumps(bench.printed_line(full), separators=(",", ":"))
+    assert "first_pass_queries" not in json.loads(line)
     assert len(line) <= 1700, (
         f"printed bench line is {len(line)} chars — would risk the "
         "driver's ~2000-char stdout tail capture; shrink printed_line()")

@@ -737,3 +737,43 @@ def test_stream_near_dup_equals_batch_incremental(spark, sf_dir):
     assert got == want and got
     # exactly-once per pair even though pairs can collide in >1 band
     assert len(rows) == len({(r.new_id, r.corpus_id) for r in rows})
+
+
+def test_python_stateful_pipelines_keep_python_cost_class(spark, sf_dir):
+    """Regression net for the r7 streaming collapse (fraud_check 78k→25k
+    rows/s): the bench's Python-stateful pipelines MUST size their
+    shuffle partitions with cost_class="python" — the partition count IS
+    the applyInPandasWithState worker parallelism there. A uniform-sizing
+    refactor that drops cost_class from the bench case table (or from
+    sized_shuffle_partitions) re-runs the pandas folds on ~2 workers at
+    sf0.1 and silently loses 3x throughput; this test pins both the
+    declared classes and the sizing arithmetic, then runs one pipeline
+    end-to-end and asserts the recorded partition count is the
+    python-class value."""
+    import bench
+    from kafka_streams_examples_spark.streaming.core import (
+        sized_shuffle_partitions,
+    )
+
+    # the r7 failure signature, as arithmetic: at sf0.1's 100k events a
+    # jvm-sized stream gets 2 partitions; python-sized gets the swept
+    # optimum 16 (STREAM_AB_r08.json: throughput knee at 12-16)
+    assert sized_shuffle_partitions(100_000, 32, cost_class="jvm") == 2
+    assert sized_shuffle_partitions(100_000, 32, cost_class="python") == 16
+
+    cases = bench.stream_cases(spark, sf_dir)
+    declared = {n: c[3] for n, c in cases.items()}
+    assert declared["fraud_check"] == "python"
+    assert declared["ordered_concat"] == "python"
+    # pack_sequences is applyInPandasWithState too but numpy-vectorized
+    # over ~5 keys — deliberately jvm (empty-commit overhead dominates)
+    assert declared["pack_sequences"] == "jvm"
+
+    out = bench.stream_bench(spark, sf_dir, only=["fraud_check"],
+                             n_samples=1)
+    rows_in = cases["fraud_check"][2]
+    want = sized_shuffle_partitions(
+        rows_in, int(spark.sparkContext.defaultParallelism),
+        cost_class="python")
+    assert out["fraud_check"]["shuffle_partitions"] == want
+    assert out["fraud_check"]["cost_class"] == "python"
