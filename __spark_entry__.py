@@ -90,8 +90,22 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-9 diff: filled as code changes land this round.
-_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ()
+# Round-9 diff: the Jaccard pair ops (minhash_lsh_pairs /
+# ngram_jaccard_pairs) migrated from F.round to the portable
+# stable_round floor formula (post-r5 rounding policy, ADVICE r8) with
+# the oracle CTEs updated identically — fronting every query that
+# embeds those pairs; and _kmeans_fit's loop was restructured for the
+# routed empty-cluster guard (exact-path numerics unchanged,
+# oracle-verified) — fronting every k-means consumer on policy.
+_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
+    "minhash_lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
+    "dedup_recall", "dedup_clusters", "dedup_clusters_star",
+    "dedup_keep_best", "leakage_split", "source_overlap",
+    "incremental_dedup",
+    "kmeans_train", "knn_ivf_trained", "pq_knn", "knn_ivfpq",
+    "knn_recall", "knn_recall_clustered", "semantic_dedup",
+    "cluster_sample",
+)
 
 
 def _ordered_names() -> list[str]:

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_hash64, tokens, word_shingles
+from ..functions import md5_hash64, stable_round, tokens, word_shingles
 
 
 def dedup_within_ttl(df: DataFrame, keys: Sequence[str], ttl_seconds: int,
@@ -243,8 +243,9 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
             .join(sizes.select(F.col(id_col).alias("d2"),
                                F.col("sz").alias("sz2")), "d2")
             .select("d1", "d2",
-                    F.round(F.col("inter")
-                            / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4)
+                    stable_round(F.col("inter")
+                                 / (F.col("sz1") + F.col("sz2")
+                                    - F.col("inter")), 4)
                      .alias("jac"))
             .filter(F.col("jac") >= jaccard_threshold))
 
@@ -393,7 +394,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
            .join(sizes.withColumnRenamed(id_col, "d1").withColumnRenamed("sz", "sz1"), "d1")
            .join(sizes.withColumnRenamed(id_col, "d2").withColumnRenamed("sz", "sz2"), "d2")
            .select("d1", "d2",
-                   F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4)
+                   stable_round(F.col("inter")
+                                / (F.col("sz1") + F.col("sz2")
+                                   - F.col("inter")), 4)
                     .alias("jac")))
     return out.filter(F.col("jac") >= threshold)
 

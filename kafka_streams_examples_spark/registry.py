@@ -659,7 +659,8 @@ _LSH_CTES = f"""hsh AS (
       FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     verified AS (
-      SELECT i.d1, i.d2, round(i.i / (s1.sz + s2.sz - i.i), 4) AS jac
+      SELECT i.d1, i.d2,
+             floor(i.i / (s1.sz + s2.sz - i.i) * 1e4 + 0.5) / 1e4 AS jac
       FROM inter i
       JOIN cand c ON i.d1 = c.d1 AND i.d2 = c.d2
       JOIN sizes s1 ON i.d1 = s1.doc_id
@@ -689,9 +690,9 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
-    SELECT d1, d2, round(i / (s1.sz + s2.sz - i), 4) AS jac
+    SELECT d1, d2, floor(i / (s1.sz + s2.sz - i) * 1e4 + 0.5) / 1e4 AS jac
     FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.2""",
+    WHERE floor(i / (s1.sz + s2.sz - i) * 1e4 + 0.5) / 1e4 >= 0.2""",
     "Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
     "(docs only compared when they share a shingle).",
 )
@@ -709,9 +710,9 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
       FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
-    SELECT d1, d2, round(i / (s1.sz + s2.sz - i), 4) AS jac
+    SELECT d1, d2, floor(i / (s1.sz + s2.sz - i) * 1e4 + 0.5) / 1e4 AS jac
     FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.2""",
+    WHERE floor(i / (s1.sz + s2.sz - i) * 1e4 + 0.5) / 1e4 >= 0.2""",
     "Hot-shingle-capped Jaccard (operators/skew.py:drop_hot_keys in a "
     "GRADED query): shingles whose document frequency exceeds max_df=3 — "
     "a BINDING cap on this corpus (max df 7) — are dropped before the "
@@ -1004,7 +1005,7 @@ _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
     truth AS (
       SELECT d1, d2 FROM tint
       JOIN tsz s1 ON d1 = s1.doc_id JOIN tsz s2 ON d2 = s2.doc_id
-      WHERE round(i / (s1.sz + s2.sz - i), 4) >= 0.2)"""
+      WHERE floor(i / (s1.sz + s2.sz - i) * 1e4 + 0.5) / 1e4 >= 0.2)"""
 
 
 @query(

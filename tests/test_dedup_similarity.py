@@ -812,9 +812,10 @@ def test_incremental_dedup_equals_cross_side_full_pass(spark, sf_dir):
     """incremental_minhash_pairs(batch, corpus) must equal the FULL
     minhash_lsh_pairs run restricted to (batch, corpus) cross pairs —
     same signatures, same bands, same Jaccard — because one full pass
-    plus per-increment runs are supposed to compose into the same pair
-    graph. (Rounding differs by design: the incremental op uses the
-    portable floor formula, so compare on ids + jac to 3 decimals.)"""
+    plus per-increment runs compose into the same pair graph. Both ops
+    round through the portable floor formula (post-r5 policy, unified
+    in r9), so jac compares EXACTLY — no tolerance to hide a boundary
+    divergence behind."""
     from kafka_streams_examples_spark.catalog import table as cat_table
     from kafka_streams_examples_spark.operators.dedup import (
         incremental_minhash_pairs, minhash_lsh_pairs,
@@ -822,13 +823,13 @@ def test_incremental_dedup_equals_cross_side_full_pass(spark, sf_dir):
     docs = cat_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 10 == 7)
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
-    inc = {(r.new_id, r.corpus_id, round(r.jac, 3))
+    inc = {(r.new_id, r.corpus_id, r.jac)
            for r in incremental_minhash_pairs(
                new, corpus, num_hashes=8, bands=4,
                jaccard_threshold=0.2).collect()}
     full = minhash_lsh_pairs(docs, num_hashes=8, bands=4,
                              jaccard_threshold=0.2).collect()
-    cross = {(a, b, round(r.jac, 3))
+    cross = {(a, b, r.jac)
              for r in full
              for a, b in [(r.d1, r.d2), (r.d2, r.d1)]
              if a % 10 == 7 and b % 10 != 7}
