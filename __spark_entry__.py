@@ -105,6 +105,8 @@ _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "kmeans_train", "knn_ivf_trained", "pq_knn", "knn_ivfpq",
     "knn_recall", "knn_recall_clustered", "semantic_dedup",
     "cluster_sample",
+    # r9: Hamming-2 perturbation sets (probes 7 -> 24, max_flip=2)
+    "knn_multiprobe",
 )
 
 

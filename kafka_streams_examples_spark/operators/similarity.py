@@ -637,6 +637,7 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
                            planes: int = 8, dim: int = 64, probes: int = 3,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            salt: str = "slsh", tables: int = 1,
+                           max_flip: int = 1,
                            exclude_self: bool = True) -> DataFrame:
     """Multi-probe sign-LSH kNN (Lv et al., VLDB'07 multi-probe idea on
     Charikar hyperplane LSH): the third ANN tier, needing neither a label
@@ -672,8 +673,11 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     from .dedup import (signlsh_bits_from_dots, signlsh_bucket_bits,
                         signlsh_dots)
 
-    assert 1 <= probes <= planes + 1
+    max_perts = (planes if max_flip == 1
+                 else planes + planes * (planes - 1) // 2)
+    assert 1 <= probes <= max_perts + 1
     assert tables >= 1
+    assert max_flip in (1, 2)
     v = F.col(vec_col)
 
     def table_candidates(tsalt: str) -> DataFrame:
@@ -685,22 +689,54 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
         # was a separate fold computed twice — once for the bucket bits,
         # once for the margin)
         dots = signlsh_dots(v, planes, dim, tsalt)
-        pm = F.array(*[
-            F.struct(F.lit(p).alias("p"),
-                     F.lit(2 ** p).cast("long").alias("mask"))
-            for p in range(planes)])
-        # margin = |rounded dot|, abs AFTER the engine-portable rounding
-        # so it is exactly abs(d) of the oracle's per-plane d — rounding
-        # the abs instead diverges for negative dots on half-microstep
-        # boundaries
-        margins = F.zip_with(
-            dots, pm,
-            lambda d, s: F.struct(F.abs(d).alias("m"), s["p"].alias("p"),
-                                  s["mask"].alias("mask")))
-        q0 = queries.select(
-            F.col(id_col).alias("q_id"),
-            signlsh_bits_from_dots(dots, planes).alias("q_bk"),
-            F.slice(F.array_sort(margins), 1, probes - 1).alias("__flips"))
+        if max_flip == 1:
+            pm = F.array(*[
+                F.struct(F.lit(p).alias("p"),
+                         F.lit(2 ** p).cast("long").alias("mask"))
+                for p in range(planes)])
+            # margin = |rounded dot|, abs AFTER the engine-portable
+            # rounding so it is exactly abs(d) of the oracle's per-plane
+            # d — rounding the abs instead diverges for negative dots on
+            # half-microstep boundaries
+            margins = F.zip_with(
+                dots, pm,
+                lambda d, s: F.struct(F.abs(d).alias("m"),
+                                      s["p"].alias("p"),
+                                      s["mask"].alias("mask")))
+            q0 = queries.select(
+                F.col(id_col).alias("q_id"),
+                signlsh_bits_from_dots(dots, planes).alias("q_bk"),
+                F.slice(F.array_sort(margins), 1,
+                        probes - 1).alias("__flips"))
+        else:
+            # Hamming-2 perturbation sets (Lv et al. VLDB'07 §4): the
+            # probe candidates are every single-plane flip PLUS every
+            # plane PAIR, scored by summed |margin| — a two-bit probe
+            # whose two margins are both tiny outranks a single flip of
+            # a confident plane, and the reachable bucket set grows from
+            # `planes` to planes*(planes+1)/2 without another table.
+            # dots is projected to a column first so the 36 struct
+            # expressions reference it instead of re-inlining the
+            # hyperplane fold per struct (CollapseProject would not
+            # merge, but expression TREES would still duplicate).
+            qd = queries.select(F.col(id_col).alias("q_id"),
+                                dots.alias("__dots"))
+            dcol = F.col("__dots")
+            ab = [F.abs(F.element_at(dcol, p + 1)) for p in range(planes)]
+            perts = [F.struct(ab[p].alias("m"),
+                              F.lit(2 ** p).cast("long").alias("mask"))
+                     for p in range(planes)]
+            perts += [
+                F.struct((ab[i] + ab[j]).alias("m"),
+                         F.lit(2 ** i + 2 ** j).cast("long").alias("mask"))
+                for i in range(planes) for j in range(i + 1, planes)]
+            # ties: score, then lower mask (for singles that IS the
+            # plane-index tie-break of the max_flip=1 path)
+            q0 = qd.select(
+                "q_id",
+                signlsh_bits_from_dots(dcol, planes).alias("q_bk"),
+                F.slice(F.array_sort(F.array(*perts)), 1,
+                        probes - 1).alias("__flips"))
         probe_buckets = F.concat(
             F.array(F.col("q_bk")),
             F.transform(F.col("__flips"),

