@@ -344,6 +344,30 @@ def kmeans_train(corpus: DataFrame, k: int = 8, iters: int = 2,
                         stable_round(F.col("d"), 4).alias("dist"))
 
 
+def auto_refine(n: int, topk: int = 5, floor: int = 50) -> int:
+    """Corpus-adaptive refine budget for the PQ tiers: R = max(floor,
+    topk * ceil(n / 50)) — i.e. the exact-rerank shortlist holds a fixed
+    ~topk/50 FRACTION of the corpus instead of a fixed count.
+
+    Why (r9, measured at the driver fixtures): at fixed R=50 the 16-bit
+    ADC codes cannot keep the true top-5 inside the shortlist as the
+    corpus grows — clustered-fixture recall@5 fell 0.96 -> 0.67 (pq) and
+    0.90 -> 0.65 (ivfpq) from n=500 to n=2000, and R=200 (= this rule at
+    n=2000) restored 0.98 / 0.93 at unchanged nprobe=2. At n <= 500 —
+    every hash-verified SF — the rule returns the floor, so oracle
+    results are bit-identical to the fixed-R history.
+
+    Contract at 100 TB: a fixed-fraction shortlist makes the refine
+    stage O(n) per query batch, which is the honest cost of holding
+    recall at FIXED code resolution (16 bits). The production lever at
+    large n is more code bits (raise m — the collision rate per code
+    cell, not this rule, is what actually degrades), after which R can
+    fall back toward the floor; the isotropic fixture's residual decay
+    (pq 0.91 at R=400, n=2000) is the no-structure adversarial bound,
+    not the operating regime."""
+    return max(floor, topk * ((n + 49) // 50))
+
+
 def _exact_rerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
                   k: int, id_col: str, vec_col: str) -> DataFrame:
     """FAISS-style refine tail shared by pq_knn and ivfpq_knn: exactly

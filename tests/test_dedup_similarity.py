@@ -823,6 +823,33 @@ def test_multiprobe_hamming2_perturbation_sets(spark, sf_dir):
         multiprobe_signlsh_knn(q, cl, k=5, planes=8, dim=64, probes=24)
 
 
+def test_auto_refine_scales_with_corpus(spark, sf_dir):
+    """The r9 recall guardrail: the PQ tiers' exact-rerank shortlist
+    holds a fixed ~topk/50 fraction of the corpus (floor 50). Pinned:
+    (a) the formula — floor at every hash-verified fixture size (n <=
+    500 -> 50, so oracle history is bit-identical), engaged above it
+    (n=2000 -> 200, the value measured to restore clustered recall@5
+    0.65 -> 0.93); (b) the registry entries actually consume it — the
+    pq_knn oracle carries the scalar-subquery form and the Spark side
+    passes the same integer."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        auto_refine,
+    )
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    assert auto_refine(0) == 50
+    assert auto_refine(500) == 50
+    assert auto_refine(501) == 55
+    assert auto_refine(2000) == 200
+    assert auto_refine(2000, topk=10) == 400
+    assert auto_refine(100, floor=25) == 25
+    # integer arithmetic mirrors the SQL (count(*) + 49) // 50 exactly
+    assert auto_refine(2001) == 5 * ((2001 + 49) // 50) == 205
+    for name in ("pq_knn", "knn_ivfpq", "knn_recall",
+                 "knn_recall_clustered"):
+        assert "greatest(50" in QUERIES[name].oracle, name
+
+
 def test_all_pairs_fallback_is_fenced(spark):
     """embedding_near_dup_pairs with bucket_col=None is O(n²); above
     ALL_PAIRS_ROW_LIMIT it must raise unless explicitly overridden
