@@ -119,6 +119,10 @@ HEADLINE = [
     # r8 addition: cluster-balanced subsampling (learned-strata quota —
     # the diversity-preserving curation shape; k-means + WindowGroupLimit)
     "cluster_sample",
+    # r9 additions: probabilistic keep-1-of-cluster resampling and
+    # DPR-style ANN-mined hard negatives (foreign-cell IVF route)
+    "soft_dedup",
+    "knn_hard_negatives",
 ]
 
 

@@ -870,3 +870,44 @@ def exact_substring_dedup_stats(docs: DataFrame, l: int = 4,
                       (F.col("n_tokens")
                        - F.coalesce("tokens_removed", F.lit(0)))
                       .cast("long").alias("n_tokens_kept")))
+
+
+def soft_dedup(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
+               jaccard_threshold: float = 0.2,
+               id_col: str = "doc_id") -> DataFrame:
+    """Soft deduplication — keep each duplicate-cluster member with
+    probability 1/cluster_size instead of hard-keeping exactly one (the
+    SlimPajama/RefinedWeb-style soft-dedup policy): hard dedup deletes
+    real signal when "duplicates" are merely near (boilerplate templates
+    over distinct payloads), while no dedup lets head clusters dominate
+    the mixture. Expected survivors per cluster = 1, but WHICH member
+    survives is an independent per-document draw, so large clusters
+    contribute a diverse sample rather than always their min-id member.
+
+    Determinism: the draw is a portable md5 bucket of the document id
+    (`md5("soft|" + id) % 1e6 < 1e6 div cluster_size`) — byte-identical
+    re-runs, the resumable-shard property, and exactly the oracle's
+    integer arithmetic. Composition: minhash LSH pairs (banded,
+    bucket-confined) -> connected components -> one broadcast-joined
+    size table -> a scan-side keep expression; nothing beyond the
+    already-audited dedup_clusters plan shuffles, so the 100-TB story
+    is the pair stage's (linear, LEAKSPLIT_r09.json).
+
+    Output: (doc_id, cluster_id, cluster_size, keep_bucket, kept)."""
+    pairs = minhash_lsh_pairs(docs, num_hashes=num_hashes, bands=bands,
+                              jaccard_threshold=jaccard_threshold,
+                              id_col=id_col)
+    cc = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"))
+    j = cc.join(F.broadcast(sizes), "cluster_id")
+    bucket = md5_hash64(
+        F.concat(F.lit("soft|"), F.col(id_col).cast("string"))) % 1_000_000
+    return (j.select(F.col(id_col),
+                     F.col("cluster_id").cast("long").alias("cluster_id"),
+                     "cluster_size")
+             .withColumn("keep_bucket", bucket)
+             .withColumn("kept",
+                         (F.col("keep_bucket")
+                          < F.expr("1000000 div cluster_size"))
+                         .cast("int")))

@@ -26,11 +26,12 @@ from pyspark.sql import functions as F
 from ..functions import dot_product, l2_norm, stable_round
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int,
+               extra_cols: tuple = ()) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("__sim").desc(), F.col("c_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k)
-                  .select("q_id", "c_id",
+                  .select("q_id", "c_id", *extra_cols,
                           stable_round(F.col("__sim"), 4).alias("cos_sim"),
                           F.col("rnk").cast("long").alias("rnk")))
 
@@ -97,6 +98,61 @@ def ivf_knn(queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 2,
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return _rank_topk(cand.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   nprobe: int = 2, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for embedding-model training (the in-batch /
+    ANN-mined negatives step of DPR/contrastive pipelines, Karpukhin
+    EMNLP'20 §4.2): for each query vector, the top-k most-similar
+    vectors with a DIFFERENT label — similar enough to be confusable,
+    labeled differently, which is exactly what the contrastive loss
+    needs.
+
+    Scale shape = ivf_knn with the query's own cell excluded from the
+    route: each query routes to its nprobe nearest FOREIGN label
+    centroids (label-mismatch is guaranteed by construction — no
+    post-filter discards candidates after the expensive join), then an
+    exact cosine rerank runs only inside those blocks. At 100 TB the
+    corpus is written partitioned by label once and every mining batch
+    prunes all but nprobe blocks per query on disk; the centroid table
+    is a broadcast.
+
+    Output: (q_id, c_id, neg_label, cos_sim, rnk) — neg_label kept so
+    downstream batch construction can stratify negatives per source
+    label."""
+    cents = centroids_from_labels(corpus, id_col, vec_col, label_col)
+    cents = cents.withColumn("cent_norm", l2_norm(F.col("centroid")))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       l2_norm(F.col(vec_col)).alias("q_norm"),
+                       F.col(label_col).alias("__q_label"))
+    qc = (q.join(F.broadcast(cents), F.lit(True))
+           .filter(F.col("centroid_id") != F.col("__q_label")))
+    csim = (dot_product(F.col("q_vec"), F.col("centroid"))
+            / (F.col("q_norm") * F.col("cent_norm")))
+    wq = Window.partitionBy("q_id").orderBy(F.col("__cs").desc(),
+                                            F.col("centroid_id"))
+    routed = (qc.select("q_id", "q_vec", "q_norm", "centroid_id",
+                        stable_round(csim, 6).alias("__cs"))
+                .withColumn("__r", F.row_number().over(wq))
+                .filter(F.col("__r") <= nprobe)
+                .select("q_id", "q_vec", "q_norm",
+                        F.col("centroid_id").alias(label_col)))
+    c = corpus.select(F.col(id_col).alias("c_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      l2_norm(F.col(vec_col)).alias("c_norm"), label_col)
+    cand = c.join(F.broadcast(routed), [label_col])
+    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
+    ranked = _rank_topk(
+        cand.select("q_id", "c_id",
+                    F.col(label_col).cast("long").alias("neg_label"),
+                    stable_round(sim, 6).alias("__sim")),
+        k, extra_cols=("neg_label",))
+    return ranked
 
 
 def _unit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

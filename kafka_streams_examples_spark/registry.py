@@ -996,6 +996,91 @@ def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
                            .otherwise("test")))
 
 
+@query(
+    "soft_dedup",
+    f"""WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT d1, d2 FROM verified WHERE jac >= 0.2),
+    sym AS (SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION ALL SELECT d2, d1 FROM pairs),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node),
+    cl AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY node),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM cl GROUP BY cluster_id),
+    kb AS (SELECT c.doc_id, c.cluster_id, s.cluster_size,
+             CAST('0x' || substr(md5('soft|' || CAST(c.doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 1000000 AS keep_bucket
+           FROM cl c JOIN sz s USING (cluster_id))
+    SELECT doc_id, cluster_id, cluster_size, keep_bucket,
+           CAST(CASE WHEN keep_bucket < 1000000 // cluster_size
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM kb""",
+    "Soft deduplication (the SlimPajama/RefinedWeb policy): keep each "
+    "duplicate-cluster member with probability 1/cluster_size instead "
+    "of hard-keeping the min-id representative — expected survivors "
+    "per cluster = 1, but WHICH member survives is an independent "
+    "deterministic per-document draw (portable md5 bucket % 1e6 vs "
+    "1e6 div size), so big boilerplate clusters contribute a diverse "
+    "sample rather than always their first member, and re-runs are "
+    "byte-identical (resumable shards). Composition: the audited "
+    "minhash-LSH pair stage -> connected components -> one broadcast "
+    "size join -> a scan-side keep expression; nothing new shuffles. "
+    "Oracle composes the recursive-CTE components with the identical "
+    "integer bucket arithmetic.",
+)
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.soft_dedup(table(spark, sf, "documents"), num_hashes=8,
+                        bands=4, jaccard_threshold=0.2)
+
+
+@query(
+    "knn_hard_negatives",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    parts AS (SELECT label AS centroid_id, dim, v[dim] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS t(dim)),
+    cents AS (SELECT centroid_id, list(m ORDER BY dim) AS centroid
+              FROM (SELECT centroid_id, dim, avg(x) AS m FROM parts GROUP BY 1, 2)
+              GROUP BY centroid_id),
+    q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 20),
+    routed AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY floor(list_cosine_similarity(q.qv, c.centroid) * 1e6 + 0.5) / 1e6 DESC,
+                     c.centroid_id) AS r
+        FROM q CROSS JOIN cents c WHERE c.centroid_id <> q.q_label) WHERE r <= 2),
+    cand AS (
+      SELECT q.q_id, c.vec_id AS c_id, CAST(c.label AS BIGINT) AS neg_label,
+             floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5) / 1e6 AS s6
+      FROM routed r JOIN q ON q.q_id = r.q_id
+      JOIN e c ON c.label = r.centroid_id)
+    SELECT q_id, c_id, neg_label, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, neg_label, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= 5""",
+    "Hard-negative mining for embedding-model training (the ANN-mined "
+    "negatives step of DPR-style contrastive pipelines, Karpukhin "
+    "EMNLP'20 \u00a74.2): per query, the top-5 most-similar vectors with a "
+    "DIFFERENT label — confusable but labeled apart, which is what the "
+    "contrastive loss needs. Scale shape = ivf_knn with the query's own "
+    "cell EXCLUDED from the route (label mismatch holds by construction, "
+    "so no candidate is discarded after the join): nprobe=2 nearest "
+    "foreign label-centroids, exact cosine rerank only inside those "
+    "blocks; at 100 TB the corpus partitions by label once and each "
+    "mining batch prunes all other blocks on disk. neg_label rides "
+    "along for per-source negative stratification. Oracle recomputes "
+    "centroids, the excluded route, and the rerank with identical "
+    "rounding.",
+)
+def q_knn_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    return SIM.hard_negatives(emb.filter(F.col("vec_id") < 20), emb,
+                              k=5, nprobe=2)
+
+
 _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
     tsz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
     tint AS (

@@ -1184,3 +1184,80 @@ def test_gopher_rules_matches_python_reference(spark):
         for col, val in expect.items():
             assert got[doc_id][col] == val, (doc_id, col,
                                              got[doc_id][col], val)
+
+
+def test_soft_dedup_keep_policy(spark, sf_dir):
+    """Soft dedup's contract: (a) singleton clusters ALWAYS survive
+    (bucket < 1e6 div 1 unconditionally), (b) the keep draw is exactly
+    the documented md5 arithmetic (replicated in plain Python per row),
+    (c) byte-identical re-runs, (d) cluster_size agrees with the
+    cluster assignment it rode in on."""
+    import hashlib
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import soft_dedup
+
+    rows = soft_dedup(cat_table(spark, sf_dir, "documents")).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert len({m.cluster_size for m in members}) == 1
+        assert members[0].cluster_size == len(members)
+        if len(members) == 1:
+            assert members[0].kept == 1, cid
+    for r in rows[:50]:
+        h = int(hashlib.md5(f"soft|{r.doc_id}".encode())
+                .hexdigest()[:15], 16) % 1_000_000
+        assert r.keep_bucket == h
+        assert r.kept == int(h < 1_000_000 // r.cluster_size)
+    again = {(r.doc_id, r.kept)
+             for r in soft_dedup(
+                 cat_table(spark, sf_dir, "documents")).collect()}
+    assert again == {(r.doc_id, r.kept) for r in rows}
+
+
+def test_hard_negatives_label_mismatch_and_route(spark, sf_dir):
+    """Hard-negative mining: every returned negative has a label
+    different from its query's (by construction of the foreign-cell
+    route — no post-filter), ranks are a dense 1..k per query, the
+    negatives come from at most nprobe distinct labels per query, and
+    within the probed blocks the ranking is exactly cosine-descending
+    (checked against numpy on the fixture)."""
+    import numpy as np
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = hard_negatives(q, emb, k=5, nprobe=2).collect()
+    labels = {r.vec_id: r.label
+              for r in emb.select("vec_id", "label").collect()}
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == {r.vec_id for r in q.select("vec_id").collect()}
+    for q_id, rs in per_q.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.neg_label != labels[q_id] for r in rs)
+        assert len({r.neg_label for r in rs}) <= 2  # nprobe=2 blocks
+        # cosine-descending with id tiebreak
+        sims = [(r.cos_sim, r.c_id) for r in sorted(rs, key=lambda r: r.rnk)]
+        assert sims == sorted(sims, key=lambda t: (-t[0], t[1]))
+    # spot-check top-1 against numpy within the probed blocks
+    pdf = emb.toPandas()
+    V = {int(r.vec_id): np.array(r.embedding, dtype=float)
+         for r in pdf.itertuples()}
+    for q_id in list(per_q)[:5]:
+        probed = {r.neg_label for r in per_q[q_id]}
+        cands = [(vid, float(np.dot(V[q_id], V[vid])
+                             / (np.linalg.norm(V[q_id])
+                                * np.linalg.norm(V[vid]))))
+                 for vid, lab in labels.items() if lab in probed]
+        best = max(cands, key=lambda t: (round(t[1], 4), -t[0]))
+        top1 = min(per_q[q_id], key=lambda r: r.rnk)
+        assert abs(top1.cos_sim - round(best[1], 4)) < 2e-4, (q_id, best)

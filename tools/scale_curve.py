@@ -57,6 +57,9 @@ CURVE = [
     "gopher_rules",
     # r8 addition (k-means training + per-cluster WindowGroupLimit quota)
     "cluster_sample",
+    # r9 additions (cluster-hash probabilistic keep; foreign-cell IVF
+    # route + rerank)
+    "soft_dedup", "knn_hard_negatives",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
