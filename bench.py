@@ -466,9 +466,11 @@ def printed_line(full: dict) -> dict:
     # printed resolution is below run noise; full 3-decimal timings stay
     # in BENCH_SELF_r{N}.json
     out["queries"] = {n: round(v, 2) for n, v in full["queries"].items()}
-    # loadavg detail and idle wait likewise live only in the self file
+    # loadavg detail and idle wait likewise live only in the self file;
+    # the wire keeps the one actionable number (1-min loadavg at start)
     out.pop("idle_wait_sec", None)
-    out["loadavg"] = {"start": full["loadavg"]["start"]}
+    out.pop("loadavg", None)
+    out["load1"] = full["loadavg"]["start"][0]
     # the gauge and the canary collapse to their one actionable number
     # on the wire (full detail stays in BENCH_SELF_r{N}.json) — r8: the
     # 56-query HEADLINE pushed the worst case past the budget again
@@ -477,9 +479,12 @@ def printed_line(full: dict) -> dict:
         out["noise"] = gauge["median_ratio"]
     if isinstance(out.get("canary"), dict):
         out["canary"] = out["canary"]["spread"]
-    # per-query first-pass detail (retried rounds) lives only in the
-    # self artifact; the wire keeps the one-scalar total
+    # first-pass detail (retried rounds) lives only in the self
+    # artifact — r9: the 57-query HEADLINE pushed the worst case past
+    # the budget with both scalars on the wire, so the total moved to
+    # the self file too (batch_retries stays as the wire-visible flag)
     out.pop("first_pass_queries", None)
+    out.pop("first_pass_total_sec", None)
     return out
 
 

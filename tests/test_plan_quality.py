@@ -26,6 +26,9 @@ BNLJ_BY_DESIGN = {
     # IVF routing: every corpus vector scores against the broadcast
     # centroid set (small by construction) to pick nprobe buckets
     "knn_ivf",
+    # same routing shape, query side vs the broadcast centroid table
+    # (with the query's own cell excluded from the route)
+    "knn_hard_negatives",
     # 1-row scalar-average subquery attached via broadcast cross join
     # before the threshold filter (TPC-H Q22's correlated scalar)
     "tpch_q22",
