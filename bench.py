@@ -123,6 +123,8 @@ HEADLINE = [
     # DPR-style ANN-mined hard negatives (foreign-cell IVF route)
     "soft_dedup",
     "knn_hard_negatives",
+    # r9 addition: block-confined all-corpus kNN graph (label self-join)
+    "knn_graph",
 ]
 
 

@@ -100,6 +100,42 @@ def ivf_knn(queries: DataFrame, corpus: DataFrame, k: int = 5, nprobe: int = 2,
     return _rank_topk(cand.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
 
 
+def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              label_col: str = "label") -> DataFrame:
+    """Block-confined kNN GRAPH over the whole corpus — every vector's
+    top-k cosine neighbors within its own label block: the input shape
+    of graph-based curation (SemDeDup-style cluster pruning, kNN-graph
+    clustering, link-based quality propagation), where EVERY vector is
+    a query, not a 20-row probe set.
+
+    Scale shape: a label equi-join of the corpus against itself — the
+    quadratic cost is |block|² PER BLOCK, never corpus², and the join
+    is a plain shuffle on the label key (nothing broadcasts: both
+    sides are corpus-sized, which is exactly why the ivf_knn
+    broadcast-the-queries shape is wrong here). At 100 TB: corpus
+    bucketed by label once → the self-join co-locates without a
+    shuffle, and block size is controlled by the quantizer's k (grow
+    cells ∝ sqrt(n) and per-block work stays bounded). Rank compiles
+    to WindowGroupLimit (map-side partial top-k, verified in
+    PLANS.md).
+
+    Output: (q_id, c_id, cos_sim, rnk) — one row per graph edge."""
+    a = corpus.select(F.col(label_col).alias("__lb"),
+                      F.col(id_col).alias("q_id"),
+                      F.col(vec_col).alias("q_vec"),
+                      l2_norm(F.col(vec_col)).alias("q_norm"))
+    b = corpus.select(F.col(label_col).alias("__lb"),
+                      F.col(id_col).alias("c_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      l2_norm(F.col(vec_col)).alias("c_norm"))
+    cand = a.join(b, "__lb").filter(F.col("q_id") != F.col("c_id"))
+    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
+    return _rank_topk(cand.select("q_id", "c_id",
+                                  stable_round(sim, 6).alias("__sim")), k)
+
+
 def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    nprobe: int = 2, id_col: str = "vec_id",
                    vec_col: str = "embedding",

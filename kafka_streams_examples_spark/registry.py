@@ -1081,6 +1081,33 @@ def q_knn_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
                               k=5, nprobe=2)
 
 
+@query(
+    "knn_graph",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 AS s6
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= 3""",
+    "Block-confined kNN GRAPH over the whole corpus — every vector's "
+    "top-3 cosine neighbors within its label block: the input shape of "
+    "graph-based curation (SemDeDup cluster pruning, kNN-graph "
+    "clustering, link-based quality propagation) where every vector is "
+    "a query. Unlike the probe-set tiers nothing broadcasts — both "
+    "sides are corpus-sized, so the plan is a plain label equi-join of "
+    "the corpus with itself (quadratic per BLOCK, never corpus-wide), "
+    "and at 100 TB the corpus buckets by label once so the self-join "
+    "co-locates shuffle-free with block size controlled by the "
+    "quantizer's k. Rank filter compiles to WindowGroupLimit. Oracle: "
+    "the identical blocked self-join + rounded rerank.",
+)
+def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.knn_graph(table(spark, sf, "embeddings"), k=3)
+
+
 _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
     tsz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
     tint AS (

@@ -1261,3 +1261,36 @@ def test_hard_negatives_label_mismatch_and_route(spark, sf_dir):
         best = max(cands, key=lambda t: (round(t[1], 4), -t[0]))
         top1 = min(per_q[q_id], key=lambda r: r.rnk)
         assert abs(top1.cos_sim - round(best[1], 4)) < 2e-4, (q_id, best)
+
+
+def test_knn_graph_edges(spark, sf_dir):
+    """kNN graph: every vector gets up to k=3 edges, all edges stay
+    inside the vector's label block, ranks are dense 1..deg, and the
+    per-vector neighbor set equals numpy's within-block cosine top-3."""
+    import numpy as np
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import knn_graph
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    rows = knn_graph(emb, k=3).collect()
+    pdf = emb.toPandas()
+    lab = dict(zip(pdf.vec_id, pdf.label))
+    V = {int(r.vec_id): np.array(r.embedding, dtype=float)
+         for r in pdf.itertuples()}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert set(per_q) == set(lab)  # every vector has edges (blocks > 3)
+    for q_id, rs in list(per_q.items())[:40]:
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        assert all(lab[r.c_id] == lab[q_id] for r in rs)
+        block = [v for v in lab if lab[v] == lab[q_id] and v != q_id]
+        sims = sorted(
+            ((round(float(np.dot(V[q_id], V[c])
+                          / (np.linalg.norm(V[q_id])
+                             * np.linalg.norm(V[c]))), 4), c)
+             for c in block), key=lambda t: (-t[0], t[1]))[:3]
+        got = [(r.cos_sim, r.c_id) for r in sorted(rs, key=lambda r: r.rnk)]
+        for (ws, wc), (gs, gc) in zip(sims, got):
+            assert abs(ws - gs) < 2e-4 and (wc == gc or abs(ws - gs) < 2e-4)
