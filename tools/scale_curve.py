@@ -74,7 +74,9 @@ SFS_10 = [("0.1", "/root/testdata/sf0.1"),
           ("10", ".scale/sf10")]
 CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "simhash_hamming_pairs", "knn_ivf_trained",
-            "exact_substring_dedup"]
+            "exact_substring_dedup",
+            # r9 additions
+            "soft_dedup", "knn_graph", "knn_hard_negatives"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
