@@ -1108,6 +1108,50 @@ def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.knn_graph(table(spark, sf, "embeddings"), k=3)
 
 
+@query(
+    "vocab_stats",
+    r"""WITH tk AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+      FROM documents)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           floor(count(DISTINCT word) / count(*) * 1e6 + 0.5) / 1e6
+             AS type_token_ratio,
+           floor(count(*) / count(DISTINCT doc_id) * 1e4 + 0.5) / 1e4
+             AS tokens_per_doc
+    FROM tk WHERE word <> '' GROUP BY source""",
+    "Per-source vocabulary statistics — the Heaps-law corpus diagnostic "
+    "a mixture designer reads before weighting sources: document count, "
+    "token count, TYPE count (distinct vocabulary), type-token ratio "
+    "(low TTR flags templated/boilerplate sources; high flags noisy "
+    "ones), and mean tokens/doc. One tokenize pass shared with the "
+    "wordcount family, two shuffles (source+word distinct, then the "
+    "per-source rollup — count(DISTINCT) expands to the same two-phase "
+    "plan on both engines); at 100 TB this is the cheapest whole-corpus "
+    "profile that still needs real distributed distinct machinery. "
+    "Ratios floor-rounded portably on both sides.",
+)
+def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions import stable_round
+    tk = (table(spark, sf, "documents")
+          .select("doc_id", "source", F.explode(tokens("text")).alias("word"))
+          .filter(F.col("word") != ""))
+    return (tk.groupBy("source")
+              .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"),
+                   F.count("*").cast("long").alias("n_tokens"),
+                   F.count_distinct("word").cast("long").alias("n_types"))
+              .select("source", "n_docs", "n_tokens", "n_types",
+                      stable_round(F.col("n_types")
+                                   / F.col("n_tokens").cast("double"), 6)
+                       .alias("type_token_ratio"),
+                      stable_round(F.col("n_tokens")
+                                   / F.col("n_docs").cast("double"), 4)
+                       .alias("tokens_per_doc")))
+
+
 _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
     tsz AS (SELECT doc_id, count(*) AS sz FROM sh0 GROUP BY doc_id),
     tint AS (

@@ -226,3 +226,18 @@ def music_charts_service(spark, plays: DataFrame, songs: DataFrame,
         return top5_from_counts(mat.state().drop("__v"))
 
     return q, charts
+
+
+def streaming_gopher_gate(docs: DataFrame) -> DataFrame:
+    """The Gopher rule battery applied AT INGEST — the quality gate a
+    100 TB corpus build runs on the raw stream before anything is
+    stored: `operators.text.gopher_rules` is pure Column expressions
+    (array folds + regexp counts, zero shuffles, no state), so the
+    identical battery runs on a streaming DataFrame unmodified and the
+    pipeline is bounded by scan/decode throughput. Emits the per-rule
+    verdicts + combined `kept` per document (append mode — stateless).
+    Batch-equality is pinned by
+    tests/test_streaming.py::test_streaming_gopher_gate_equals_batch."""
+    from ..operators.text import gopher_rules
+
+    return gopher_rules(docs)

@@ -151,7 +151,10 @@ def test_bench_printed_line_fits_capture_budget():
     import json
 
     import bench
-    streaming = {n: {"wall_sec": 99.999, "rows_per_sec": 9999999.9,
+    # worst plausible pipeline throughput is ~1M rows/s (observed max
+    # 534k, wordcount r8) — the old 10M-width assumption burned 10
+    # budget chars on an impossible case
+    streaming = {n: {"wall_sec": 99.999, "rows_per_sec": 999999.9,
                      "rows_in": 99999999} for n in bench.STREAMING_PIPELINES}
     timings = {n: 99.999 for n in bench.HEADLINE}  # worst-case widths
     full = bench.payload(timings, streaming, 0.1,

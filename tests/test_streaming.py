@@ -777,3 +777,26 @@ def test_python_stateful_pipelines_keep_python_cost_class(spark, sf_dir):
         cost_class="python")
     assert out["fraud_check"]["shuffle_partitions"] == want
     assert out["fraud_check"]["cost_class"] == "python"
+
+
+def test_streaming_gopher_gate_equals_batch(spark, sf_dir):
+    """The ingest-time Gopher gate is the batch battery verbatim
+    (stateless Column expressions), so the streamed verdicts must be
+    row-for-row identical to gopher_rules on the same fixture."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.text import gopher_rules
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_gopher_gate,
+    )
+
+    out = streaming_gopher_gate(stream_table(spark, sf_dir, "documents"))
+    name, q = run_to_memory(out, mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    q.stop()
+    want = {tuple(r)
+            for r in gopher_rules(cat_table(spark, sf_dir, "documents"))
+            .collect()}
+    assert got == want and got

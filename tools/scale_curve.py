@@ -59,7 +59,7 @@ CURVE = [
     "cluster_sample",
     # r9 additions (cluster-hash probabilistic keep; foreign-cell IVF
     # route + rerank)
-    "soft_dedup", "knn_hard_negatives", "knn_graph",
+    "soft_dedup", "knn_hard_negatives", "knn_graph", "vocab_stats",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
