@@ -1294,3 +1294,45 @@ def test_knn_graph_edges(spark, sf_dir):
         got = [(r.cos_sim, r.c_id) for r in sorted(rs, key=lambda r: r.rnk)]
         for (ws, wc), (gs, gc) in zip(sims, got):
             assert abs(ws - gs) < 2e-4 and (wc == gc or abs(ws - gs) < 2e-4)
+
+
+def test_knn_graph_bucketed_corpus_joins_without_exchange(spark, sf_dir,
+                                                          tmp_path):
+    """knn_graph's 100 TB claim, substantiated: with the corpus written
+    BUCKETED by the block key (label), the label self-join co-locates —
+    the executed plan contains a SortMergeJoin with NO shuffle exchange
+    feeding it (bucketed scan on both sides), and the edges are
+    byte-identical to the un-bucketed plan's."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import knn_graph
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    name = "emb_bucketed_r9"
+    (emb.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "label").sortBy("label")
+        .saveAsTable(name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the claim is about the NON-broadcast regime (at 100 TB neither
+        # side broadcasts); at fixture scale AQE would broadcast, so
+        # force the shuffle-family join the big corpus would get
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bucketed = spark.table(name)
+        out = knn_graph(bucketed, k=3)
+        got = {(r.q_id, r.c_id, r.cos_sim, r.rnk) for r in out.collect()}
+        # inspect the FINAL adaptive plan (AQE decides the join physical
+        # op only after execution)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), \
+            plan[:600]
+        # the claim: no shuffle exchange feeds the join — the bucketed
+        # scan satisfies the join's distribution requirement on both
+        # sides (the only allowed exchange is the top-k Window's)
+        assert "Exchange hashpartitioning(__lb" not in plan, plan[:2000]
+        assert "SelectedBucketsCount" in plan
+        want = {(r.q_id, r.c_id, r.cos_sim, r.rnk)
+                for r in knn_graph(emb, k=3).collect()}
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
