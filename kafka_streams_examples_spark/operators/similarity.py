@@ -796,10 +796,7 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     assert max_flip in (1, 2)
     v = F.col(vec_col)
 
-    def table_candidates(tsalt: str) -> DataFrame:
-        c = corpus.select(
-            F.col(id_col).alias("c_id"),
-            signlsh_bucket_bits(v, planes, dim, tsalt).alias("bk"))
+    def table_probes(tsalt: str, t: int) -> DataFrame:
         # the query side needs both the bucket AND the per-plane margins:
         # derive both from ONE dots array (historically each plane's dot
         # was a separate fold computed twice — once for the bucket bits,
@@ -857,13 +854,32 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
             F.array(F.col("q_bk")),
             F.transform(F.col("__flips"),
                         lambda s: F.col("q_bk").bitwiseXOR(s["mask"])))
-        qp = q0.select("q_id", F.explode(probe_buckets).alias("bk"))
-        return c.join(F.broadcast(qp), ["bk"]).select("q_id", "c_id")
+        return q0.select("q_id", F.lit(t).cast("int").alias("__t"),
+                         F.explode(probe_buckets).alias("bk"))
 
-    cand_ids = None
-    for t in range(tables):
-        ct = table_candidates(salt if t == 0 else f"{salt}-t{t}")
-        cand_ids = ct if cand_ids is None else cand_ids.unionByName(ct)
+    salts = [salt if t == 0 else f"{salt}-t{t}" for t in range(tables)]
+    # Corpus side: ONE scan computes EVERY table's bucket id (r9 —
+    # previously each table re-scanned the corpus for its own bucket
+    # join, so T tables cost T parquet passes; the per-vector hashing
+    # arithmetic is identical either way, the saved work is the scan).
+    # (c_id, table, bucket) explodes to T rows per vector and meets the
+    # tagged query probes in one broadcast equi-join on (table, bucket);
+    # the candidate SET — and therefore every downstream value — is
+    # bit-identical to the per-table form, so the oracle is untouched.
+    tb = F.array(*[
+        F.struct(F.lit(t).cast("int").alias("__t"),
+                 signlsh_bucket_bits(v, planes, dim, s).alias("bk"))
+        for t, s in enumerate(salts)])
+    c_all = (corpus.select(F.col(id_col).alias("c_id"),
+                           F.explode(tb).alias("__e"))
+                   .select("c_id", F.col("__e.__t").alias("__t"),
+                           F.col("__e.bk").alias("bk")))
+    qp_all = None
+    for t, s in enumerate(salts):
+        qp = table_probes(s, t)
+        qp_all = qp if qp_all is None else qp_all.unionByName(qp)
+    cand_ids = (c_all.join(F.broadcast(qp_all), ["__t", "bk"])
+                     .select("q_id", "c_id"))
     # a candidate found by several tables (or several probes across
     # tables) reranks once
     cand_ids = cand_ids.dropDuplicates(["q_id", "c_id"])
