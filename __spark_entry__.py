@@ -40,26 +40,15 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01..r08.json by
-# `tools/update_window.py --emit`. Every registry query now has a
-# signature (r8 closed the never-signed set).
-_R06 = (
-    "approx_distinct", "cms_estimate", "corpus_prep", "corrupt_skip",
-    "cube_sales", "daily_1800_nyc", "distinct_users", "fingerprint",
-    "frame_sample", "inventory_reservation", "media_features",
-    "minhash_lsh_pairs", "music_charts", "ngram_jaccard",
-    "ngram_jaccard_capped", "order_validation", "pageview_region",
-    "rollup_sales", "running_counts_trace", "salted_join_skew",
-    "shard_pack", "simhash", "source_mixture", "token_count",
-    "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "winnow_fingerprints",
-)
+# mechanically from CORRECTNESS_r01..r09.json by
+# `tools/update_window.py --emit` (r10 refresh: CORRECTNESS_r09 absorbed,
+# 50/50 green; every registry query remains signed).
+_R06 = ("source_mixture",)
 _R07 = (
-    "anonymize_props", "asof_join", "bigram_novelty", "dedup_clusters",
-    "dedup_clusters_star", "dedup_keep_best", "dedup_ttl", "doc_chunks",
-    "dsir_resample", "fk_chain", "global_shuffle", "having_count",
-    "json_extract", "knn_cosine", "knn_ivf", "ktable_latest",
-    "ktable_reagg", "merge_union", "quality_deciles",
+    "anonymize_props", "asof_join", "bigram_novelty", "dedup_ttl",
+    "doc_chunks", "dsir_resample", "fk_chain", "global_shuffle",
+    "having_count", "json_extract", "knn_cosine", "knn_ivf",
+    "ktable_latest", "ktable_reagg", "merge_union", "quality_deciles",
     "quality_filter_median", "reduce_concat", "reservoir_per_stratum",
     "retention_cohorts", "session_windows", "stratified_sample",
     "stream_stream_join", "stream_stream_outer_join", "stream_table_join",
@@ -70,44 +59,43 @@ _R07 = (
 )
 _R08 = (
     "agg_max", "anomaly_daily", "bigram_surprisal", "bpe_fertility",
-    "bpe_train", "branch_counts", "cluster_sample", "daily_1800",
-    "decontaminate", "dedup_recall", "dsir_score", "embedding_lsh_pairs",
-    "embedding_near_dup", "epoch_mixture", "exact_dedup",
-    "exact_substring_dedup", "filter_transform", "fold_letters",
-    "funnel_conversion", "gopher_rules", "hopping_6h",
-    "incremental_dedup", "kmeans_train", "knn_ivf_trained", "knn_ivfpq",
-    "knn_multiprobe", "knn_recall", "knn_recall_clustered", "lang_id",
-    "leakage_split", "minhash_signature", "pack_sequences", "pii_redact",
-    "pipeline_funnel", "pq_knn", "quality_score", "reduce_keep_first",
-    "repetition_stats", "semantic_dedup", "simhash_hamming_pairs",
-    "source_overlap", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17",
-    "tumbling_hourly", "unigram_surprisal", "value_percentiles",
-    "windowed_max", "wordcount",
+    "bpe_train", "branch_counts", "daily_1800", "decontaminate",
+    "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
+    "epoch_mixture", "exact_dedup", "exact_substring_dedup",
+    "filter_transform", "fold_letters", "funnel_conversion",
+    "gopher_rules", "hopping_6h", "lang_id", "minhash_signature",
+    "pack_sequences", "pii_redact", "pipeline_funnel", "quality_score",
+    "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs",
+    "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly",
+    "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",
+)
+_R09 = (
+    "approx_distinct", "cluster_sample", "cms_estimate", "corpus_prep",
+    "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters",
+    "dedup_clusters_star", "dedup_keep_best", "dedup_recall",
+    "distinct_users", "fingerprint", "frame_sample", "incremental_dedup",
+    "inventory_reservation", "kmeans_train", "knn_graph",
+    "knn_hard_negatives", "knn_ivf_trained", "knn_ivfpq",
+    "knn_multiprobe", "knn_recall", "knn_recall_clustered",
+    "leakage_split", "media_features", "minhash_lsh_pairs",
+    "music_charts", "ngram_jaccard", "ngram_jaccard_capped",
+    "order_validation", "pageview_region", "pq_knn", "rollup_sales",
+    "running_counts_trace", "salted_join_skew", "semantic_dedup",
+    "shard_pack", "simhash", "soft_dedup", "source_overlap",
+    "token_count", "top_articles_windowed", "tpch_q10", "tpch_q3",
+    "tpch_q4", "tpch_q5", "tpch_q6", "vocab_stats",
+    "winnow_fingerprints",
 )
 _SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
                                  **{n: 7 for n in _R07},
-                                 **{n: 8 for n in _R08}}
+                                 **{n: 8 for n in _R08},
+                                 **{n: 9 for n in _R09}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-9 diff: the Jaccard pair ops (minhash_lsh_pairs /
-# ngram_jaccard_pairs) migrated from F.round to the portable
-# stable_round floor formula (post-r5 rounding policy, ADVICE r8) with
-# the oracle CTEs updated identically — fronting every query that
-# embeds those pairs; and _kmeans_fit's loop was restructured for the
-# routed empty-cluster guard (exact-path numerics unchanged,
-# oracle-verified) — fronting every k-means consumer on policy.
-_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "minhash_lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
-    "dedup_recall", "dedup_clusters", "dedup_clusters_star",
-    "dedup_keep_best", "leakage_split", "source_overlap",
-    "incremental_dedup",
-    "kmeans_train", "knn_ivf_trained", "pq_knn", "knn_ivfpq",
-    "knn_recall", "knn_recall_clustered", "semantic_dedup",
-    "cluster_sample",
-    # r9: Hamming-2 perturbation sets (probes 7 -> 24, max_flip=2)
-    "knn_multiprobe",
-)
+# Round-10 start: empty (the r9 window signed every changed-code name;
+# refill from this round's diff as code lands).
+_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ()
 
 
 def _ordered_names() -> list[str]:
