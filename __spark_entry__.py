@@ -93,8 +93,10 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-10 start: empty (the r9 window signed every changed-code name;
-# refill from this round's diff as code lands).
+# Round-10 diff so far: pure ADDITIONS (operators/bpe.py bpe_encode,
+# operators/similarity.py semantic_prune, their registry entries) — no
+# existing query's code path changed, so nothing fronts; the two new
+# queries front via the never-signed rule.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ()
 
 

@@ -44,6 +44,18 @@ from kafka_streams_examples_spark.session import get_spark
 
 # Headline set: one representative per operator family, weighted toward the
 # scale-sensitive ones (joins, windows, dedup, ANN).
+#
+# ROTATION POLICY (r10, wire-budget cap): the printed bench line must fit
+# the driver's ~2000-char stdout tail (contract-tested at 1700 worst-case),
+# which caps HEADLINE at its current 61 names. Adding a query to HEADLINE
+# therefore requires rotating one out, newest-in/oldest-out among
+# REDUNDANT family members only — prefer dropping signature-builders whose
+# composed consumer stays (e.g. minhash_signature -> minhash_lsh_pairs /
+# dedup_clusters cover the same plan prefix), never the sole
+# representative of a family. Rotated-out queries keep full correctness
+# coverage (registry + parity gate) and SCALE decades; they only leave the
+# per-round wire line. test_headline_cap pins the cap; the existing
+# wire-budget test pins the consequence.
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
@@ -61,7 +73,10 @@ HEADLINE = [
     "topk_revenue",
     "dedup_ttl",
     "exact_dedup",
-    "minhash_signature",
+    # r10 rotation: minhash_signature and simhash (signature-builders)
+    # rotated out for bpe_encode and semantic_prune (their composed
+    # consumers minhash_lsh_pairs / dedup_clusters /
+    # simhash_hamming_pairs stay in the line)
     # ngram_jaccard here is the UNCAPPED exact inverted-index variant:
     # cost is sum over shingles of df^2, i.e. quadratic in the longest
     # posting list. Safe at this fixture's shingle skew ONLY —
@@ -70,7 +85,6 @@ HEADLINE = [
     # of silently dominating the bench. ngram_jaccard_capped / the LSH
     # family are the declared 100 TB scale paths.
     "ngram_jaccard",
-    "simhash",
     "knn_cosine",
     "knn_ivf",
     "embedding_near_dup",
@@ -127,6 +141,11 @@ HEADLINE = [
     "knn_graph",
     # r9 addition: per-source vocabulary profile (distinct-heavy rollup)
     "vocab_stats",
+    # r10 rotations in (see policy above): corpus-wide BPE tokenization
+    # (broadcast merge-fold, zero corpus shuffles) and SemDeDup-style
+    # knn_graph consumer (thresholded edges -> CC -> centroid-ranked keep)
+    "bpe_encode",
+    "semantic_prune",
 ]
 
 

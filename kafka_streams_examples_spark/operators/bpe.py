@@ -134,6 +134,88 @@ def bpe_vocab(docs: DataFrame, merges: int = 6,
     return vocab
 
 
+#: Word separator used by :func:`bpe_encode`'s whole-document
+#: segmentation. Any non-whitespace char absent from the corpus works;
+#: \x01 is outside every tokenizer split's output for text corpora (a
+#: corpus that genuinely contains \x01 would train it as an ordinary
+#: symbol AND collide here — documented assumption, not checked per row).
+WORD_SEP = "\x01"
+
+
+def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus with the learned merges: per-document token-id
+    sequences — the production step between tokenizer training
+    (:func:`bpe_train`) and sequence packing / token counting.
+
+    Returns (id_col, n_words, n_tokens, token_ids) where token_ids is the
+    comma-joined id sequence (the portable hash-verification surface; a
+    downstream consumer keeps the int array this stringifies).
+
+    100 TB design: encoding is ONE corpus scan with zero corpus shuffles.
+    The learned state is two 1-row broadcasts built from
+    vocabulary-scale tables — (a) the K-row merge table folded into one
+    array column, (b) the symbol->id map (distinct post-merge symbols,
+    dense lexicographic ids) — attached via a broadcast nested-loop join
+    of a single row. Each document is then char-segmented per word
+    (words joined by WORD_SEP, which no merge pattern can cross), the K
+    merges are applied IN TRAINING ORDER by a codegen'd ``F.aggregate``
+    fold of the same two-pass literal replace the trainer used
+    (module docstring contract — so every word's in-document
+    segmentation is bit-identical to its trained ``bpe_vocab`` row,
+    which is what the relational oracle joins against), and symbols map
+    to ids through the broadcast map. No per-word vocabulary join ever
+    touches the corpus: the merge fold re-derives each word's
+    segmentation scan-side, so out-of-vocabulary words (absent here by
+    construction, present in a true inference setting) segment correctly
+    instead of failing a lookup.
+    """
+    bests, vocab = _train(docs, merges, text_col)
+    merge_tab = (reduce(DataFrame.unionAll, bests) if bests else None)
+
+    syms = (vocab.select(F.explode(F.split("seq", " ")).alias("sym"))
+                 .distinct())
+    # global rank over the symbol table: vocabulary-scale (distinct chars
+    # + at most K merged symbols), so the single-partition window is a
+    # few-hundred-row sort, not a corpus operation
+    from pyspark.sql import Window
+    ids = syms.select(
+        "sym",
+        F.row_number().over(Window.orderBy("sym")).cast("int").alias("sym_id"))
+
+    id_map = ids.agg(F.map_from_entries(
+        F.collect_list(F.struct("sym", "sym_id"))).alias("__ids"))
+    if merge_tab is not None:
+        merge_arr = merge_tab.agg(F.array_sort(F.collect_list(
+            F.struct("merge_rank", "lhs", "rhs"))).alias("__merges"))
+        aux = F.broadcast(merge_arr.crossJoin(id_map))
+    else:
+        aux = F.broadcast(id_map.select(
+            F.array().cast("array<struct<merge_rank:int,lhs:string,"
+                           "rhs:string>>").alias("__merges"), "__ids"))
+
+    words = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                     lambda x: x != "")
+    enc = (docs.select(id_col, F.col(text_col))
+               .join(aux, F.lit(True), "left")
+               .withColumn("__words", words)
+               .withColumn("__seg", F.array_join(
+                   F.transform("__words", _char_seq), f" {WORD_SEP} "))
+               .withColumn("__enc", F.aggregate(
+                   "__merges", F.col("__seg"),
+                   lambda acc, m: _apply_merge(acc, m["lhs"], m["rhs"])))
+               .withColumn("__toks", F.filter(
+                   F.split("__enc", " "),
+                   lambda s: (s != WORD_SEP) & (s != ""))))
+    return enc.select(
+        F.col(id_col),
+        F.size("__words").cast("long").alias("n_words"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.array_join(F.transform(
+            "__toks", lambda s: F.element_at(F.col("__ids"), s)
+                                 .cast("string")), ",").alias("token_ids"))
+
+
 def bpe_fertility(docs: DataFrame, merges: int = 6,
                   text_col: str = "text",
                   group_col: str = "source") -> DataFrame:

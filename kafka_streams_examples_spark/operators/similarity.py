@@ -136,6 +136,62 @@ def knn_graph(corpus: DataFrame, k: int = 3, id_col: str = "vec_id",
                                   stable_round(sim, 6).alias("__sim")), k)
 
 
+def semantic_prune(corpus: DataFrame, k: int = 3, eps: float = 0.35,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """SemDeDup-style graph pruning (Abbas et al. 2023, arXiv:2303.09540):
+    the curation step that CONSUMES :func:`knn_graph` — kNN edges above a
+    similarity threshold define semantic-duplicate groups (connected
+    components), and each group keeps the member LEAST similar to its
+    block centroid (SemDeDup's low-centroid-similarity keeper: the most
+    peripheral = most informative example survives; ties to the lower
+    id).
+
+    Output: one row per vector — (id, cluster_id, n_members, cent_sim,
+    kept) — the keep/drop manifest a corpus build applies as a
+    semi-join filter.
+
+    Scale shape: composes three audited plans and adds nothing
+    super-linear. Edges come from knn_graph's block-confined label
+    self-join (quadratic per block only) filtered to cos >= eps — so
+    the CC input is a sparse edge list orders smaller than the corpus;
+    components via the CC loop (int64 pair shuffles, driver sees one
+    scalar per round); centroid similarity is an equi-join against the
+    label-means table (label-count rows — broadcast-sized by
+    construction). eps is fixture-calibrated (this synthetic corpus
+    tops out near cos 0.47 within blocks); production SemDeDup uses
+    ~0.95+ on real embeddings — the plan is identical at any eps.
+    """
+    from .dedup import connected_components
+    edges = (knn_graph(corpus, k=k, id_col=id_col, vec_col=vec_col,
+                       label_col=label_col)
+             .filter(F.col("cos_sim") >= eps)
+             .select("q_id", "c_id"))
+    cc = connected_components(edges, corpus.select(id_col),
+                              src_col="q_id", dst_col="c_id",
+                              id_col=id_col)
+    cents = centroids_from_labels(corpus, id_col, vec_col, label_col)
+    cents = cents.withColumn("cent_norm", l2_norm(F.col("centroid")))
+    sim = (dot_product(F.col(vec_col), F.col("centroid"))
+           / (l2_norm(F.col(vec_col)) * F.col("cent_norm")))
+    cs = (corpus.join(cents, corpus[label_col] == cents["centroid_id"])
+                .select(id_col, stable_round(sim, 6).alias("__c6")))
+    j = cc.join(cs, id_col).select(
+        F.col(id_col), F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("__c6"))
+    wr = Window.partitionBy("cluster_id").orderBy(F.col("__c6"),
+                                                  F.col(id_col))
+    wn = Window.partitionBy("cluster_id")
+    return (j.withColumn("__rn", F.row_number().over(wr))
+             .withColumn("n_members", F.count("*").over(wn))
+             .select(F.col(id_col),
+                     "cluster_id",
+                     F.col("n_members").cast("long").alias("n_members"),
+                     stable_round(F.col("__c6"), 4).alias("cent_sim"),
+                     F.when(F.col("__rn") == 1, 1).otherwise(0)
+                      .cast("int").alias("kept")))
+
+
 def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    nprobe: int = 2, id_col: str = "vec_id",
                    vec_col: str = "embedding",

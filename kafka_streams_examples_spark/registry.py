@@ -1109,6 +1109,67 @@ def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "semantic_prune",
+    """WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                            FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) / 1e6 AS s6
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+    g AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, s6,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY s6 DESC, c_id) AS rnk
+        FROM cand) t
+      WHERE rnk <= 3 AND floor(s6 * 1e4 + 0.5) / 1e4 >= 0.35),
+    sym AS (SELECT q_id AS src, c_id AS dst FROM g
+            UNION SELECT c_id, q_id FROM g),
+    walk(node, lbl) AS (
+      SELECT vec_id, vec_id FROM e
+      UNION
+      SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.node),
+    cl AS (SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+           FROM walk GROUP BY node),
+    parts AS (SELECT label AS centroid_id, dim, v[dim] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS t(dim)),
+    cents AS (SELECT centroid_id, list(m ORDER BY dim) AS centroid
+              FROM (SELECT centroid_id, dim, avg(x) AS m FROM parts
+                    GROUP BY 1, 2)
+              GROUP BY centroid_id),
+    cs AS (SELECT e.vec_id,
+             floor(list_cosine_similarity(e.v, c.centroid) * 1e6 + 0.5) / 1e6
+               AS c6
+           FROM e JOIN cents c ON c.centroid_id = e.label),
+    j AS (SELECT cl.vec_id, cl.cluster_id, cs.c6 FROM cl JOIN cs USING (vec_id))
+    SELECT vec_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS n_members,
+           floor(c6 * 1e4 + 0.5) / 1e4 AS cent_sim,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY c6, vec_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM j""",
+    "SemDeDup-style graph pruning (Abbas et al. 2023) — the curation "
+    "step that CONSUMES knn_graph: edges above the similarity "
+    "threshold define semantic-duplicate components, and each "
+    "component keeps its member LEAST similar to the block centroid "
+    "(the most peripheral = most informative example; ties to lower "
+    "id). One row per vector with (cluster_id, n_members, cent_sim, "
+    "kept) — the keep/drop manifest a corpus build applies as a "
+    "semi-join. Composes three audited plans: the block-confined "
+    "knn_graph self-join, the CC loop over the sparse "
+    "above-threshold edge list, and a label-means equi-join "
+    "(label-count rows). eps=0.35 is fixture-calibrated (synthetic "
+    "blocks top out near cos 0.47); production embeddings use "
+    "~0.95+ — identical plan at any eps. Oracle: the same edges, a "
+    "recursive-CTE fixpoint, and identically rounded centroid "
+    "cosines.",
+)
+def q_semantic_prune(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.semantic_prune(table(spark, sf, "embeddings"), k=3, eps=0.35)
+
+
+@query(
     "vocab_stats",
     r"""WITH tk AS (
       SELECT doc_id, source,
@@ -3730,6 +3791,57 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_bpe_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return BPE.bpe_fertility(table(spark, sf, "documents"), merges=6)
+
+
+_BPE_ENCODE_SQL = f"""WITH {_bpe_ctes(6)},
+    syms AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS sym FROM v6),
+    ids AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS INTEGER)
+              AS sym_id FROM syms),
+    dt AS (SELECT doc_id, regexp_split_to_array(lower(coalesce(text, '')),
+             '\\s+') AS arr FROM documents),
+    dw AS (SELECT doc_id, j, arr[j] AS word
+           FROM dt, unnest(generate_series(1, len(arr))) AS t(j)
+           WHERE arr[j] <> ''),
+    seg AS (SELECT d.doc_id, d.j, string_split(v.seq, ' ') AS ss
+            FROM dw d JOIN v6 v ON v.word = d.word),
+    tok AS (SELECT doc_id, j, k, ss[k] AS sym
+            FROM seg, unnest(generate_series(1, len(ss))) AS t(k)),
+    wt AS (SELECT t.doc_id, t.j, t.k, i.sym_id FROM tok t JOIN ids i USING (sym)),
+    agg AS (SELECT doc_id,
+              CAST(count(DISTINCT j) AS BIGINT) AS n_words,
+              CAST(count(*) AS BIGINT) AS n_tokens,
+              string_agg(CAST(sym_id AS VARCHAR), ',' ORDER BY j, k)
+                AS token_ids
+            FROM wt GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.token_ids, '') AS token_ids
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@query(
+    "bpe_encode",
+    _BPE_ENCODE_SQL,
+    "Corpus-wide tokenization with the learned BPE merges — the "
+    "production step between tokenizer training (bpe_train) and "
+    "pack_sequences/token_count, which until now counted whitespace "
+    "tokens. Per document: (n_words, n_tokens, token_ids) where "
+    "token_ids is the comma-joined dense-id sequence (the downstream "
+    "consumer keeps the int array this stringifies). Encoding is ONE "
+    "corpus scan, zero corpus shuffles: the K-row merge table folds "
+    "into a 1-row broadcast array applied in training order by a "
+    "codegen'd F.aggregate of the trainer's own two-pass replace "
+    "(operators/bpe.py merge contract — each word's in-document "
+    "segmentation is bit-identical to its bpe_vocab row), and symbols "
+    "map to ids through a broadcast symbol->id map (dense "
+    "lexicographic rank over the vocabulary-scale symbol set). The "
+    "oracle replicates it relationally: per-word segmentation joined "
+    "from the trained v6 vocabulary — equivalent BY the merge "
+    "contract, so the parity check is also an encode-vs-train "
+    "consistency proof.",
+)
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    return BPE.bpe_encode(table(spark, sf, "documents"), merges=6)
 
 
 @query(

@@ -139,6 +139,21 @@ def test_bench_payload_carries_load_honesty_fields():
                          0.45, 0.30)["canary"]["spread"] == 1.5
 
 
+def test_headline_cap():
+    # r10 rotation policy (bench.py HEADLINE comment): the wire budget
+    # caps the headline at 61 names — growth must rotate, not append.
+    # Every headline name must be a registry query (a rotation typo would
+    # otherwise surface as a KeyError mid-bench).
+    import bench
+    from kafka_streams_examples_spark.registry import QUERIES
+
+    assert len(bench.HEADLINE) == 61, (
+        "HEADLINE must stay at 61 names (wire budget) — rotate a "
+        "redundant family member out instead of appending")
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert set(bench.HEADLINE) <= set(QUERIES)
+
+
 def test_bench_printed_line_fits_capture_budget():
     # BENCH_r06 postmortem: the driver keeps only the LAST ~2000 chars of
     # stdout (shared with trailing Spark-shutdown WARN lines), and r6's

@@ -1336,3 +1336,66 @@ def test_knn_graph_bucketed_corpus_joins_without_exchange(spark, sf_dir,
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_semantic_prune_keepers(spark, sf_dir):
+    """semantic_prune (the knn_graph consumer): covers every vector
+    exactly once, keeps exactly one member per cluster, the keeper is
+    the member LEAST similar to its label centroid (ties to lower id),
+    and components match a python union-find over the >= eps edges."""
+    import numpy as np
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        knn_graph, semantic_prune)
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    rows = semantic_prune(emb, k=3, eps=0.35).collect()
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    assert sorted(r.vec_id for r in rows) == sorted(ids)
+
+    # python union-find over the same thresholded edge list
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    edges = [(r.q_id, r.c_id) for r in knn_graph(emb, k=3).collect()
+             if r.cos_sim >= 0.35]
+    assert edges, "eps=0.35 must leave a nontrivial graph on this fixture"
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in ids}
+    got_cluster = {r.vec_id: r.cluster_id for r in rows}
+    assert got_cluster == comp
+
+    # exactly one keeper per cluster; keeper = min (cent_sim, vec_id);
+    # n_members consistent
+    pdf = emb.toPandas()
+    lab = dict(zip(pdf.vec_id, pdf.label))
+    V = {int(r.vec_id): np.array(r.embedding, dtype=float)
+         for r in pdf.itertuples()}
+    cents = {}
+    for i in ids:
+        cents.setdefault(lab[i], []).append(V[i])
+    cents = {l: np.mean(vs, axis=0) for l, vs in cents.items()}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    sizes = {c: len(rs) for c, rs in by_cluster.items()}
+    assert any(s > 1 for s in sizes.values())  # nontrivial clusters exist
+    for c, rs in by_cluster.items():
+        assert sum(r.kept for r in rs) == 1
+        assert all(r.n_members == sizes[c] for r in rs)
+        keeper = min(rs, key=lambda r: (r.cent_sim, r.vec_id))
+        assert next(r for r in rs if r.kept == 1).vec_id == keeper.vec_id
+        for r in rs[:10]:
+            v, ce = V[r.vec_id], cents[lab[r.vec_id]]
+            want = float(np.dot(v, ce)
+                         / (np.linalg.norm(v) * np.linalg.norm(ce)))
+            assert abs(r.cent_sim - round(want, 4)) < 2e-4

@@ -58,6 +58,11 @@ BNLJ_BY_DESIGN = {
     # 1-row corpus/target-total broadcast attached to the bucket LM table
     # (the unigram_surprisal shape)
     "dsir_score",
+    # corpus-wide BPE encode: the learned state attaches as ONE 1-row
+    # broadcast (K-row merge table folded to an array + the symbol->id
+    # map) cross-joined onto the scan — the tfidf_top_terms shape; the
+    # trainer's own per-merge winner attach rides in the same plan
+    "bpe_encode",
     # composes the four allowlisted ANN tiers above (brute's broadcast
     # query set, IVF centroid routing, ADC lookup tables) plus its own
     # 1-row denominator broadcast; the recall overlay itself is an
