@@ -142,34 +142,14 @@ def bpe_vocab(docs: DataFrame, merges: int = 6,
 WORD_SEP = "\x01"
 
 
-def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
-    """Tokenize the corpus with the learned merges: per-document token-id
-    sequences — the production step between tokenizer training
-    (:func:`bpe_train`) and sequence packing / token counting.
-
-    Returns (id_col, n_words, n_tokens, token_ids) where token_ids is the
-    comma-joined id sequence (the portable hash-verification surface; a
-    downstream consumer keeps the int array this stringifies).
-
-    100 TB design: encoding is ONE corpus scan with zero corpus shuffles.
-    The learned state is two 1-row broadcasts built from
-    vocabulary-scale tables — (a) the K-row merge table folded into one
-    array column, (b) the symbol->id map (distinct post-merge symbols,
-    dense lexicographic ids) — attached via a broadcast nested-loop join
-    of a single row. Each document is then char-segmented per word
-    (words joined by WORD_SEP, which no merge pattern can cross), the K
-    merges are applied IN TRAINING ORDER by a codegen'd ``F.aggregate``
-    fold of the same two-pass literal replace the trainer used
-    (module docstring contract — so every word's in-document
-    segmentation is bit-identical to its trained ``bpe_vocab`` row,
-    which is what the relational oracle joins against), and symbols map
-    to ids through the broadcast map. No per-word vocabulary join ever
-    touches the corpus: the merge fold re-derives each word's
-    segmentation scan-side, so out-of-vocabulary words (absent here by
-    construction, present in a true inference setting) segment correctly
-    instead of failing a lookup.
-    """
+def bpe_codec(docs: DataFrame, merges: int = 6,
+              text_col: str = "text") -> DataFrame:
+    """Train on `docs` and return the 1-row broadcastable CODEC table:
+    (__merges: array<struct<merge_rank,lhs,rhs>> in training order,
+    __ids: map<symbol,int> — dense lexicographic ids over the post-merge
+    symbol set). This is the learned state :func:`apply_bpe` attaches to
+    any corpus or stream; both columns are built from vocabulary-scale
+    tables, never the corpus."""
     bests, vocab = _train(docs, merges, text_col)
     merge_tab = (reduce(DataFrame.unionAll, bests) if bests else None)
 
@@ -188,16 +168,30 @@ def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
     if merge_tab is not None:
         merge_arr = merge_tab.agg(F.array_sort(F.collect_list(
             F.struct("merge_rank", "lhs", "rhs"))).alias("__merges"))
-        aux = F.broadcast(merge_arr.crossJoin(id_map))
-    else:
-        aux = F.broadcast(id_map.select(
-            F.array().cast("array<struct<merge_rank:int,lhs:string,"
-                           "rhs:string>>").alias("__merges"), "__ids"))
+        return merge_arr.crossJoin(id_map)
+    return id_map.select(
+        F.array().cast("array<struct<merge_rank:int,lhs:string,"
+                       "rhs:string>>").alias("__merges"), "__ids")
 
+
+def apply_bpe(docs: DataFrame, codec: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Scan-side encode of `docs` with a trained :func:`bpe_codec` —
+    stateless Column expressions after a broadcast nested-loop join of
+    the codec's single row, so the SAME function encodes a batch corpus
+    and a streaming DataFrame (stream-static join; see
+    streaming/pipelines.py:streaming_bpe_encode).
+
+    OOV contract: a word absent from training still segments correctly
+    (the merge fold re-derives segmentations; no vocabulary lookup), and
+    any resulting symbol outside the codec's id map — only possible via
+    a CHARACTER never seen in training — encodes as the reserved UNK id
+    0 (dense ranks start at 1). Without the explicit fallback,
+    ``array_join`` would silently drop null ids and under-count."""
     words = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                      lambda x: x != "")
     enc = (docs.select(id_col, F.col(text_col))
-               .join(aux, F.lit(True), "left")
+               .join(F.broadcast(codec), F.lit(True), "left")
                .withColumn("__words", words)
                .withColumn("__seg", F.array_join(
                    F.transform("__words", _char_seq), f" {WORD_SEP} "))
@@ -212,8 +206,40 @@ def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
         F.size("__words").cast("long").alias("n_words"),
         F.size("__toks").cast("long").alias("n_tokens"),
         F.array_join(F.transform(
-            "__toks", lambda s: F.element_at(F.col("__ids"), s)
+            "__toks", lambda s: F.coalesce(F.element_at(F.col("__ids"), s),
+                                           F.lit(0))
                                  .cast("string")), ",").alias("token_ids"))
+
+
+def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Tokenize the corpus with the learned merges: per-document token-id
+    sequences — the production step between tokenizer training
+    (:func:`bpe_train`) and sequence packing / token counting.
+
+    Returns (id_col, n_words, n_tokens, token_ids) where token_ids is the
+    comma-joined id sequence (the portable hash-verification surface; a
+    downstream consumer keeps the int array this stringifies).
+
+    100 TB design: encoding is ONE corpus scan with zero corpus shuffles.
+    The learned state is ONE 1-row broadcast built from vocabulary-scale
+    tables — the K-row merge table folded into an array column plus the
+    symbol->id map (:func:`bpe_codec`) — attached via a broadcast
+    nested-loop join of a single row. Each document is then
+    char-segmented per word (words joined by WORD_SEP, which no merge
+    pattern can cross), the K merges are applied IN TRAINING ORDER by a
+    codegen'd ``F.aggregate`` fold of the same two-pass literal replace
+    the trainer used (module docstring contract — so every word's
+    in-document segmentation is bit-identical to its trained
+    ``bpe_vocab`` row, which is what the relational oracle joins
+    against), and symbols map to ids through the broadcast map. No
+    per-word vocabulary join ever touches the corpus: the merge fold
+    re-derives each word's segmentation scan-side, so out-of-vocabulary
+    words (absent here by construction, present in a true inference
+    setting) segment correctly instead of failing a lookup.
+    """
+    return apply_bpe(docs, bpe_codec(docs, merges, text_col),
+                     text_col, id_col)
 
 
 def bpe_fertility(docs: DataFrame, merges: int = 6,

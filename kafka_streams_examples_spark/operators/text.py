@@ -410,8 +410,24 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
     contribute nothing and are omitted from the output.
     """
     n = F.size(F.filter(tokens(text_col), lambda x: x != ""))
-    d = docs.select(F.col(id_col), n.cast("long").alias("__n"),
-                    F.shiftright(F.col(id_col), id_bits).alias("__b"))
+    return pack_counts(docs.select(F.col(id_col),
+                                   n.cast("long").alias("__cnt")),
+                       budget=budget, id_col=id_col, n_col="__cnt",
+                       id_bits=id_bits)
+
+
+def pack_counts(counts: DataFrame, budget: int = 256,
+                id_col: str = "doc_id", n_col: str = "n_tokens",
+                id_bits: int = 10) -> DataFrame:
+    """The packer core over PRECOMPUTED per-document token counts —
+    tokenizer-agnostic: `pack_sequences` feeds it whitespace counts,
+    `pack_sequences_bpe` (registry) feeds it the learned-BPE counts from
+    ``bpe.bpe_encode`` (whose unused token_ids column Catalyst prunes
+    from the scan, so counting costs the encode's expressions only).
+    Same contract and range-bucketed two-phase prefix sum as
+    :func:`pack_sequences` (docstring above)."""
+    d = counts.select(F.col(id_col), F.col(n_col).cast("long").alias("__n"),
+                      F.shiftright(F.col(id_col), id_bits).alias("__b"))
     sums = d.groupBy("__b").agg(F.sum("__n").alias("__t"))
     offs = sums.select(
         "__b",

@@ -3845,6 +3845,41 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_bpe",
+    f"""WITH {_bpe_ctes(6)},
+    dw AS (SELECT doc_id, word FROM ({SQL_TOKENS}) WHERE word <> ''),
+    t AS (SELECT d.doc_id,
+            CAST(sum(len(string_split(v.seq, ' '))) AS BIGINT) AS n
+          FROM dw d JOIN v6 v USING (word) GROUP BY d.doc_id),
+    p AS (SELECT doc_id, n,
+            CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS BIGINT) AS s
+          FROM t),
+    e AS (SELECT doc_id, n, s, j AS seq_id
+          FROM p, unnest(generate_series(s // 256, (s + n - 1) // 256)) AS u(j)
+          WHERE n > 0)
+    SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(s, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_off,
+           CAST(greatest(s, seq_id * 256) - s AS BIGINT) AS tok_from,
+           CAST(least(s + n, (seq_id + 1) * 256) - s AS BIGINT) AS tok_to
+    FROM e""",
+    "Training-sequence packing over the LEARNED tokenizer's counts — "
+    "what the dataloader actually packs: bpe_encode's per-doc n_tokens "
+    "(symbols after the six trained merges) feed the same range-bucketed "
+    "two-phase prefix sum as pack_sequences (operators/text.py "
+    "pack_counts — the packer core is tokenizer-agnostic). Catalyst "
+    "prunes the encoder's unused token_ids column, so the count costs "
+    "only the scan-side merge-fold expressions. Oracle derives the same "
+    "counts relationally (per-word v6 segmentation lengths summed per "
+    "doc) and reuses pack_sequences' window arithmetic verbatim.",
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    enc = BPE.bpe_encode(docs, merges=6).select("doc_id", "n_tokens")
+    return TX.pack_counts(enc, budget=256)
+
+
+@query(
     "source_mixture",
     r"""WITH s AS (SELECT source, count(*) AS n_docs,
       CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),

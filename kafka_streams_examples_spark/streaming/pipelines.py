@@ -228,6 +228,24 @@ def music_charts_service(spark, plays: DataFrame, songs: DataFrame,
     return q, charts
 
 
+def streaming_bpe_encode(docs: DataFrame, codec: DataFrame) -> DataFrame:
+    """BPE tokenization AT INGEST: the trained codec (a 1-row static
+    DataFrame from ``operators.bpe.bpe_codec`` — merge array + symbol->id
+    map) broadcast-joins onto the raw document stream, and
+    ``operators.bpe.apply_bpe``'s scan-side expressions (char-segment,
+    ordered merge fold, id map) run unmodified on the streaming
+    DataFrame — stateless, append mode, no state store, bounded by
+    scan/decode throughput. This is how a 100 TB ingest tokenizes
+    documents as they arrive instead of re-scanning the corpus after the
+    fact; the tokenizer itself stays a batch artifact retrained
+    offline (exactly the Kafka Streams GlobalKTable shape: static
+    enrichment state, streaming facts). Batch-equality is pinned by
+    tests/test_streaming.py::test_streaming_bpe_encode_equals_batch."""
+    from ..operators.bpe import apply_bpe
+
+    return apply_bpe(docs, codec)
+
+
 def streaming_gopher_gate(docs: DataFrame) -> DataFrame:
     """The Gopher rule battery applied AT INGEST — the quality gate a
     100 TB corpus build runs on the raw stream before anything is

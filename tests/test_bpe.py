@@ -150,6 +150,51 @@ def test_bpe_encode_degenerate_docs(spark):
         == (2, 2, "1,1")
 
 
+def test_apply_bpe_oov_inference(docs):
+    """True-inference OOV contract: a codec trained on one corpus applied
+    to another segments unseen WORDS correctly via the merge fold (no
+    vocabulary lookup to miss), and symbols containing never-seen CHARS
+    encode as the reserved UNK id 0 instead of being silently dropped."""
+    spark = docs.sparkSession
+    codec = BPE.bpe_codec(docs, merges=5)
+    # 'lowest': unseen word, but chars + ('lo','w'->'low','es','est') style
+    # merges re-derive a valid segmentation with every symbol in-map;
+    # 'zzz': 'z' never seen in training -> all-UNK, count preserved
+    other = spark.createDataFrame([(0, "lowest zzz", "s")],
+                                  ["doc_id", "text", "source"])
+    r = BPE.apply_bpe(other, codec).collect()[0]
+    assert r.n_words == 2
+    toks = r.token_ids.split(",")
+    assert len(toks) == r.n_tokens > 2
+    # the zzz word contributes exactly 3 UNK ids, the OOV word none
+    assert toks.count("0") == 3
+    assert all(t.isdigit() for t in toks)
+
+
+def test_pack_counts_bpe_composition(docs):
+    """pack_sequences_bpe's core property: packing the encoder's counts
+    tiles the global token stream exactly — every BPE token position
+    covered once, per-doc spans contiguous from 0 to n_tokens."""
+    from kafka_streams_examples_spark.operators.text import pack_counts
+
+    enc_rows = BPE.bpe_encode(docs, merges=5).collect()
+    n_by_doc = {r.doc_id: r.n_tokens for r in enc_rows}
+    total = sum(n_by_doc.values())
+    enc = BPE.bpe_encode(docs, merges=5).select("doc_id", "n_tokens")
+    rows = pack_counts(enc, budget=7).collect()
+    covered = set()
+    spans: dict = {}
+    for r in rows:
+        g = r.seq_id * 7 + r.seq_off
+        covered.update(range(g, g + (r.tok_to - r.tok_from)))
+        spans.setdefault(r.doc_id, []).append((r.tok_from, r.tok_to))
+    assert covered == set(range(total))
+    for d, sp in spans.items():
+        sp.sort()
+        assert sp[0][0] == 0 and sp[-1][1] == n_by_doc[d]
+        assert all(b == c for (_, b), (c, _) in zip(sp, sp[1:]))
+
+
 def test_source_mixture_weights(docs):
     rows = source_mixture(docs, alpha=0.5).collect()
     # weights normalize (quantization leaves ~1e-6 slack) and upweight

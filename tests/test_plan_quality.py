@@ -63,6 +63,8 @@ BNLJ_BY_DESIGN = {
     # map) cross-joined onto the scan — the tfidf_top_terms shape; the
     # trainer's own per-merge winner attach rides in the same plan
     "bpe_encode",
+    # packs bpe_encode's counts — inherits the same 1-row codec broadcast
+    "pack_sequences_bpe",
     # composes the four allowlisted ANN tiers above (brute's broadcast
     # query set, IVF centroid routing, ADC lookup tables) plus its own
     # 1-row denominator broadcast; the recall overlay itself is an

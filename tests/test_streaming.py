@@ -779,6 +779,33 @@ def test_python_stateful_pipelines_keep_python_cost_class(spark, sf_dir):
     assert out["fraud_check"]["cost_class"] == "python"
 
 
+def test_streaming_bpe_encode_equals_batch(spark, sf_dir):
+    """Ingest-time BPE tokenization: the trained codec applied to the
+    document stream must produce row-for-row the token-id sequences the
+    batch encoder computes on the same fixture (the codec is the only
+    state; the encode is stateless scan expressions on both sides)."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.bpe import (
+        bpe_codec, bpe_encode,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_bpe_encode,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    codec = bpe_codec(docs, merges=6)
+    out = streaming_bpe_encode(stream_table(spark, sf_dir, "documents"),
+                               codec)
+    name, q = run_to_memory(out, mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    q.stop()
+    want = {tuple(r) for r in bpe_encode(docs, merges=6).collect()}
+    assert got == want and got
+
+
 def test_streaming_gopher_gate_equals_batch(spark, sf_dir):
     """The ingest-time Gopher gate is the batch battery verbatim
     (stateless Column expressions), so the streamed verdicts must be

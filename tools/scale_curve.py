@@ -60,6 +60,10 @@ CURVE = [
     # r9 additions (cluster-hash probabilistic keep; foreign-cell IVF
     # route + rerank)
     "soft_dedup", "knn_hard_negatives", "knn_graph", "vocab_stats",
+    # r10 additions (broadcast merge-fold corpus encode; knn_graph ->
+    # CC -> centroid-ranked keep; encode composed with the two-phase
+    # packer)
+    "bpe_encode", "semantic_prune", "pack_sequences_bpe",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -76,7 +80,10 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "simhash_hamming_pairs", "knn_ivf_trained",
             "exact_substring_dedup",
             # r9 additions
-            "soft_dedup", "knn_graph", "knn_hard_negatives"]
+            "soft_dedup", "knn_graph", "knn_hard_negatives",
+            # r10 addition (the knn_graph consumer inherits its block
+            # confinement; the CC loop adds round-count-bound work)
+            "semantic_prune"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
