@@ -94,11 +94,11 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
 # Round-10 diff: mostly ADDITIONS (bpe_encode/bpe_codec/apply_bpe,
-# semantic_prune, pack_sequences_bpe + streaming_bpe_encode, which all
-# front via the never-signed rule) — plus ONE refactor of an existing
-# path: pack_sequences' body moved into the tokenizer-agnostic
-# pack_counts core (operators/text.py; output byte-identical by
-# construction, fronted on policy).
+# semantic_prune, pack_sequences_bpe + streaming_bpe_encode,
+# label_silhouette — all front via the never-signed rule) — plus ONE
+# refactor of an existing path: pack_sequences' body moved into the
+# tokenizer-agnostic pack_counts core (operators/text.py; output
+# byte-identical by construction, fronted on policy).
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ("pack_sequences",)
 
 

@@ -192,6 +192,69 @@ def semantic_prune(corpus: DataFrame, k: int = 3, eps: float = 0.35,
                       .cast("int").alias("kept")))
 
 
+def label_silhouette(corpus: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Per-vector label-noise score (the cleanlab-style centroid
+    silhouette a curation pipeline runs before trusting labels): cosine
+    to the OWN label centroid vs the best FOREIGN centroid; a negative
+    margin means some other label's centroid explains the vector better
+    — a relabel/review candidate.
+
+    Output: (id, label, own_sim, foreign_sim, foreign_label, margin,
+    suspect) — foreign_label is the best foreign centroid (ties to the
+    lower label), suspect = margin < 0.
+
+    Scale shape: ZERO corpus shuffles. The label-centroid table (k rows,
+    k·dim doubles — the kmeans_train broadcast size) folds into a 1-row
+    array and broadcast-joins the scan; each row scores all k centroids
+    with scan-side array folds (k is the quantizer's choice, so per-row
+    work is bounded and SF-independent). Per-centroid cosines quantize
+    at 6 decimals BEFORE the max/argmax so the oracle's tie-break on
+    (score, label) is exact on both engines.
+    """
+    cents = centroids_from_labels(corpus, id_col, vec_col, label_col)
+    cents = cents.withColumn("cent_norm", l2_norm(F.col("centroid")))
+    carr = F.broadcast(cents.agg(F.array_sort(F.collect_list(
+        F.struct(F.col("centroid_id").alias("lb"), "centroid",
+                 "cent_norm"))).alias("__cents")))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            c["lb"].alias("lb"),
+            stable_round(dot_product(F.col(vec_col), c["centroid"])
+                         / (l2_norm(F.col(vec_col)) * c["cent_norm"]),
+                         6).alias("s6")))
+    own = F.element_at(
+        F.filter(F.col("__scored"),
+                 lambda s: s["lb"] == F.col(label_col)), 1)["s6"]
+    foreign = F.filter(F.col("__scored"),
+                       lambda s: s["lb"] != F.col(label_col))
+    best = F.array_max(F.transform(F.col("__foreign"), lambda s: s["s6"]))
+    best_lb = F.array_min(F.transform(
+        F.filter(F.col("__foreign"), lambda s: s["s6"] == F.col("__best")),
+        lambda s: s["lb"]))
+    return (corpus.select(id_col, label_col, vec_col)
+                  .join(carr, F.lit(True), "left")
+                  .withColumn("__scored", scored)
+                  .withColumn("__own", own)
+                  .withColumn("__foreign", foreign)
+                  .withColumn("__best", best)
+                  .select(F.col(id_col),
+                          F.col(label_col).cast("long").alias("label"),
+                          stable_round(F.col("__own"), 4).alias("own_sim"),
+                          stable_round(F.col("__best"), 4).alias("foreign_sim"),
+                          best_lb.cast("long").alias("foreign_label"),
+                          # difference of two identically-quantized 4dp
+                          # values: bit-identical on both engines with no
+                          # further rounding (stable_round is
+                          # non-negative-only, margins can be < 0)
+                          (stable_round(F.col("__own"), 4)
+                           - stable_round(F.col("__best"), 4)).alias("margin"),
+                          F.when(F.col("__own") < F.col("__best"), 1)
+                           .otherwise(0).cast("int").alias("suspect")))
+
+
 def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    nprobe: int = 2, id_col: str = "vec_id",
                    vec_col: str = "embedding",

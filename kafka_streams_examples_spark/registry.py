@@ -1170,6 +1170,55 @@ def q_semantic_prune(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "label_silhouette",
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings),
+    parts AS (SELECT label AS centroid_id, dim, v[dim] AS x
+              FROM e, unnest(generate_series(1, len(v))) AS t(dim)),
+    cents AS (SELECT centroid_id, list(m ORDER BY dim) AS centroid
+              FROM (SELECT centroid_id, dim, avg(x) AS m FROM parts
+                    GROUP BY 1, 2)
+              GROUP BY centroid_id),
+    sc AS (SELECT e.vec_id, e.label, c.centroid_id,
+             floor(list_cosine_similarity(e.v, c.centroid) * 1e6 + 0.5) / 1e6
+               AS s6
+           FROM e CROSS JOIN cents c),
+    own AS (SELECT vec_id, label, s6 AS own6 FROM sc
+            WHERE centroid_id = label),
+    fr AS (SELECT vec_id, max(s6) AS best6 FROM sc
+           WHERE centroid_id <> label GROUP BY vec_id),
+    fl AS (SELECT s.vec_id, min(s.centroid_id) AS foreign_label
+           FROM sc s JOIN fr ON fr.vec_id = s.vec_id AND s.s6 = fr.best6
+            AND s.centroid_id <> s.label
+           GROUP BY s.vec_id)
+    SELECT o.vec_id, CAST(o.label AS BIGINT) AS label,
+           floor(o.own6 * 1e4 + 0.5) / 1e4 AS own_sim,
+           floor(f.best6 * 1e4 + 0.5) / 1e4 AS foreign_sim,
+           CAST(fl.foreign_label AS BIGINT) AS foreign_label,
+           floor(o.own6 * 1e4 + 0.5) / 1e4
+             - floor(f.best6 * 1e4 + 0.5) / 1e4 AS margin,
+           CAST(CASE WHEN o.own6 < f.best6 THEN 1 ELSE 0 END AS INT)
+             AS suspect
+    FROM own o JOIN fr f USING (vec_id) JOIN fl USING (vec_id)""",
+    "Per-vector label-noise score (cleanlab-style centroid silhouette — "
+    "the label-QC pass a curation pipeline runs before trusting labels "
+    "for hard-negative mining or stratified sampling): cosine to the "
+    "OWN label centroid vs the best FOREIGN centroid, margin < 0 flags "
+    "a relabel/review candidate with the better-fitting label attached. "
+    "ZERO corpus shuffles: the k-row centroid table folds into a 1-row "
+    "broadcast array (the kmeans_train broadcast size) and every row "
+    "scores all k centroids scan-side; per-centroid cosines quantize at "
+    "6 decimals BEFORE max/argmax so tie-breaks (score desc, label asc) "
+    "are engine-exact, and margin is the difference of two identically "
+    "quantized 4dp values (bit-identical without a negative-unsafe "
+    "round). Oracle: the same centroids, quantized scores, and "
+    "argmax-with-min-label tie-break, relationally.",
+)
+def q_label_silhouette(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.label_silhouette(table(spark, sf, "embeddings"))
+
+
+@query(
     "vocab_stats",
     r"""WITH tk AS (
       SELECT doc_id, source,

@@ -1338,6 +1338,53 @@ def test_knn_graph_bucketed_corpus_joins_without_exchange(spark, sf_dir,
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_label_silhouette_replica(spark, sf_dir):
+    """label_silhouette vs a numpy replica: own/foreign centroid cosines,
+    argmax-with-min-label tie-break, margin arithmetic, suspect flag.
+    (On this synthetic fixture most vectors ARE suspects — the labels
+    are weakly separable by construction; the operator reports that
+    faithfully rather than assuming clean labels.)"""
+    import numpy as np
+
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        label_silhouette,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    rows = {r.vec_id: r for r in label_silhouette(emb).collect()}
+    pdf = emb.toPandas()
+    lab = dict(zip(pdf.vec_id, pdf.label))
+    V = {int(r.vec_id): np.array(r.embedding, dtype=float)
+         for r in pdf.itertuples()}
+    assert set(rows) == set(lab)
+    cents = {}
+    for i, l in lab.items():
+        cents.setdefault(l, []).append(V[i])
+    cents = {l: np.mean(vs, axis=0) for l, vs in cents.items()}
+
+    def q6(x):
+        import math
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    checked_suspects = 0
+    for i in list(rows)[:60]:
+        r = rows[i]
+        s = {l: q6(float(np.dot(V[i], c)
+                         / (np.linalg.norm(V[i]) * np.linalg.norm(c))))
+             for l, c in cents.items()}
+        own = s[lab[i]]
+        best = max(v for l, v in s.items() if l != lab[i])
+        blb = min(l for l, v in s.items() if l != lab[i] and v == best)
+        assert abs(r.own_sim - round(own, 4)) < 2e-4
+        assert abs(r.foreign_sim - round(best, 4)) < 2e-4
+        assert r.foreign_label == blb
+        assert r.suspect == (1 if own < best else 0)
+        assert abs(r.margin - (r.own_sim - r.foreign_sim)) < 1e-12
+        checked_suspects += r.suspect
+    assert 0 < checked_suspects  # fixture labels are weak; flags fire
+
+
 def test_semantic_prune_keepers(spark, sf_dir):
     """semantic_prune (the knn_graph consumer): covers every vector
     exactly once, keeps exactly one member per cluster, the keeper is

@@ -65,6 +65,9 @@ BNLJ_BY_DESIGN = {
     "bpe_encode",
     # packs bpe_encode's counts — inherits the same 1-row codec broadcast
     "pack_sequences_bpe",
+    # label QC: the k-row centroid table folds into a 1-row broadcast
+    # array scored scan-side (the kmeans_train broadcast size)
+    "label_silhouette",
     # composes the four allowlisted ANN tiers above (brute's broadcast
     # query set, IVF centroid routing, ADC lookup tables) plus its own
     # 1-row denominator broadcast; the recall overlay itself is an

@@ -62,8 +62,9 @@ CURVE = [
     "soft_dedup", "knn_hard_negatives", "knn_graph", "vocab_stats",
     # r10 additions (broadcast merge-fold corpus encode; knn_graph ->
     # CC -> centroid-ranked keep; encode composed with the two-phase
-    # packer)
+    # packer; scan-side centroid-silhouette label QC)
     "bpe_encode", "semantic_prune", "pack_sequences_bpe",
+    "label_silhouette",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
