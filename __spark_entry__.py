@@ -95,11 +95,14 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
 # changed after their latest driver signature — front of the window.
 # Round-10 diff: mostly ADDITIONS (bpe_encode/bpe_codec/apply_bpe,
 # semantic_prune, pack_sequences_bpe + streaming_bpe_encode,
-# label_silhouette — all front via the never-signed rule) — plus ONE
-# refactor of an existing path: pack_sequences' body moved into the
-# tokenizer-agnostic pack_counts core (operators/text.py; output
-# byte-identical by construction, fronted on policy).
-_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ("pack_sequences",)
+# label_silhouette, exact_substring_apply — all front via the
+# never-signed rule) — plus TWO refactors of existing paths:
+# pack_sequences' body moved into the tokenizer-agnostic pack_counts
+# core (operators/text.py), and exact_substring_dedup_stats' span
+# finder into the shared _dup_spans helper (operators/dedup.py); both
+# outputs byte-identical by construction, fronted on policy.
+_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ("pack_sequences",
+                                                  "exact_substring_dedup")
 
 
 def _ordered_names() -> list[str]:

@@ -807,6 +807,78 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                  .filter(F.col("cos_sim") >= threshold))
 
 
+def _dup_spans(docs: DataFrame, l: int, text_col: str,
+               id_col: str) -> DataFrame:
+    """Shared span finder for the exact-substring family: per document,
+    the merged maximal token intervals [s, e) duplicated from an
+    earlier (lower-id) document — fixed-L gram hash marking + winner
+    table + gaps-and-islands merge (see exact_substring_dedup_stats'
+    docstring for the suffix-array equivalence argument)."""
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("ws"))
+    g = (base.filter(F.size("ws") >= l)
+             .select(id_col,
+                     F.posexplode(word_shingles(F.col("ws"), l))
+                      .alias("pos", "gm"))
+             .select(id_col, "pos", md5_hash64(F.col("gm")).alias("h")))
+    winners = g.groupBy("h").agg(F.min(id_col).alias("__w"))
+    dup = (g.join(winners, "h")
+            .filter(F.col(id_col) > F.col("__w"))
+            .select(id_col, "pos", (F.col("pos") + l).alias("end")))
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(
+        wo.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_end.isNull()
+                        | (F.col("pos") > prev_end), 1).otherwise(0)
+    isl = F.sum(new_island).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (dup.withColumn("__i", isl)
+               .groupBy(id_col, "__i")
+               .agg(F.min("pos").alias("s"), F.max("end").alias("e")))
+
+
+def exact_substring_dedup_apply(docs: DataFrame, l: int = 4,
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """The REMOVAL half of Lee et al. ACL'22 exact-substring dedup — the
+    step that actually produces the cleaned corpus the stats op only
+    describes: every token span duplicated from an earlier document is
+    cut (first occurrence kept corpus-wide), and the surviving tokens
+    rejoin into the document the LM pipeline feeds its tokenizer.
+
+    Output: (id, n_tokens_kept, clean_text). clean_text is the kept
+    TOKEN stream (lower-cased, single-space-joined) — tokenization is
+    deliberately lossy here, exactly like the downstream tokenizer's
+    view; byte-faithful reconstruction would need original offsets,
+    which the whitespace tokenizer does not keep.
+
+    Scale shape: the span finder is the stats op's (gram hashes +
+    integer positions shuffle, text never shuffles); spans then fold
+    into a per-doc array (few per doc by construction) and the cut is a
+    scan-side indexed filter — no new shuffle shapes beyond one equi
+    join of (doc, spans)."""
+    spans = _dup_spans(docs, l, text_col, id_col)
+    sarr = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__spans"))
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    base = docs.select(F.col(id_col), toks.alias("__ws"))
+    indexed = F.transform(F.col("__ws"),
+                          lambda x, i: F.struct(i.alias("i"), x.alias("t")))
+    in_span = lambda p: F.exists(  # noqa: E731
+        F.col("__sp"), lambda sp: (p["i"] >= sp["s"]) & (p["i"] < sp["e"]))
+    kept = F.filter(indexed, lambda p: ~in_span(p))
+    return (base.join(sarr, id_col, "left")
+                .withColumn("__sp", F.coalesce(
+                    F.col("__spans"),
+                    F.array().cast("array<struct<s:int,e:int>>")))
+                .withColumn("__kept", kept)
+                .select(F.col(id_col),
+                        F.size("__kept").cast("long").alias("n_tokens_kept"),
+                        F.array_join(F.transform(
+                            "__kept", lambda p: p["t"]), " ")
+                         .alias("clean_text")))
+
+
 def exact_substring_dedup_stats(docs: DataFrame, l: int = 4,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:
@@ -835,27 +907,8 @@ def exact_substring_dedup_stats(docs: DataFrame, l: int = 4,
     Output per document: (doc_id, n_tokens, n_dup_spans,
     tokens_removed, n_tokens_kept).
     """
+    spans = _dup_spans(docs, l, text_col, id_col)
     toks = F.filter(tokens(text_col), lambda x: x != "")
-    base = docs.select(F.col(id_col), toks.alias("ws"))
-    g = (base.filter(F.size("ws") >= l)
-             .select(id_col,
-                     F.posexplode(word_shingles(F.col("ws"), l))
-                      .alias("pos", "gm"))
-             .select(id_col, "pos", md5_hash64(F.col("gm")).alias("h")))
-    winners = g.groupBy("h").agg(F.min(id_col).alias("__w"))
-    dup = (g.join(winners, "h")
-            .filter(F.col(id_col) > F.col("__w"))
-            .select(id_col, "pos", (F.col("pos") + l).alias("end")))
-    wo = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max("end").over(
-        wo.rowsBetween(Window.unboundedPreceding, -1))
-    new_island = F.when(prev_end.isNull()
-                        | (F.col("pos") > prev_end), 1).otherwise(0)
-    isl = F.sum(new_island).over(
-        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    spans = (dup.withColumn("__i", isl)
-                .groupBy(id_col, "__i")
-                .agg(F.min("pos").alias("s"), F.max("end").alias("e")))
     stats = (spans.select(id_col, (F.col("e") - F.col("s")).alias("__len"))
                   .groupBy(id_col)
                   .agg(F.count("*").cast("long").alias("n_dup_spans"),

@@ -4394,6 +4394,58 @@ def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_apply",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+           CAST('0x' || substr(md5(list_aggregate(ws[i:i+3], 'string_agg', ' ')),
+                1, 15) AS BIGINT) AS h
+          FROM tk, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+          WHERE len(ws) >= 4),
+    w AS (SELECT h, min(doc_id) AS winner FROM g GROUP BY h),
+    d AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+          FROM g JOIN w USING (h) WHERE g.doc_id > w.winner),
+    m AS (SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM d),
+    i AS (SELECT doc_id, pos, e,
+           sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM m),
+    sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e FROM i GROUP BY 1, 2),
+    kt AS (SELECT doc_id, j - 1 AS pos, ws[j] AS tok
+           FROM tk, unnest(generate_series(1, len(ws))) AS u(j)),
+    keep AS (SELECT k.doc_id, k.pos, k.tok FROM kt k
+             WHERE NOT EXISTS (SELECT 1 FROM sp
+                               WHERE sp.doc_id = k.doc_id
+                                 AND k.pos >= sp.s AND k.pos < sp.e)),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM keep GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "The REMOVAL half of Lee et al. ACL'22 exact-substring dedup — "
+    "produces the cleaned corpus exact_substring_dedup only describes: "
+    "every token span duplicated from an earlier document is cut "
+    "(first occurrence kept corpus-wide) and the surviving tokens "
+    "rejoin into the document the LM pipeline tokenizes. Same span "
+    "finder (gram hashes + integer positions shuffle, text never "
+    "shuffles); spans fold into a per-doc array and the cut is a "
+    "scan-side indexed filter. clean_text is the kept TOKEN stream "
+    "(lower-cased, space-joined) — the downstream tokenizer's view. "
+    "Oracle: the stats CTEs through the span merge, then an "
+    "anti-containment keep + ordered string_agg.",
+)
+def q_exact_substring_apply(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_substring_dedup_apply(table(spark, sf, "documents"), l=4)
+
+
+@query(
     "dsir_score",
     r"""WITH tk AS (SELECT doc_id, source,
            list_filter(regexp_split_to_array(lower(text), '\s+'),

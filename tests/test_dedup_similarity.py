@@ -710,6 +710,37 @@ def test_exact_substring_dedup_reconstructs_maximal_runs(spark):
     assert got[2].n_dup_spans == 0
 
 
+def test_exact_substring_apply_cuts_spans(spark, sf_dir):
+    """The apply half must (a) emit exactly the tokens the stats half
+    says survive, per doc, on the real fixture; (b) on a constructed
+    corpus, cut the duplicated runs and keep the first occurrence
+    verbatim."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.dedup import (
+        exact_substring_dedup_apply, exact_substring_dedup_stats,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    kept = {r.doc_id: r.n_tokens_kept
+            for r in exact_substring_dedup_apply(docs, l=4).collect()}
+    want = {r.doc_id: r.n_tokens_kept
+            for r in exact_substring_dedup_stats(docs, l=4).collect()}
+    assert kept == want and any(v > 0 for v in kept.values())
+
+    run = "alpha beta gamma delta epsilon zeta"
+    small = spark.createDataFrame(
+        [(0, f"{run} tail0"),
+         (1, f"x1 x2 {run} y1 y2"),
+         (2, "all unique q w e r t")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup_apply(small, l=4).collect()}
+    assert out[0].clean_text == f"{run} tail0"      # first occurrence kept
+    assert out[1].clean_text == "x1 x2 y1 y2"       # run cut, rest intact
+    assert out[1].n_tokens_kept == 4
+    assert out[2].clean_text == "all unique q w e r t"
+
+
 def test_exact_substring_dedup_matches_python_reference(spark):
     """Brute-force reference on a random-ish corpus: mark every position
     whose 4-gram appeared in a lower-id doc, merge intervals in python."""
