@@ -238,6 +238,19 @@ def test_bpe_property_random_corpora(spark, corpora):
     assert got == exp_merges
     got_vocab = {r.word: r.seq for r in BPE.bpe_vocab(docs, merges=3).collect()}
     assert got_vocab == exp_vocab
+    # the encoder's whole-document merge fold (WORD_SEP-separated, two-pass
+    # replace per merge in training order) must reproduce each word's
+    # TRAINED segmentation in place — the identical-symbol runs these
+    # corpora are dense with are exactly where a separator or ordering bug
+    # would surface
+    syms = sorted({s for seq in exp_vocab.values() for s in seq.split(" ")})
+    ids = {s: j + 1 for j, s in enumerate(syms)}
+    enc = {r.doc_id: r for r in BPE.bpe_encode(docs, merges=3).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want = [ids[s] for w in ws for s in exp_vocab[w].split(" ")]
+        assert enc[i].n_words == len(ws)
+        assert enc[i].token_ids == ",".join(map(str, want))
 
 
 def test_bpe_zero_merges_returns_typed_empty(docs):
