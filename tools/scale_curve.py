@@ -97,6 +97,15 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
     idle_wait = bench.wait_for_idle()   # same gate as bench.py (r8)
     spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
     QUERIES["tpch_q1"].spark(spark, sfs[0][1]).count()          # warmup
+    # warm the canary's own noop-write path too: r10's canaries read
+    # spread 2.4-3.2 purely from the FIRST sample paying JIT/codegen
+    # warm-up (first 0.57-0.82s vs a 0.23-0.26s session-warm floor on a
+    # clean box), which made the spread gauge cry co-tenant when there
+    # was none — two unmeasured writes remove most of that bias (one
+    # still left ~1.55: C2 compilation lags the first execution)
+    for _ in range(2):
+        QUERIES["tpch_q1"].spark(spark, SFS[1][1]) \
+            .write.format("noop").mode("overwrite").save()
 
     # Load-honesty telemetry, same scheme as bench.py: SCALE_r06 recorded
     # dedup_clusters at a 7.29x sf1 step that did not reproduce (2.2x on
