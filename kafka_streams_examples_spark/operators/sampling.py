@@ -121,6 +121,40 @@ def global_shuffle(df: DataFrame, key_col: str, seed: str = "s0",
                      (F.col("__off") + F.col("__rn")).cast("long").alias("pos")))
 
 
+def staged_order(df: DataFrame, stage_col: str, key_col: str,
+                 seed: str = "cur", bucket_bits: int = 10) -> DataFrame:
+    """Dense global training order grouped by an integer STAGE, shuffled
+    within each stage: pos = rank in (stage asc, hash(seed|key), key).
+    The curriculum-learning dataloader order — stages in sequence, rows
+    inside a stage in a reproducible shuffle (same contract as
+    :func:`global_shuffle`, which is the one-stage special case).
+
+    Scale path mirrors global_shuffle's range-bucketed two-phase rank:
+    the bucket id prepends the stage to the hash's top bits, so
+    bucket-major order IS (stage, hash) order; per-bucket row_number
+    plus a broadcast cumulative-offset table (n_stages * 2^bucket_bits
+    rows) yields the dense global position with no single-partition
+    sort. Requires stage values to be small non-negative integers (a
+    curriculum has a handful)."""
+    from pyspark.sql import Window
+
+    h = md5_hash64(F.concat_ws("|", F.lit(seed),
+                               F.col(key_col).cast("string")))
+    b = (F.col(stage_col).cast("long") * (1 << bucket_bits)
+         + F.shiftright(h, 60 - bucket_bits))
+    d = df.select(F.col(key_col), F.col(stage_col), h.alias("__h"),
+                  b.alias("__b"))
+    counts = d.groupBy("__b").agg(F.count("*").alias("__c"))
+    offsets = counts.select(
+        "__b",
+        (F.sum("__c").over(Window.orderBy("__b")) - F.col("__c")).alias("__off"))
+    win = Window.partitionBy("__b").orderBy("__h", key_col)
+    return (d.withColumn("__rn", F.row_number().over(win))
+             .join(F.broadcast(offsets), "__b")
+             .select(F.col(key_col), F.col(stage_col),
+                     (F.col("__off") + F.col("__rn")).cast("long").alias("pos")))
+
+
 def source_mixture(docs: DataFrame, alpha: float = 0.5,
                    group_col: str = "source",
                    text_col: str = "text") -> DataFrame:

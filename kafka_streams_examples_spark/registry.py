@@ -3696,6 +3696,54 @@ def q_quality_deciles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "curriculum_order",
+    """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\\s+') AS ws,
+                  text FROM documents),
+    m AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+           len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS sw,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS nonal,
+           length(text) AS chars FROM t),
+    q AS (SELECT doc_id, lang,
+           floor((least(n_tokens / 100.0, 1.0) * 0.4 + (CAST(sw AS DOUBLE) / n_tokens) * 0.3
+                 + (1.0 - CAST(nonal AS DOUBLE) / chars) * 0.3) * 10000 + 0.5) / 10000 AS quality
+          FROM m),
+    dec AS (SELECT doc_id,
+             CAST(ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id)
+                  AS BIGINT) AS decile
+            FROM q),
+    hh AS (SELECT doc_id, decile,
+            CAST('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS BIGINT) AS h
+           FROM dec)
+    SELECT doc_id, decile,
+           CAST(row_number() OVER (ORDER BY 10 - decile, h, doc_id) AS BIGINT)
+             AS pos
+    FROM hh""",
+    "Curriculum training order — the dataloader sequence curriculum "
+    "learning actually feeds: best within-language quality decile first "
+    "(easy-to-clean-first is the common corpus curriculum), documents "
+    "SHUFFLED deterministically inside each stage so no source/id "
+    "ordering leaks into training. pos = dense rank in (stage, "
+    "hash(seed|id), id) via sampling.staged_order — global_shuffle's "
+    "range-bucketed two-phase rank with the stage prepended to the "
+    "bucket id, so bucket-major order IS curriculum order and no "
+    "single-partition global sort exists at 100 TB. Oracle: the "
+    "quality-decile CTEs + the naive single-window row_number over the "
+    "same (10 - decile, hash, id) key.",
+)
+def q_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "text", "lang")
+    q = TX.with_quality(docs).select("doc_id", "lang", "quality")
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    d = (q.withColumn("decile", F.ntile(10).over(w))
+          .select("doc_id", (F.lit(10) - F.col("decile")).alias("stage")))
+    out = SAMP.staged_order(d, "stage", "doc_id", seed="cur")
+    return out.select("doc_id",
+                      (F.lit(10) - F.col("stage")).cast("long").alias("decile"),
+                      "pos")
+
+
+@query(
     "funnel_conversion",
     "WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events"
     "           WHERE event_type = 'signup' GROUP BY user_id), "

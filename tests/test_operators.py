@@ -169,3 +169,39 @@ def test_global_shuffle_matches_naive_window(spark):
     ).collect()}
     assert got == want
     assert sorted(got.values()) == list(range(1, 501))
+
+
+def test_staged_order_groups_stages_and_shuffles_within(spark):
+    """staged_order: dense 1..N permutation; stages occupy contiguous pos
+    ranges in stage order; within a stage the order equals the naive
+    (hash, key) window (so it IS global_shuffle restricted per stage,
+    not id order)."""
+    from pyspark.sql import Window
+
+    from kafka_streams_examples_spark.functions import md5_hash64
+    from kafka_streams_examples_spark.operators.sampling import staged_order
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(300)],
+                               "doc_id long, stage int")
+    rows = staged_order(df, "stage", "doc_id", seed="cur").collect()
+    pos = {r.doc_id: r.pos for r in rows}
+    assert sorted(pos.values()) == list(range(1, 301))
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.pos)
+    hi = 0
+    for s in sorted(by_stage):
+        ps = sorted(by_stage[s])
+        assert ps[0] == hi + 1 and ps[-1] == hi + len(ps)  # contiguous
+        hi = ps[-1]
+    h = md5_hash64(F.concat_ws("|", F.lit("cur"),
+                               F.col("doc_id").cast("string")))
+    want = {r.doc_id: r.pos for r in df.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("stage", h, "doc_id"))
+         .alias("pos")).collect()}
+    assert pos == want
+    # the within-stage order is a real shuffle, not ascending ids
+    s0 = [d for d, _ in sorted(((r.doc_id, r.pos) for r in rows
+                                if r.stage == 0), key=lambda t: t[1])]
+    assert s0 != sorted(s0)

@@ -64,7 +64,7 @@ CURVE = [
     # CC -> centroid-ranked keep; encode composed with the two-phase
     # packer; scan-side centroid-silhouette label QC)
     "bpe_encode", "semantic_prune", "pack_sequences_bpe",
-    "label_silhouette", "exact_substring_apply",
+    "label_silhouette", "exact_substring_apply", "curriculum_order",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
