@@ -40,31 +40,17 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01..r09.json by
-# `tools/update_window.py --emit` (r10 refresh: CORRECTNESS_r09 absorbed,
-# 50/50 green; every registry query remains signed).
-_R06 = ("source_mixture",)
-_R07 = (
-    "anonymize_props", "asof_join", "bigram_novelty", "dedup_ttl",
-    "doc_chunks", "dsir_resample", "fk_chain", "global_shuffle",
-    "having_count", "json_extract", "knn_cosine", "knn_ivf",
-    "ktable_latest", "ktable_reagg", "merge_union", "quality_deciles",
-    "quality_filter_median", "reduce_concat", "reservoir_per_stratum",
-    "retention_cohorts", "session_windows", "stratified_sample",
-    "stream_stream_join", "stream_stream_outer_join", "stream_table_join",
-    "table_table_join", "tfidf_top_terms", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18",
-    "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7",
-    "tpch_q8", "tpch_q9",
-)
+# mechanically from CORRECTNESS_r01..r10.json by
+# `tools/update_window.py --emit` (r11 refresh: CORRECTNESS_r10 absorbed,
+# 50/50 green; every registry query remains signed, all r7+).
+_R07 = ("dsir_resample",)
 _R08 = (
     "agg_max", "anomaly_daily", "bigram_surprisal", "bpe_fertility",
     "bpe_train", "branch_counts", "daily_1800", "decontaminate",
     "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
-    "epoch_mixture", "exact_dedup", "exact_substring_dedup",
-    "filter_transform", "fold_letters", "funnel_conversion",
-    "gopher_rules", "hopping_6h", "lang_id", "minhash_signature",
-    "pack_sequences", "pii_redact", "pipeline_funnel", "quality_score",
+    "epoch_mixture", "exact_dedup", "filter_transform", "fold_letters",
+    "funnel_conversion", "gopher_rules", "hopping_6h", "lang_id",
+    "minhash_signature", "pii_redact", "pipeline_funnel", "quality_score",
     "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs",
     "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly",
     "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",
@@ -86,23 +72,38 @@ _R09 = (
     "tpch_q4", "tpch_q5", "tpch_q6", "vocab_stats",
     "winnow_fingerprints",
 )
-_SIGNED_ROUND: dict[str, int] = {**{n: 6 for n in _R06},
-                                 **{n: 7 for n in _R07},
+_R10 = (
+    "anonymize_props", "asof_join", "bigram_novelty", "bpe_encode",
+    "curriculum_order", "dedup_ttl", "doc_chunks",
+    "exact_substring_apply", "exact_substring_dedup", "fk_chain",
+    "global_shuffle", "having_count", "json_extract", "knn_cosine",
+    "knn_ivf", "ktable_latest", "ktable_reagg", "label_silhouette",
+    "merge_union", "pack_sequences", "pack_sequences_bpe",
+    "quality_deciles", "quality_filter_median", "reduce_concat",
+    "reservoir_per_stratum", "retention_cohorts", "semantic_prune",
+    "session_windows", "source_mixture", "stratified_sample",
+    "stream_stream_join", "stream_stream_outer_join",
+    "stream_table_join", "table_table_join", "tfidf_top_terms",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",
+)
+_SIGNED_ROUND: dict[str, int] = {**{n: 7 for n in _R07},
                                  **{n: 8 for n in _R08},
-                                 **{n: 9 for n in _R09}}
+                                 **{n: 9 for n in _R09},
+                                 **{n: 10 for n in _R10}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-10 diff: mostly ADDITIONS (bpe_encode/bpe_codec/apply_bpe,
-# semantic_prune, pack_sequences_bpe + streaming_bpe_encode,
-# label_silhouette, exact_substring_apply — all front via the
-# never-signed rule) — plus TWO refactors of existing paths:
-# pack_sequences' body moved into the tokenizer-agnostic pack_counts
-# core (operators/text.py), and exact_substring_dedup_stats' span
-# finder into the shared _dup_spans helper (operators/dedup.py); both
-# outputs byte-identical by construction, fronted on policy.
-_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = ("pack_sequences",
-                                                  "exact_substring_dedup")
+# Round-11 diff: ADVICE fixes touched label_silhouette (degenerate
+# single-label corpora now emit zero rows like the oracle — a no-op
+# filter on the fixture) and bpe_codec (vocab-scale WORD_SEP assertion
+# — plan grows a when/raise_error over the symbol table, output
+# unchanged), which sits under bpe_encode and pack_sequences_bpe.
+# New queries (unigram_lm_train/unigram_encode, incremental_knn) front
+# via the never-signed rule.
+_CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
+    "label_silhouette", "bpe_encode", "pack_sequences_bpe")
 
 
 def _ordered_names() -> list[str]:

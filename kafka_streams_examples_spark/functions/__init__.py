@@ -40,15 +40,23 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def stable_round(col: Column, d: int) -> Column:
-    """Engine-independent round-half-up for NON-NEGATIVE doubles.
+    """Engine-independent rounding: floor(x·10^d + 0.5)/10^d.
 
-    floor(x·10^d + 0.5)/10^d uses only IEEE-754 ops, so Spark and DuckDB
-    produce bit-identical results given bit-identical x. Built-in round()
-    does NOT have this property: Spark rounds the decimal expansion via
-    BigDecimal HALF_UP while DuckDB rounds in double arithmetic, and inputs
-    that print as X.XX5 diverge (observed at sf0.1: ~1/1000 rows of
+    Uses only IEEE-754 ops, so Spark and DuckDB produce bit-identical
+    results given bit-identical x. Built-in round() does NOT have this
+    property: Spark rounds the decimal expansion via BigDecimal HALF_UP
+    while DuckDB rounds in double arithmetic, and inputs that print as
+    X.XX5 diverge (observed at sf0.1: ~1/1000 rows of
     round(value*1.1, 2)). Oracle-side equivalent:
-    ``floor(x * 1eD + 0.5) / 1eD``.
+    ``floor(x * 1eD + 0.5) / 1eD`` — the oracle MUST mirror this exact
+    formula, never its own round().
+
+    Negative inputs are well-defined and identical on both engines, but
+    note the semantics: halves round toward +inf (e.g. -0.00005 at d=4
+    -> -0.0, not -0.0001), i.e. this is round-half-up on the number
+    line, not round-half-away-from-zero. Callers applying it to signed
+    values (centroid cosines in semantic_prune / label_silhouette) rely
+    on exactly that mirrored behavior.
     """
     scale = float(10 ** d)
     return F.floor(col * scale + F.lit(0.5)) / scale

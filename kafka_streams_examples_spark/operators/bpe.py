@@ -155,6 +155,17 @@ def bpe_codec(docs: DataFrame, merges: int = 6,
 
     syms = (vocab.select(F.explode(F.split("seq", " ")).alias("sym"))
                  .distinct())
+    # one-time separator-safety assertion, vocabulary-scale (never the
+    # corpus): a corpus word containing WORD_SEP would train it as a
+    # symbol AND let merges cross word boundaries in apply_bpe —
+    # fail loudly instead of silently corrupting token_ids
+    syms = syms.select(
+        F.when(F.col("sym").contains(WORD_SEP),
+               F.raise_error(F.concat(
+                   F.lit("bpe_codec: trained symbol contains WORD_SEP "
+                         "(\\x01) — corpus violates the word-separator "
+                         "assumption: "), F.col("sym"))))
+         .otherwise(F.col("sym")).alias("sym"))
     # global rank over the symbol table: vocabulary-scale (distinct chars
     # + at most K merged symbols), so the single-partition window is a
     # few-hundred-row sort, not a corpus operation

@@ -239,6 +239,11 @@ def label_silhouette(corpus: DataFrame, id_col: str = "vec_id",
                   .withColumn("__scored", scored)
                   .withColumn("__own", own)
                   .withColumn("__foreign", foreign)
+                  # degenerate single-label corpus: no foreign centroid
+                  # exists, so there is no margin to report — emit zero
+                  # rows (the oracle's inner joins on fr/fl do the same).
+                  # A no-op filter on any >=2-label corpus.
+                  .filter(F.size(F.col("__foreign")) > 0)
                   .withColumn("__best", best)
                   .select(F.col(id_col),
                           F.col(label_col).cast("long").alias("label"),

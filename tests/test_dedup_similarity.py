@@ -1416,6 +1416,20 @@ def test_label_silhouette_replica(spark, sf_dir):
     assert 0 < checked_suspects  # fixture labels are weak; flags fire
 
 
+def test_label_silhouette_single_label_emits_zero_rows(spark):
+    """Degenerate single-label corpus: no foreign centroid exists, so
+    there is no margin to report — zero rows, matching the oracle's
+    inner joins (ADVICE r10: the Spark side used to emit nulls here)."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        label_silhouette,
+    )
+
+    one = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [0.5, 0.5], 7), (3, [0.0, 1.0], 7)],
+        "vec_id int, embedding array<double>, label int")
+    assert label_silhouette(one).count() == 0
+
+
 def test_semantic_prune_keepers(spark, sf_dir):
     """semantic_prune (the knn_graph consumer): covers every vector
     exactly once, keeps exactly one member per cluster, the keeper is

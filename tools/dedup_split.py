@@ -103,7 +103,10 @@ def main() -> None:
                                 "next stage reads materialized blocks; "
                                 "fresh session per (query, sf) so checkpoint "
                                 "blocks never crowd a later measurement")
-    report["loadavg_start"] = list(os.getloadavg())
+    # setdefault: a subset re-run into an existing artifact must not
+    # re-stamp the original queries' timings with the NEW run's start
+    # load (per-run load lives in each row's "loadavg" anyway)
+    report.setdefault("loadavg_start", list(os.getloadavg()))
     # the sf10 sim/truth pair tables checkpoint hundreds of MB; a shared
     # 8g-driver session OOM'd a later stage's broadcast build, so each
     # cell gets a fresh JVM-lite session (same app reuses the JVM via
