@@ -1,0 +1,284 @@
+"""Unigram-LM tokenizer training (SentencePiece-style Viterbi-EM) over
+the corpus word table — the probabilistic counterpart of the BPE merge
+trainer in :mod:`operators/bpe.py`.
+
+Kudo (ACL'18) trains a unigram language model over subword pieces with
+EM and segments by Viterbi. This implementation is the deterministic,
+engine-portable restriction of that algorithm:
+
+* **word-boundary restricted** (like the BPE trainer): all training
+  runs over the *aggregated vocabulary* (distinct words + counts),
+  never the raw corpus — at 100 TB the corpus collapses to a
+  vocabulary table in the first aggregation and every EM iteration
+  touches only that table.
+* **hard (Viterbi) EM with a fixed iteration count**: the E-step
+  segments every vocabulary word by max-probability Viterbi under the
+  current piece distribution; the M-step recounts pieces from those
+  segmentations (weighted by word frequency). No convergence collect,
+  no driver control flow — the ``operators/bpe.py`` loop pattern with
+  lazily localCheckpoint'ed iterations.
+* **probability space, exact integer ratios, NO transcendentals**:
+  piece probabilities are ``cnt / total`` of two BIGINTs and the
+  Viterbi recurrence multiplies doubles — division, multiplication and
+  comparison are IEEE-754-exact and bit-identical across Spark and
+  DuckDB, unlike ``ln()`` whose libm implementations differ in the
+  last ulp (which would flip near-tie Viterbi paths between engines).
+  Underflow is impossible at realistic word lengths: >= 1e-4 per piece
+  over <= ~50 pieces stays far above the 1e-308 double floor.
+
+Viterbi contract (mirrored verbatim in the registry oracle)
+-----------------------------------------------------------
+``dist[0] = 1.0``; for position m = 1..n, candidates are piece lengths
+k = max_len..1 with start i = m-k >= 0 and
+``cost_k = dist[i] * p(word[i:m])``; the fold keeps a candidate only on
+STRICTLY greater cost, so ties break to the largest k examined first —
+i.e. the smallest start i (the longest final piece). Unknown single
+characters fall back to ``cnt = 1`` (so every word has a positive-cost
+path); unknown multi-character substrings have probability 0 and can
+never win. Seed single characters are floored to ``cnt >= 1`` through
+every M-step, which keeps full character coverage exactly like
+SentencePiece's never-pruned character pieces.
+
+Reference parity: the reference repo's pipelines tokenize with
+whitespace/Serde-level splits only (e.g. WordCountLambdaExample.java:72-75);
+this module extends the tokenizer family the LLM-pipeline tier added
+(bpe.py), with the same corpus->vocabulary scale shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import stable_round, tokens
+from .bpe import word_counts
+
+#: Reserved token id for symbols outside the codec's id map (characters
+#: never seen in training). Dense piece ids start at 1.
+UNK_ID = 0
+
+
+def seed_pieces(docs: DataFrame, keep: int = 40, max_len: int = 4,
+                text_col: str = "text") -> DataFrame:
+    """Seed piece table (piece, cnt): every single character of the
+    corpus (never pruned) plus the ``keep`` most frequent substrings of
+    length 2..max_len, counted per occurrence (overlaps included)
+    weighted by word frequency. Ties on count break to the
+    lexicographically smaller piece.
+
+    Vocabulary-scale throughout: substring explosion runs over the
+    distinct-word table, and the top-``keep`` window is a
+    few-hundred-row sort (the bpe_codec symbol-rank precedent), not a
+    corpus operation."""
+    w = word_counts(docs, text_col)
+    n = F.length("word")
+    subs = F.flatten(F.transform(
+        F.sequence(F.lit(1), n),
+        lambda s: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_len), n - s + 1)),
+            lambda k: F.col("word").substr(s, k))))
+    cand = (w.select(F.explode(subs).alias("piece"), "cnt")
+             .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+    singles = cand.filter(F.length("piece") == 1)
+    multis = (cand.filter(F.length("piece") >= 2)
+                  .withColumn("__r", F.row_number().over(
+                      Window.orderBy(F.desc("cnt"), "piece")))
+                  .filter(F.col("__r") <= keep).drop("__r"))
+    return singles.unionAll(multis)
+
+
+def _viterbi_dp(word: Column, cmap: Column, tot: Column,
+                max_len: int) -> Column:
+    """The DP table as an array<struct<c:double, bp:int>> column —
+    dp[i+1] = (best probability of segmenting word[0:i], backpointer).
+    A codegen'd F.aggregate over positions; each step examines at most
+    ``max_len`` candidates via a fixed strictly-greater when-chain
+    (module docstring contract). JVM-side, zero Python."""
+    def step(acc: Column, m: Column) -> Column:
+        best = F.struct(F.lit(-1.0).alias("c"), F.lit(-1).alias("bp"))
+        for k in range(max_len, 0, -1):
+            sub = word.substr(m - k + 1, F.lit(k))
+            cntv = F.coalesce(F.element_at(cmap, sub),
+                              F.lit(1 if k == 1 else 0).cast("long"))
+            cand = F.when(
+                F.lit(k) <= m,
+                F.element_at(acc, m - k + 1)["c"]
+                * (cntv.cast("double") / tot.cast("double"))
+            ).otherwise(F.lit(-2.0))
+            best = F.when(cand > best["c"],
+                          F.struct(cand.alias("c"),
+                                   (m - k).alias("bp"))).otherwise(best)
+        return F.concat(acc, F.array(best))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.struct(F.lit(1.0).alias("c"), F.lit(0).alias("bp"))),
+        step)
+
+
+def _backtrack(word: Column, dp: Column) -> Column:
+    """Walk the backpointers from the end of the word: at most
+    length(word) steps, each either prepends the piece ending at the
+    current position or no-ops once position 0 is reached. ``dp`` must
+    be a plain column reference (the staged withColumn), so the DP
+    fold is evaluated once per word, not once per backtrack step."""
+    def step(acc: Column, _: Column) -> Column:
+        bp = F.element_at(dp, acc["pos"] + 1)["bp"]
+        piece = word.substr(bp + 1, acc["pos"] - bp)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(bp.alias("pos"),
+                     F.concat(F.array(piece), acc["ps"]).alias("ps"))
+        ).otherwise(acc)
+
+    rec = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.struct(F.length(word).alias("pos"),
+                 F.array().cast("array<string>").alias("ps")),
+        step)
+    return rec["ps"]
+
+
+def _attach_codec(words: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Broadcast the piece table as a 1-row (map piece->cnt, total) —
+    vocabulary-scale state, the bpe_codec shape."""
+    codec = pieces.agg(
+        F.map_from_entries(F.collect_list(
+            F.struct("piece", "cnt"))).alias("__cnt"),
+        F.sum("cnt").alias("__tot"))
+    return words.join(F.broadcast(codec), F.lit(True), "left")
+
+
+def segment_words(words: DataFrame, pieces: DataFrame,
+                  max_len: int = 4) -> DataFrame:
+    """Viterbi-segment a (word, ...) table under a (piece, cnt) table:
+    adds a ``pieces`` array<string> column. Both the DP table and the
+    backtrack are staged withColumns so each is evaluated once per
+    word."""
+    df = _attach_codec(words, pieces)
+    df = df.withColumn("__dp", _viterbi_dp(F.col("word"), F.col("__cnt"),
+                                           F.col("__tot"), max_len))
+    return (df.withColumn("pieces",
+                          _backtrack(F.col("word"), F.col("__dp")))
+              .drop("__cnt", "__tot", "__dp"))
+
+
+def _em_rounds(docs: DataFrame, keep: int, iters: int, max_len: int,
+               text_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared trainer: (final pieces table, vocab) after ``iters``
+    hard-EM rounds from the seed. Single-character pieces are floored
+    to cnt >= 1 every round (coverage; module docstring); multi-
+    character pieces that win no Viterbi segmentations drop out."""
+    vocab = word_counts(docs, text_col).localCheckpoint(eager=False)
+    pieces = seed_pieces(docs, keep, max_len, text_col) \
+        .localCheckpoint(eager=False)
+    singles = pieces.filter(F.length("piece") == 1) \
+        .select("piece").localCheckpoint(eager=False)
+    for _ in range(iters):
+        seg = segment_words(vocab, pieces, max_len)
+        counts = (seg.select(F.explode("pieces").alias("piece"), "cnt")
+                     .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+        floored = (singles.join(counts, "piece", "left")
+                          .select("piece",
+                                  F.greatest(F.coalesce(F.col("cnt"),
+                                                        F.lit(0)),
+                                             F.lit(1)).alias("cnt")))
+        pieces = (counts.filter(F.length("piece") >= 2)
+                        .unionAll(floored)
+                        .localCheckpoint(eager=False))
+    return pieces, vocab
+
+
+def unigram_train(docs: DataFrame, keep: int = 40, iters: int = 2,
+                  max_len: int = 4, text_col: str = "text") -> DataFrame:
+    """The learned piece table: (piece, cnt, prob) after ``iters``
+    Viterbi-EM rounds — prob = stable_round(cnt / total, 6), the
+    portable hash surface over an exact integer ratio."""
+    pieces, _ = _em_rounds(docs, keep, iters, max_len, text_col)
+    tot = pieces.agg(F.sum("cnt").alias("__t"))
+    return (pieces.join(F.broadcast(tot), F.lit(True), "left")
+                  .select("piece", "cnt",
+                          stable_round(F.col("cnt").cast("double")
+                                       / F.col("__t").cast("double"),
+                                       6).alias("prob")))
+
+
+def unigram_codec(docs: DataFrame, keep: int = 40, iters: int = 2,
+                  max_len: int = 4, text_col: str = "text") -> DataFrame:
+    """Train on ``docs`` and return the 1-row broadcastable codec:
+    (__cnt: map<piece,bigint>, __tot: bigint, __ids: map<piece,int> —
+    dense lexicographic ids starting at 1; :data:`UNK_ID` 0 reserved).
+    All three columns come from vocabulary-scale tables."""
+    pieces, _ = _em_rounds(docs, keep, iters, max_len, text_col)
+    ranked = pieces.withColumn(
+        "__id", F.row_number().over(Window.orderBy("piece")).cast("int"))
+    return ranked.agg(
+        F.map_from_entries(F.collect_list(
+            F.struct("piece", "cnt"))).alias("__cnt"),
+        F.sum("cnt").alias("__tot"),
+        F.map_from_entries(F.collect_list(
+            F.struct("piece", "__id"))).alias("__ids"))
+
+
+def apply_unigram(docs: DataFrame, codec: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_len: int = 4) -> DataFrame:
+    """Encode ``docs`` with a trained :func:`unigram_codec`: per
+    document (id, n_words, n_tokens, token_ids) — the
+    :func:`operators.bpe.apply_bpe` output shape.
+
+    100 TB design — word-level memoization: segmentation is a pure
+    function of the word, so Viterbi runs ONCE per *distinct word of
+    the corpus being encoded* (a zipf-small table produced by the same
+    map-side-combined aggregation as tokenizer training), the resulting
+    word -> id-sequence table folds into a 1-row broadcast map, and the
+    corpus-scale pass is a single scan applying that map per token —
+    zero corpus shuffles, zero Python. An unknown CHARACTER (the only
+    way a piece can miss the id map, since Viterbi re-derives
+    segmentations) encodes as :data:`UNK_ID`."""
+    words = (docs.select(F.explode(tokens(F.coalesce(F.col(text_col),
+                                                     F.lit("")))).alias("word"))
+                 .filter(F.col("word") != "").distinct())
+    seg = segment_words(words, _codec_pieces(codec), max_len)
+    ids = seg.join(F.broadcast(codec.select("__ids")), F.lit(True), "left")
+    per_word = ids.select(
+        "word",
+        F.size("pieces").alias("n"),
+        F.array_join(F.transform(
+            "pieces",
+            lambda p: F.coalesce(F.element_at(F.col("__ids"), p),
+                                 F.lit(UNK_ID)).cast("string")),
+            ",").alias("ids"))
+    wmap = per_word.agg(
+        F.map_from_entries(F.collect_list(
+            F.struct("word", F.struct("n", "ids").alias("v")))).alias("__w"))
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    enc = (docs.select(id_col, F.col(text_col))
+               .join(F.broadcast(wmap), F.lit(True), "left")
+               .withColumn("__toks", toks))
+    looked = F.transform(F.col("__toks"),
+                         lambda w: F.element_at(F.col("__w"), w))
+    return enc.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.aggregate(looked, F.lit(0).cast("long"),
+                    lambda a, v: a + v["n"]).alias("n_tokens"),
+        F.array_join(F.transform(looked, lambda v: v["ids"]),
+                     ",").alias("token_ids"))
+
+
+def _codec_pieces(codec: DataFrame) -> DataFrame:
+    """(piece, cnt) table back out of a 1-row codec — vocabulary-scale
+    explode, keeps segment_words single-sourced."""
+    return codec.select(F.explode("__cnt").alias("piece", "cnt"))
+
+
+def unigram_encode(docs: DataFrame, keep: int = 40, iters: int = 2,
+                   max_len: int = 4, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Train-and-encode convenience: :func:`unigram_codec` on ``docs``
+    then :func:`apply_unigram` over the same corpus (the bpe_encode
+    registry shape)."""
+    codec = unigram_codec(docs, keep, iters, max_len, text_col)
+    return apply_unigram(docs, codec, text_col, id_col, max_len)

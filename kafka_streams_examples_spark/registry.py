@@ -34,6 +34,7 @@ from .operators import sketch as SKC
 from .operators import skew as SK
 from .operators import text as TX
 from .operators import topk as TK
+from .operators import unigram as UNI
 from .operators import windows as W
 
 # ---------------------------------------------------------------------------
@@ -3974,6 +3975,166 @@ def q_pack_sequences_bpe(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     enc = BPE.bpe_encode(docs, merges=6).select("doc_id", "n_tokens")
     return TX.pack_counts(enc, budget=256)
+
+
+def _unigram_viterbi_ctes(t: str, pieces_cte: str, max_len: int) -> str:
+    """One Viterbi round as recursive CTEs — mirrors
+    operators/unigram.py's DP contract exactly: probability-space
+    dist[m] = max over piece lengths k of dist[m-k] * cnt/tot (exact
+    integer-ratio doubles, no transcendentals), unknown single chars
+    fall back to cnt=1, ties break to the largest k (list_sort DESC on
+    (cost, k) structs == the Spark fold's strictly-greater replacement
+    in k-descending order). Suffix ``t`` namespaces the CTEs."""
+    cands = ", ".join(
+        f"struct_pack(c := CASE WHEN v.j + 1 >= {k} THEN "
+        f"v.dc[v.j + 2 - {k}] * (CAST(coalesce(map_extract(mm.mp, "
+        f"substr(v.word, v.j + 2 - {k}, {k}))[1], {1 if k == 1 else 0}) "
+        f"AS DOUBLE) / mm.tot) ELSE CAST(-2.0 AS DOUBLE) END, k := {k})"
+        for k in range(max_len, 0, -1))
+    best = f"(list_sort([{cands}], 'DESC')[1])"
+    return f"""
+    m{t} AS (SELECT map(list(piece ORDER BY piece),
+                        list(cnt ORDER BY piece)) AS mp,
+                    CAST(sum(cnt) AS DOUBLE) AS tot FROM {pieces_cte}),
+    vit{t} AS (
+      SELECT word, 0 AS j, [CAST(1.0 AS DOUBLE)] AS dc, [0] AS db FROM w
+      UNION ALL
+      SELECT v.word, v.j + 1,
+             list_append(v.dc, {best}.c),
+             list_append(v.db, v.j + 1 - {best}.k)
+      FROM vit{t} v, m{t} mm WHERE v.j < length(v.word)),
+    bt{t} AS (
+      SELECT word, length(word) AS pos, CAST([] AS VARCHAR[]) AS ps, db
+      FROM vit{t} WHERE j = length(word)
+      UNION ALL
+      SELECT word, db[pos + 1],
+             list_prepend(substr(word, db[pos + 1] + 1, pos - db[pos + 1]),
+                          ps), db
+      FROM bt{t} WHERE pos > 0),
+    seg{t} AS (SELECT word, ps FROM bt{t} WHERE pos = 0)"""
+
+
+def _unigram_ctes(keep: int, iters: int, max_len: int) -> str:
+    """Unigram-LM training unrolled as CTEs (the _bpe_ctes pattern):
+    seed (all single chars + top-``keep`` substrings of length
+    2..max_len, overlap-counted, ties to the smaller piece), then
+    ``iters`` hard-EM rounds of Viterbi segmentation + recount with the
+    single-char cnt>=1 coverage floor."""
+    parts = [
+        "w AS (SELECT word, count(*) AS cnt FROM "
+        f"({SQL_TOKENS}) WHERE word <> '' GROUP BY word)",
+        f"""sub AS (SELECT substr(word, s, k) AS piece,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+             FROM w, unnest(generate_series(1, length(word))) AS a(s),
+                  unnest(generate_series(1, {max_len})) AS b(k)
+             WHERE s + k - 1 <= length(word) GROUP BY 1)""",
+        "sing AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1)",
+        f"""p0 AS (SELECT piece, cnt FROM sing
+             UNION ALL
+             SELECT piece, cnt FROM (
+               SELECT piece, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, piece) AS r
+               FROM sub WHERE length(piece) >= 2) WHERE r <= {keep})""",
+    ]
+    for t in range(iters):
+        parts.append(_unigram_viterbi_ctes(str(t), f"p{t}", max_len))
+        parts.append(
+            f"""c{t} AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+              FROM (SELECT w.cnt, unnest(s.ps) AS piece
+                    FROM seg{t} s JOIN w USING (word)) GROUP BY piece)""")
+        parts.append(
+            f"""p{t + 1} AS (
+              SELECT piece, cnt FROM c{t} WHERE length(piece) >= 2
+              UNION ALL
+              SELECT s.piece,
+                     greatest(coalesce(c.cnt, CAST(0 AS BIGINT)),
+                              CAST(1 AS BIGINT)) AS cnt
+              FROM sing s LEFT JOIN c{t} c USING (piece))""")
+    return ",\n    ".join(parts)
+
+
+_UNIGRAM_KEEP, _UNIGRAM_ITERS, _UNIGRAM_MAXLEN = 40, 2, 4
+
+
+@query(
+    "unigram_lm_train",
+    f"""WITH RECURSIVE {_unigram_ctes(_UNIGRAM_KEEP, _UNIGRAM_ITERS,
+                                      _UNIGRAM_MAXLEN)},
+    tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM p{_UNIGRAM_ITERS})
+    SELECT piece, cnt,
+           floor(CAST(cnt AS DOUBLE) / tt.tot * 1e6 + 0.5) / 1e6 AS prob
+    FROM p{_UNIGRAM_ITERS}, tt""",
+    "Unigram-LM tokenizer training (Kudo ACL'18, SentencePiece-style "
+    "Viterbi-EM; word-boundary-restricted like bpe_train): seed with "
+    "every corpus character plus the top-40 substrings up to length 4, "
+    "then two hard-EM rounds — Viterbi-segment the vocabulary under the "
+    "current piece distribution, recount pieces weighted by word "
+    "frequency, floor single characters at cnt>=1 for coverage. "
+    "Engine-exact by construction: probabilities are exact integer "
+    "ratios and the DP multiplies/compares doubles only (no ln()), so "
+    "both engines walk bit-identical Viterbi paths; ties break to the "
+    "longest final piece on both sides (Spark: strictly-greater fold in "
+    "k-descending order; oracle: list_sort DESC on (cost,k)). All "
+    "training is vocabulary-scale — the corpus is read once into the "
+    "word-frequency aggregate, each EM round touches only that table, "
+    "and the per-round piece state is a 1-row broadcast map "
+    "(operators/unigram.py).",
+)
+def q_unigram_lm_train(spark: SparkSession, sf: str) -> DataFrame:
+    return UNI.unigram_train(table(spark, sf, "documents"),
+                             keep=_UNIGRAM_KEEP, iters=_UNIGRAM_ITERS,
+                             max_len=_UNIGRAM_MAXLEN)
+
+
+@query(
+    "unigram_encode",
+    f"""WITH RECURSIVE {_unigram_ctes(_UNIGRAM_KEEP, _UNIGRAM_ITERS,
+                                      _UNIGRAM_MAXLEN)},
+    {_unigram_viterbi_ctes('f', f'p{_UNIGRAM_ITERS}', _UNIGRAM_MAXLEN)},
+    ids AS (SELECT piece,
+                   CAST(row_number() OVER (ORDER BY piece) AS INTEGER)
+                     AS pid
+            FROM p{_UNIGRAM_ITERS}),
+    px AS (SELECT word, j, ps[j] AS piece, len(ps) AS n
+           FROM segf, unnest(generate_series(1, len(ps))) AS t(j)),
+    pz AS (SELECT px.word, any_value(px.n) AS n,
+                  string_agg(CAST(coalesce(i.pid, 0) AS VARCHAR), ','
+                             ORDER BY px.j) AS ids
+           FROM px LEFT JOIN ids i ON i.piece = px.piece
+           GROUP BY px.word),
+    dw AS (SELECT doc_id, j, arr[j] AS word
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(lower(text), '\\s+') AS arr
+                 FROM documents) dt,
+                unnest(generate_series(1, len(arr))) AS t(j)
+           WHERE arr[j] <> ''),
+    agg AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(z.n) AS BIGINT) AS n_tokens,
+                   string_agg(z.ids, ',' ORDER BY d.j) AS token_ids
+            FROM dw d JOIN pz z USING (word) GROUP BY d.doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.token_ids, '') AS token_ids
+    FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "Corpus tokenization with the trained unigram LM — Viterbi "
+    "(max-probability) segmentation under the learned piece "
+    "distribution, the SentencePiece counterpart of bpe_encode. Per "
+    "document: (n_words, n_tokens, token_ids) with dense lexicographic "
+    "piece ids (UNK=0 reserved for never-seen characters). 100 TB "
+    "design — word-level memoization: segmentation is a pure function "
+    "of the word, so Viterbi runs once per DISTINCT word (the zipf-"
+    "small table the training aggregation already builds), the word->"
+    "ids table folds into a 1-row broadcast map, and the corpus-scale "
+    "pass is one scan applying that map per token — zero corpus "
+    "shuffles, zero Python (operators/unigram.py:apply_unigram). The "
+    "oracle re-derives the same per-word segmentation relationally "
+    "(recursive-CTE DP + backtrack), so parity is also an "
+    "encode-vs-train consistency proof.",
+)
+def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
+    return UNI.unigram_encode(table(spark, sf, "documents"),
+                              keep=_UNIGRAM_KEEP, iters=_UNIGRAM_ITERS,
+                              max_len=_UNIGRAM_MAXLEN)
 
 
 @query(

@@ -79,6 +79,13 @@ BNLJ_BY_DESIGN = {
     # dsir_score's 1-row totals broadcast plus the 1-row exact-percentile
     # threshold broadcast (selection without a global sort)
     "dsir_resample",
+    # unigram-LM trainer: the per-EM-round piece state is a 1-row
+    # broadcast map cross-joined onto the vocabulary-scale word table
+    # (the bpe_encode codec shape), plus the 1-row total for prob
+    "unigram_lm_train",
+    # encode = the same trainer plus the word->ids memoization map, both
+    # 1-row broadcasts onto vocabulary-scale and corpus scans
+    "unigram_encode",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
