@@ -1017,3 +1017,108 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     sim = dot_product(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))
     return _rank_topk(cand.select("q_id", "c_id",
                                   stable_round(sim, 6).alias("__sim")), k)
+
+
+# ---------------------------------------------------------------------------
+# persisted / incremental IVF index (write-once, query-many)
+
+
+def _route_to_codebook(queries: DataFrame, cents: DataFrame,
+                       nprobe: int, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """Route a query batch to its nprobe nearest stored centroids by
+    cosine: (q_id, q_vec, q_norm, cid). Touches ONLY the k-row codebook
+    — zero corpus bytes (the property test_ivf_index_routing_reads_
+    zero_corpus_bytes pins on the plan). Cosines quantize at 6 decimals
+    before the rank, ties to the lower cid — the ivf_knn contract."""
+    cb = cents.select("cid", "cent", l2_norm(F.col("cent")).alias("__cn"))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       l2_norm(F.col(vec_col)).alias("q_norm"))
+    csim = (dot_product(F.col("q_vec"), F.col("cent"))
+            / (F.col("q_norm") * F.col("__cn")))
+    wq = Window.partitionBy("q_id").orderBy(F.col("__cs").desc(), "cid")
+    return (q.join(F.broadcast(cb), F.lit(True))
+             .select("q_id", "q_vec", "q_norm", "cid",
+                     stable_round(csim, 6).alias("__cs"))
+             .withColumn("__r", F.row_number().over(wq))
+             .filter(F.col("__r") <= nprobe)
+             .select("q_id", "q_vec", "q_norm", "cid"))
+
+
+def _rerank_in_buckets(routed: DataFrame, vectors: DataFrame, k: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Exact cosine rerank confined to the probed buckets: the bucket
+    table joins the broadcast routed set on cid, so only probed
+    partitions are read (partition pruning when `vectors` is a
+    cid-partitioned parquet index)."""
+    c = vectors.select(F.col(id_col).alias("c_id"),
+                       F.col(vec_col).alias("c_vec"),
+                       l2_norm(F.col(vec_col)).alias("c_norm"), "cid")
+    cand = c.join(F.broadcast(routed), "cid")
+    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
+    return _rank_topk(cand.select("q_id", "c_id",
+                                  stable_round(sim, 6).alias("__sim")), k)
+
+
+def build_ivf_index(corpus: DataFrame, path: str, kclusters: int = 8,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Train and PERSIST the write-once IVF index: ``{path}/codebook``
+    (the k-row (cid, cent) table) and ``{path}/vectors`` (the corpus
+    vectors parquet-partitioned by cid — the on-disk layout that lets
+    every later query batch prune unprobed buckets at the scan).
+
+    This is the minhash family's write-once band-index shape
+    (incremental_minhash_pairs) applied to the ANN tier: train once,
+    route every subsequent batch without touching old corpus rows.
+    At 100 TB the vectors write is the one full-corpus pass; the
+    codebook is k*dim doubles."""
+    cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
+                             ckpt_each_iter=True)
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+    (asg.select(F.col("vec_id").alias(id_col),
+                F.col("e").alias(vec_col), "cid")
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(f"{path}/vectors"))
+
+
+def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    nprobe: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Search a :func:`build_ivf_index` index with a NEW query batch:
+    route against the stored codebook (k rows — zero corpus bytes),
+    then exact-rerank inside the probed cid partitions only. Output
+    (q_id, c_id, cos_sim, rnk), the ANN-ladder shape."""
+    cents = spark.read.parquet(f"{path}/codebook")
+    vectors = spark.read.parquet(f"{path}/vectors")
+    routed = _route_to_codebook(queries, cents, nprobe, id_col, vec_col)
+    return _rerank_in_buckets(routed, vectors, k, id_col, vec_col)
+
+
+def incremental_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                    nprobe: int = 2, kclusters: int = 8, iters: int = 2,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The day-over-day ANN shape as one composed plan (the registry /
+    oracle surface for the persisted-index path): train the codebook on
+    the EXISTING corpus only, assign its rows once (the write-once
+    index — materialized via lazy localCheckpoint here, parquet in
+    :func:`build_ivf_index`), then route the NEW batch against the
+    stored codebook and rerank inside the probed buckets. Identical
+    routing/rerank code to :func:`query_ivf_index`, so the oracle
+    parity transfers to the persisted path byte-for-byte (pinned by
+    test_ivf_index_persisted_equals_inline).
+
+    Differs from knn_ivf_trained in exactly the incremental semantics:
+    queries are NOT part of the trained corpus, and routing uses the
+    STORED codebook rather than recomputed assignment means — no part
+    of the index is touched by the new batch."""
+    cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
+                             ckpt_each_iter=True)
+    index = (asg.select(F.col("vec_id").alias(id_col),
+                        F.col("e").alias(vec_col), "cid")
+                .localCheckpoint(eager=False))
+    routed = _route_to_codebook(queries, cents, nprobe, id_col, vec_col)
+    return _rerank_in_buckets(routed, index, k, id_col, vec_col)

@@ -1695,6 +1695,65 @@ def q_knn_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
                        k=5, nprobe=2)
 
 
+def _incremental_knn_sql(kclusters: int = 8, iters: int = 2,
+                         nprobe: int = 2, topk: int = 5) -> str:
+    """Oracle for the persisted-index path: the kmeans CTEs run over the
+    EXISTING-corpus subset only (the stored index — c{iters} is the
+    codebook, a{iters} the bucketed assignment), then the NEW batch
+    routes against the STORED codebook (not recomputed assignment
+    means) and reranks inside the probed buckets."""
+    return f"""WITH {_kmeans_ctes(
+        kclusters, iters,
+        from_table="(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")},
+    nb AS (SELECT vec_id AS q_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id % 10 = 7),
+    routed AS (
+      SELECT q_id, cid FROM (
+        SELECT n.q_id, c.cid,
+          row_number() OVER (PARTITION BY n.q_id
+            ORDER BY floor(list_cosine_similarity(n.qv, c.cent) * 1e6 + 0.5)
+                       / 1e6 DESC,
+                     c.cid) AS r
+        FROM nb n CROSS JOIN c{iters} c) WHERE r <= {nprobe}),
+    cand AS (
+      SELECT n.q_id, a.vec_id AS c_id,
+             floor(list_cosine_similarity(n.qv, a.e) * 1e6 + 0.5) / 1e6 AS s6
+      FROM routed r JOIN nb n USING (q_id)
+      JOIN a{iters} a ON a.cid = r.cid)
+    SELECT q_id, c_id, floor(s6 * 1e4 + 0.5) / 1e4 AS cos_sim, rnk FROM (
+      SELECT q_id, c_id, s6,
+        row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id) AS rnk
+      FROM cand) t WHERE rnk <= {topk}"""
+
+
+@query(
+    "incremental_knn",
+    _incremental_knn_sql(kclusters=8, iters=2, nprobe=2, topk=5),
+    "Incremental ANN against a PERSISTED IVF index — the day-over-day "
+    "shape 100 TB similarity search actually runs in (the minhash "
+    "family's write-once band index, applied to the ANN tier): the "
+    "codebook is trained and the corpus bucketed ONCE on the existing "
+    "data (vec_id % 10 = 7 stands in for today's new batch), then every "
+    "new batch routes against the stored k-row codebook — touching ZERO "
+    "original-corpus embedding bytes for routing (plan-tested) — and "
+    "exact-reranks only inside its nprobe probed buckets, which prune "
+    "on disk when the index is the cid-partitioned parquet "
+    "build_ivf_index writes. Differs from knn_ivf_trained in exactly "
+    "the incremental semantics: queries are NOT part of the trained "
+    "corpus and routing uses the stored codebook, not recomputed "
+    "assignment means. The parquet persisted path shares this exact "
+    "routing/rerank code (operators/similarity.py:query_ivf_index), "
+    "pinned equal by test.",
+)
+def q_incremental_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    return SIM.incremental_knn(new, corpus, k=5, nprobe=2,
+                               kclusters=8, iters=2)
+
+
 def _mp_flip_ctes(s: str, probes: int, max_flip: int) -> str:
     """Per-table probe-selection CTEs for _multiprobe_sql: emits
     `{s}fl` (the chosen XOR masks) and `{s}pr` (the probed buckets).

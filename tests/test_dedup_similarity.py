@@ -1416,6 +1416,67 @@ def test_label_silhouette_replica(spark, sf_dir):
     assert 0 < checked_suspects  # fixture labels are weak; flags fire
 
 
+def test_ivf_index_persisted_equals_inline(spark, sf_dir, tmp_path):
+    """build_ivf_index + query_ivf_index (the parquet write-once path)
+    must return exactly what the oracle-verified inline composition
+    (incremental_knn) returns — same codebook, same routing, same
+    rerank, so the registry parity transfers to the persisted path."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        build_ivf_index, incremental_knn, query_ivf_index,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, path, kclusters=8, iters=2)
+    got = {(r.q_id, r.c_id, r.cos_sim, r.rnk)
+           for r in query_ivf_index(spark, path, new, k=5,
+                                    nprobe=2).collect()}
+    want = {(r.q_id, r.c_id, r.cos_sim, r.rnk)
+            for r in incremental_knn(new, corpus, k=5, nprobe=2,
+                                     kclusters=8, iters=2).collect()}
+    assert got == want and got
+
+
+def test_ivf_index_routing_reads_zero_corpus_bytes(spark, sf_dir,
+                                                   tmp_path):
+    """The incremental promise: routing a new batch touches ONLY the
+    k-row codebook — the plan's file scans must not include the
+    vectors (corpus) side of the index at all — and the full query's
+    vectors scan is partition-pruned on cid."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        _route_to_codebook, build_ivf_index, query_ivf_index,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, path, kclusters=8, iters=2)
+
+    cents = spark.read.parquet(f"{path}/codebook")
+    routed = _route_to_codebook(new, cents, 2, "vec_id", "embedding")
+    files = routed.inputFiles()
+    # the routing plan reads the batch's own rows and the k-row
+    # codebook — never the index's corpus-vector files
+    assert any("codebook" in f for f in files)
+    assert not any("/vectors/" in f for f in files)
+    assert routed.count() > 0
+
+    full = query_ivf_index(spark, path, new, k=5, nprobe=2)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    # the vectors scan is keyed on the cid partition column and Spark
+    # dynamic partition pruning narrows it to the probed buckets (plan
+    # paths truncate under pytest's long tmp dirs, so pin the pruning
+    # expression rather than the directory name)
+    assert "PartitionFilters: [isnotnull(cid" in fplan
+    assert "dynamicpruningexpression(cast(cid" in fplan
+    assert full.count() > 0
+
+
 def test_label_silhouette_single_label_emits_zero_rows(spark):
     """Degenerate single-label corpus: no foreign centroid exists, so
     there is no margin to report — zero rows, matching the oracle's

@@ -86,6 +86,9 @@ BNLJ_BY_DESIGN = {
     # encode = the same trainer plus the word->ids memoization map, both
     # 1-row broadcasts onto vocabulary-scale and corpus scans
     "unigram_encode",
+    # kmeans assignment step (the kmeans_train shape) + the stored k-row
+    # codebook broadcast the new batch routes against
+    "incremental_knn",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
