@@ -86,24 +86,47 @@ def reservations(orders: DataFrame, stock_for_key, key_col: str = "product",
 
 
 def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
-              wait_seconds: int = 60) -> DataFrame:
+              wait_seconds: int = 60, time_mode: str = "processing",
+              ts_col: str = "ts",
+              watermark_delay: str = "0 seconds") -> DataFrame:
     """J8: stream-table join with table-side wait.
 
     Semantics (CustomStreamTableJoinIntegrationTest.java:60-131): each
     stream record produces EXACTLY ONE output; if a table-side value for
     the key is known, emit (v, t) immediately; otherwise buffer the stream
-    record up to wait_seconds (processing time) hoping the table side
-    arrives, then emit (v, null).
+    record up to wait_seconds hoping the table side arrives, then emit
+    (v, null).
+
+    Two timeout clocks, selected by ``time_mode``:
+
+    - ``"processing"``: the wait is wall-clock from enqueue (the
+      reference test's observed behavior under live brokers).
+    - ``"event"``: the wait is measured against the WATERMARK — the
+      reference transformer's actual punctuation clock
+      (CustomStreamTableJoinIntegrationTest.java:285-338 punctuates on
+      PunctuationType.STREAM_TIME, i.e. max observed event time, NOT
+      wall clock). Both inputs must carry ``ts_col``; a buffered record
+      flushes unmatched once watermark >= its event time +
+      wait_seconds, so a stalled wall clock still flushes when event
+      time advances, and a stalled STREAM never times anything out —
+      exactly Kafka Streams stream-time semantics. Records older than
+      the watermark never reach the processor (Spark's late-event
+      filter drops them — the W7 grace contract, pinned by
+      test_join_wait_event_time_late_record_is_dropped).
 
     Inputs are unioned upstream (side='S'|'T') so one keyed processor sees
     both, mirroring the reference's two-store transformer.
     """
+    if time_mode not in ("processing", "event"):
+        raise ValueError(f"time_mode must be processing|event: {time_mode}")
+    event_mode = time_mode == "event"
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
         T.StructField("stream_value", T.DoubleType()),
         T.StructField("table_value", T.LongType()),
     ])
-    # each pending record carries its own enqueue time so the timeout honors
+    # each pending record carries its own reference time (enqueue wall ms in
+    # processing mode, event-time ms in event mode) so the timeout honors
     # the reference's PER-RECORD approxMaxWaitTime contract — a shared timer
     # armed by an earlier batch must not flush a freshly-buffered record
     state_schema = T.StructType([
@@ -113,37 +136,62 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
         T.StructField("pending_ms", T.ArrayType(T.LongType())),
     ])
 
+    extra_s = [F.col(ts_col).cast("timestamp").alias("__ts")] if event_mode else []
+    extra_t = [F.col(ts_col).cast("timestamp").alias("__ts")] if event_mode else []
     tagged = (stream.select(F.col(key_col), F.lit("S").alias("side"),
                             F.col("value").cast("double").alias("s_val"),
-                            F.lit(None).cast("long").alias("t_val"))
+                            F.lit(None).cast("long").alias("t_val"), *extra_s)
               .unionByName(
                   tbl.select(F.col(key_col), F.lit("T").alias("side"),
                              F.lit(None).cast("double").alias("s_val"),
-                             F.col("value").cast("long").alias("t_val"))))
+                             F.col("value").cast("long").alias("t_val"),
+                             *extra_t)))
+    if event_mode:
+        tagged = tagged.withWatermark("__ts", watermark_delay)
 
     wait_ms = wait_seconds * 1000
 
-    def _arm(state: GroupState, pending_ms: list, now: int) -> None:
+    def _arm(state: GroupState, pending_ms: list, clock: int) -> None:
         # one timer per key, aimed at the OLDEST waiter's deadline; nothing
         # pending -> no timer (a later arrival re-arms on the data path)
-        if pending_ms:
-            state.setTimeoutDuration(max(1, min(pending_ms) + wait_ms - now))
+        if not pending_ms:
+            return
+        deadline = min(pending_ms) + wait_ms
+        if event_mode:
+            # EventTimeTimeout: fires when the watermark passes the
+            # timestamp; anything already due was flushed this call, so
+            # deadline > watermark holds
+            state.setTimeoutTimestamp(deadline)
+        else:
+            state.setTimeoutDuration(max(1, deadline - clock))
+
+    def _clock(state: GroupState) -> int:
+        if event_mode:
+            wm = state.getCurrentWatermarkMs()
+            return wm if wm > 0 else -(1 << 62)  # no watermark yet: nothing due
+        return state.getCurrentProcessingTimeMs()
+
+    def _sweep(pending, pending_ms, clock):
+        """Split waiters into (expired, kept) against the mode's clock."""
+        expired = [v for v, t in zip(pending, pending_ms)
+                   if clock - t >= wait_ms]
+        keep = [(v, t) for v, t in zip(pending, pending_ms)
+                if clock - t < wait_ms]
+        return expired, [v for v, _ in keep], [t for _, t in keep]
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        now = state.getCurrentProcessingTimeMs()
+        clock = _clock(state)
         if state.hasTimedOut:
             t_val, has_t, pending, pending_ms = state.get
             pending = list(pending or []); pending_ms = list(pending_ms or [])
             # flush only records that actually waited out wait_seconds
-            expired = [v for v, t in zip(pending, pending_ms) if now - t >= wait_ms]
-            keep = [(v, t) for v, t in zip(pending, pending_ms) if now - t < wait_ms]
+            expired, pending, pending_ms = _sweep(pending, pending_ms, clock)
             if expired:
                 yield pd.DataFrame({key_col: [key[0]] * len(expired),
                                     "stream_value": expired,
                                     "table_value": [None] * len(expired)})
-            pending = [v for v, _ in keep]; pending_ms = [t for _, t in keep]
             state.update((t_val, has_t, pending, pending_ms))
-            _arm(state, pending_ms, now)
+            _arm(state, pending_ms, clock)
             return
         t_val, has_t, pending, pending_ms = (
             state.get if state.exists else (None, False, [], []))
@@ -158,6 +206,9 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                 continue
             s_vals = pdf["s_val"].to_numpy(dtype=float)
             t_vals = pdf["t_val"].to_numpy()
+            if event_mode:
+                ev_ms = (pdf["__ts"].to_numpy(dtype="datetime64[ns]")
+                         .astype("int64") // 1_000_000)
             bounds = [0, *(np.nonzero(sides[1:] != sides[:-1])[0] + 1), len(sides)]
             for a, b in zip(bounds[:-1], bounds[1:]):
                 if sides[a] == "T":
@@ -175,17 +226,30 @@ def join_wait(stream: DataFrame, tbl: DataFrame, key_col: str = "key",
                     out_t.extend([t_val] * len(run))
                 else:
                     pending.extend(s_vals[a:b].tolist())
-                    pending_ms.extend([now] * (b - a))
+                    pending_ms.extend(ev_ms[a:b].tolist() if event_mode
+                                      else [clock] * (b - a))
+        # unified due-sweep on the data path: records already past their
+        # deadline flush now rather than waiting for a timer. Reachable
+        # only at the edges (wait_seconds == 0, or an event-mode row at
+        # exactly the watermark) — rows OLDER than the watermark are
+        # dropped by Spark's late filter before this function — but it
+        # keeps EventTimeTimeout armable (timestamps must exceed the
+        # watermark), so the edge cannot wedge a waiter forever
+        expired, pending, pending_ms = _sweep(pending, pending_ms, clock)
+        out_s.extend(expired)
+        out_t.extend([None] * len(expired))
         out_k = [key[0]] * len(out_s)
         state.update((t_val, has_t, pending, pending_ms))
-        _arm(state, pending_ms, now)
+        _arm(state, pending_ms, clock)
         if out_k:
             yield pd.DataFrame({key_col: out_k, "stream_value": out_s,
                                 "table_value": out_t})
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if event_mode
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (tagged.groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema, "update",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    timeout))
 
 
 def running_counts_v2(events: DataFrame, key_col: str = "word") -> DataFrame:

@@ -125,6 +125,101 @@ def test_join_wait_multi_table_run_flushes_with_first_value(spark, tmp_path):
     assert got == {1.0: 10, 2.0: 10, 3.0: 20}
 
 
+def test_join_wait_event_time_matrix(spark, tmp_path):
+    """Event-time mode (the reference transformer's actual punctuation
+    clock — STREAM_TIME, CustomStreamTableJoinIntegrationTest.java:285-338):
+    immediate join, buffered-then-matched, and timeout driven by the
+    WATERMARK — a stalled wall clock still flushes when event time
+    advances (wait is 60 EVENT-seconds; the test completes in wall
+    seconds), and a record whose event-time deadline has not passed
+    stays buffered no matter how long the wall clock runs."""
+    s_dir, t_dir = tmp_path / "s", tmp_path / "t"
+    sch_s = "key string, value double, ts timestamp"
+    sch_t = "key string, value long, ts timestamp"
+    # batch 1: table k1 + stream k1 (immediate) + stream k2 (buffered)
+    spark.createDataFrame(
+        [("k1", 1.5, ts("2024-01-01 10:00:00")),
+         ("k2", 2.5, ts("2024-01-01 10:00:00"))], sch_s) \
+        .coalesce(1).write.mode("append").parquet(str(s_dir))
+    spark.createDataFrame(
+        [("k1", 10, ts("2024-01-01 10:00:00"))], sch_t) \
+        .coalesce(1).write.mode("append").parquet(str(t_dir))
+    s = spark.readStream.schema(sch_s).parquet(str(s_dir))
+    t = spark.readStream.schema(sch_t).parquet(str(t_dir))
+    out = join_wait(s, t, wait_seconds=60, time_mode="event")
+    name, q = run_to_memory(out, mode="update", wait=False)
+    try:
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 1)
+        # batch 2: k2's table side arrives in event time -> matched flush
+        spark.createDataFrame(
+            [("k2", 20, ts("2024-01-01 10:00:30"))], sch_t) \
+            .coalesce(1).write.mode("append").parquet(str(t_dir))
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 2
+                          and ("k2", 2.5) in {(r["key"], r["stream_value"])
+                                              for r in rs})
+        # batch 3: stream k3 buffers at 10:01:00 (deadline 10:02:00)
+        spark.createDataFrame(
+            [("k3", 3.5, ts("2024-01-01 10:01:00"))], sch_s) \
+            .coalesce(1).write.mode("append").parquet(str(s_dir))
+        # batch 4: stream k4 at 10:03:00 advances the watermark past k3's
+        # deadline -> k3 flushes UNMATCHED on event time alone (wall
+        # elapsed here is ~seconds, not 60); k4 (deadline 10:04:00) must
+        # stay buffered
+        spark.createDataFrame(
+            [("k4", 4.5, ts("2024-01-01 10:03:00"))], sch_s) \
+            .coalesce(1).write.mode("append").parquet(str(s_dir))
+        rows = await_rows(spark, name, lambda rs: len(rs) >= 3
+                          and "k3" in {r["key"] for r in rs})
+    finally:
+        q.stop()
+    got = {(r["key"], r["stream_value"]): r["table_value"] for r in rows}
+    assert got[("k1", 1.5)] == 10       # immediate
+    assert got[("k2", 2.5)] == 20       # buffered then matched
+    assert got[("k3", 3.5)] is None     # watermark-driven timeout
+    assert ("k4", 4.5) not in got       # deadline not reached: still waiting
+
+
+def test_join_wait_event_time_late_record_is_dropped(spark, tmp_path):
+    """A stream record older than the watermark never reaches the
+    processor — Spark's late-event filter drops it before the stateful
+    operator (the W7 grace contract; Kafka Streams likewise drops
+    records past the grace period). Pinned so the event-time mode's
+    late-data story is explicit: drop, not flush-unmatched."""
+    s_dir, t_dir = tmp_path / "s", tmp_path / "t"
+    t_dir.mkdir()
+    sch_s = "key string, value double, ts timestamp"
+    # batch 1 sets the watermark to 10:10:00
+    spark.createDataFrame(
+        [("w", 0.5, ts("2024-01-01 10:10:00"))], sch_s) \
+        .coalesce(1).write.mode("append").parquet(str(s_dir))
+    s = spark.readStream.schema(sch_s).parquet(str(s_dir))
+    t = spark.readStream.schema(
+        "key string, value long, ts timestamp").parquet(str(t_dir))
+    out = join_wait(s, t, wait_seconds=60, time_mode="event")
+    name, q = run_to_memory(out, mode="update", wait=False)
+    try:
+        import time as _t
+        deadline = _t.time() + 60
+        while sum(p["numInputRows"] for p in q.recentProgress) < 1:
+            if _t.time() > deadline:
+                raise TimeoutError("stream batch never consumed")
+            _t.sleep(0.3)
+        # batch 2: a LATE record (09:00 << watermark 10:10) and a live
+        # one advancing the watermark past w's deadline (10:11:00) so a
+        # flush cycle provably ran after the late row was offered
+        spark.createDataFrame(
+            [("late", 9.5, ts("2024-01-01 09:00:00")),
+             ("live", 1.5, ts("2024-01-01 10:20:00"))], sch_s) \
+            .coalesce(1).write.mode("append").parquet(str(s_dir))
+        rows = await_rows(spark, name, lambda rs:
+                          "w" in {r["key"] for r in rs})
+    finally:
+        q.stop()
+    keys = {r["key"] for r in rows}
+    assert "w" in keys          # watermark-driven flush cycle ran
+    assert "late" not in keys   # the late row was dropped, not flushed
+
+
 def test_ordered_concat_converges_from_shuffled_arrival(spark, sf_dir, tmp_path):
     # A3 streaming analog: pipe the events table in a RANDOMIZED order
     # split across 4 micro-batches; the per-key sequence must still
