@@ -107,6 +107,10 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "pii_redact",
+    # (r11: incremental_knn stays OFF the wire — its kmeans + route +
+    # bucket-rerank cost shape is already timed by knn_ivf_trained, and
+    # swapping kmeans_train for the longer name would bust the 1700-char
+    # wire budget; full parity + SCALE coverage unaffected)
     "kmeans_train",
     "knn_multiprobe",
     "unigram_surprisal",
@@ -116,7 +120,11 @@ HEADLINE = [
     "dedup_keep_best",
     "bigram_surprisal",
     # r5 third session: tokenizer training + data mixing + PQ/IVFPQ ANN
-    "bpe_train",
+    # r11 rotation: bpe_train (merge trainer) rotated out for
+    # unigram_encode — bpe_encode (staying) carries the full BPE
+    # trainer lineage, and unigram_encode carries the unigram-LM
+    # trainer's, so both tokenizer paradigms' training stays timed
+    "unigram_encode",
     "source_mixture",
     "pq_knn",
     "knn_ivfpq",
