@@ -65,6 +65,10 @@ CURVE = [
     # packer; scan-side centroid-silhouette label QC)
     "bpe_encode", "semantic_prune", "pack_sequences_bpe",
     "label_silhouette", "exact_substring_apply", "curriculum_order",
+    # r11 additions (vocabulary-scale Viterbi-EM trainer; word-memoized
+    # corpus encode over a 1-row broadcast; stored-codebook route +
+    # bucket-confined rerank on a corpus-trained index)
+    "unigram_lm_train", "unigram_encode", "incremental_knn",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -84,7 +88,10 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "soft_dedup", "knn_graph", "knn_hard_negatives",
             # r10 addition (the knn_graph consumer inherits its block
             # confinement; the CC loop adds round-count-bound work)
-            "semantic_prune"]
+            "semantic_prune",
+            # r11 additions (word-memoized encode: corpus scan + the
+            # vocabulary-scale EM; stored-codebook route + bucket rerank)
+            "unigram_encode", "incremental_knn"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
