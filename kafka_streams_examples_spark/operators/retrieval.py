@@ -1,0 +1,225 @@
+"""Sparse lexical retrieval (BM25) over the document corpus — the
+sparse counterpart of the dense ANN ladder in
+:mod:`operators/similarity.py`.
+
+A training-data pipeline needs lexical retrieval next to embedding
+retrieval: retrieval-based decontamination, targeted corpus slicing
+("every document matching this eval query"), and hybrid dense+sparse
+curation all start from a BM25 top-k. Two tiers, mirroring the
+brute/IVF split of the ANN family:
+
+- :func:`bm25_topk` — the exact baseline: every posting of every query
+  term is scored. Distributed shape: the classic sharded inverted
+  index — term-frequency and document-frequency tables are built by
+  word-keyed aggregations (linear in token volume, the wordcount
+  shuffle), and scoring is an equi-join of query terms against the
+  postings table keyed by word. Nothing is ever quadratic in the
+  corpus: cost = total postings touched by the query terms, which at
+  100 TB with a zipfian vocabulary is the standard sparse-retrieval
+  workload (the fixture's 31-word vocabulary makes every posting list
+  corpus-length — the worst case — and the plan is still linear).
+
+- :func:`bm25_pruned` — static impact-ordered index pruning (the
+  Carmel et al. SIGIR'01 family, the WAND-lite scale path): because a
+  document's BM25 score is a sum of per-term impacts that depend only
+  on (term, document), the index can be pruned OFFLINE to the top-R
+  highest-impact postings per term. Serving then touches at most
+  R * |query terms| candidate documents per query — corpus-size
+  independent, the sparse analog of IVF probing — and exact-reranks
+  only those candidates via keyed joins back to the full postings
+  table. :func:`bm25_recall` grades the pruned tier against the exact
+  baseline (the knn_recall pattern).
+
+Determinism contract (mirrored verbatim in the registry oracles):
+idf is quantized ONCE per term to integer micro-nats
+(``floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6 + 0.5)``) — the only
+transcendental, applied at vocabulary scale, never per posting. The
+per-posting impact multiplies that integer (as double) by the exact
+IEEE tf-saturation ratio and quantizes straight back to an integer, so
+per-document scores are INTEGER sums — no float-accumulation order
+dependence anywhere (the dsir_score / bigram_surprisal pattern).
+Ranking ties break on the raw integer score then ascending doc id.
+
+Reference parity: the reference tokenizes streams for counting only
+(WordCountLambdaExample.java:72-75); retrieval is part of the
+beyond-reference LLM-pipeline tier (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+
+#: BM25 constants (Robertson et al., the canonical defaults).
+K1 = 1.2
+B = 0.75
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tokens(text_col)).alias("word"))
+                .filter(F.col("word") != ""))
+
+
+def postings(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """The scored inverted index: (word, doc_id, tf, w6) where ``w6``
+    is the document's integer micro-nat BM25 impact for the term.
+
+    Built from three linear word/doc-keyed aggregations (tf, dl, df)
+    plus a 1-row corpus-stats broadcast (N, avgdl). This is the
+    write-once table a production deployment persists bucketed by
+    ``word`` (the incremental_dedup band-index precedent).
+    """
+    tk = _doc_tokens(docs, text_col, id_col)
+    tf = tk.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double"))
+        .alias("avgdl"))
+    df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
+    # idf quantized once per TERM (vocabulary scale): integer micro-nats
+    idf6 = F.floor(
+        F.log(F.lit(1.0)
+              + (F.col("n_docs").cast("double") - F.col("df").cast("double")
+                 + F.lit(0.5))
+              / (F.col("df").cast("double") + F.lit(0.5))) * F.lit(1e6)
+        + F.lit(0.5)).cast("long")
+    idf = (df_t.join(F.broadcast(stats), F.lit(True), "left")
+               .select("word", idf6.alias("idf6"), "avgdl"))
+    # per-posting impact: exact IEEE tf-saturation ratio times the
+    # integer idf, quantized straight back to an integer micro-nat
+    tfc = F.col("tf").cast("double")
+    comp = (tfc * F.lit(K1 + 1.0)
+            / (tfc + F.lit(K1) * (F.lit(1.0 - B)
+                                  + F.lit(B) * (F.col("dl").cast("double")
+                                                / F.col("avgdl")))))
+    w6 = F.floor(F.col("idf6").cast("double") * comp + F.lit(0.5)) \
+          .cast("long")
+    return (tf.join(dl, "doc_id")
+              .join(idf, "word")
+              .select("word", "doc_id", "tf", w6.alias("w6")))
+
+
+def query_terms(docs: DataFrame, n_queries: int, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Distinct (q_id, word) for the bounded query-document set (the
+    knn_cosine convention: the ``n_queries`` smallest ids). The id
+    filter pushes to the parquet scan."""
+    return (_doc_tokens(docs.filter(F.col(id_col) < n_queries),
+                        text_col, id_col)
+            .distinct()
+            .withColumnRenamed("doc_id", "q_id"))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """(q_id, c_id, s6) -> ranked top-k with the display-quantized
+    score. row_number + filter compiles to WindowGroupLimit, so each
+    map task forwards at most k rows per query before the shuffle."""
+    w = Window.partitionBy("q_id").orderBy(F.col("s6").desc(), F.col("c_id"))
+    score = F.floor(F.col("s6").cast("double") / F.lit(1e6) * F.lit(1e4)
+                    + F.lit(0.5)) / F.lit(1e4)
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k)
+                  .select("q_id", "c_id", score.alias("score"),
+                          F.col("rnk").cast("long").alias("rnk")))
+
+
+def bm25_topk(docs: DataFrame, k: int = 5, n_queries: int = 20,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact BM25 top-k: (q_id, c_id, score, rnk). Query documents are
+    excluded from their own result lists (the ANN exclude_self
+    contract)."""
+    post = postings(docs, text_col, id_col)
+    qt = query_terms(docs, n_queries, text_col, id_col)
+    scored = (qt.join(post, "word")
+                .filter(F.col("doc_id") != F.col("q_id"))
+                .groupBy("q_id", F.col("doc_id").alias("c_id"))
+                .agg(F.sum("w6").alias("s6")))
+    return _topk(scored, k)
+
+
+def pruned_postings(post: DataFrame, r: int) -> DataFrame:
+    """Static impact-ordered pruning: keep the top-``r`` postings per
+    term by (impact desc, doc id). A vocabulary-keyed WindowGroupLimit
+    — each map task forwards at most r rows per term, and the pruned
+    index is at most r * |vocabulary| rows (tiny, persistable)."""
+    w = Window.partitionBy("word").orderBy(F.col("w6").desc(), F.col("doc_id"))
+    return (post.withColumn("__r", F.row_number().over(w))
+                .filter(F.col("__r") <= r).drop("__r"))
+
+
+def adaptive_r(post: DataFrame, r_floor: int = 32,
+               keep_denom: int = 5) -> DataFrame:
+    """1-row (r_eff) — the per-term posting-list retention bound:
+    ``greatest(r_floor, ceil(n_docs / keep_denom))``. Like
+    similarity.auto_refine, the bound holds a fixed FRACTION of each
+    posting list with an absolute floor: the fixture corpus draws every
+    document from one 31-word vocabulary, so per-term impacts barely
+    discriminate (the static-pruning worst case) and the measured
+    recall@5 knee sits at ~n/5 (sf0.01 sweep: r=64 -> 0.88, r=96 ->
+    1.0, committed in the registry doc). A zipfian production corpus
+    keeps far less; the denominator is the tuning knob, and
+    bm25_recall gauges whatever is chosen."""
+    return post.agg(F.greatest(
+        F.lit(r_floor).cast("long"),
+        F.ceil(F.count_distinct("doc_id").cast("double")
+               / F.lit(float(keep_denom))).cast("long")).alias("r_eff"))
+
+
+def bm25_pruned(docs: DataFrame, k: int = 5, n_queries: int = 20,
+                r_floor: int = 32, keep_denom: int = 5,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pruned-index BM25: candidates come ONLY from the top-``r_eff``
+    impact-ordered postings of each query term (:func:`adaptive_r`; at
+    most r_eff * |terms| documents per query), then those candidates
+    are exactly reranked against the full postings table via
+    (doc, word)-keyed equi-joins — the IVF probe-then-rerank shape.
+    Same output schema as :func:`bm25_topk`."""
+    post = postings(docs, text_col, id_col)
+    w = Window.partitionBy("word").orderBy(F.col("w6").desc(),
+                                           F.col("doc_id"))
+    pruned = (post.withColumn("__r", F.row_number().over(w))
+                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
+                        F.lit(True), "left")
+                  .filter(F.col("__r") <= F.col("r_eff"))
+                  .drop("__r", "r_eff"))
+    qt = query_terms(docs, n_queries, text_col, id_col)
+    cands = (qt.join(pruned, "word")
+               .filter(F.col("doc_id") != F.col("q_id"))
+               .select("q_id", F.col("doc_id").alias("c_id"))
+               .distinct())
+    rerank = (cands.join(qt, "q_id")
+                   .join(post.select("word", F.col("doc_id").alias("c_id"),
+                                     "w6"),
+                         ["word", "c_id"])
+                   .groupBy("q_id", "c_id")
+                   .agg(F.sum("w6").alias("s6")))
+    return _topk(rerank, k)
+
+
+def bm25_recall(docs: DataFrame, k: int = 5, n_queries: int = 20,
+                r_floor: int = 32, keep_denom: int = 5,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Recall@k of the pruned tier against the exact baseline, per
+    query plus a built-in 'exact'=1.0 control row family — the
+    knn_recall grading pattern, so the pruned index's quality can never
+    drift unmeasured."""
+    exact = bm25_topk(docs, k, n_queries, text_col, id_col) \
+        .select("q_id", "c_id")
+    pruned = bm25_pruned(docs, k, n_queries, r_floor, keep_denom,
+                         text_col, id_col) \
+        .select("q_id", F.col("c_id").alias("p_id"),
+                F.lit(1).alias("__hit"))
+    hits = (exact.join(pruned,
+                       (exact["q_id"] == pruned["q_id"])
+                       & (exact["c_id"] == pruned["p_id"]), "left")
+                 .select(exact["q_id"].alias("q_id"),
+                         F.coalesce(F.col("__hit"), F.lit(0)).alias("hit")))
+    return (hits.groupBy("q_id")
+                .agg((F.sum("hit").cast("double") / F.count("*"))
+                     .alias("recall_at_k"))
+                .orderBy("q_id"))

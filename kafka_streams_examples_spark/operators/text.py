@@ -677,3 +677,165 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     for expr in rules.values():
         kept = expr if kept is None else (kept & expr)
     return d.withColumn("kept", kept)
+
+
+def derived_lines(ws: Column, words_per_line: int = 12) -> Column:
+    """The fixture's deterministic line structure (single-line corpus;
+    the gopher_rules precedent): tokens wrap every ``words_per_line``
+    words. Unlike gopher's decorated variant, lines carry no
+    document-dependent prefix, so identical word runs in different
+    documents produce identical lines — the property cross-document
+    line dedup needs. A real multi-line corpus would split on
+    newlines instead; everything downstream is unchanged."""
+    wpl = words_per_line
+    n_lines = F.greatest(F.ceil(F.size(ws) / wpl), F.lit(1)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(ws, i * wpl + 1, wpl)))
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 2,
+               words_per_line: int = 12, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cross-document duplicate-line removal — the RefinedWeb / CCNet
+    boilerplate pass (Penedo et al. 2023 §3.2 run it corpus-wide before
+    fuzzy dedup): any line appearing in >= ``min_docs`` DISTINCT
+    documents (headers, footers, nav chrome) is cut from every
+    document; per document the survivors are rejoined in original line
+    order. Output: (doc_id, n_lines, n_kept, clean_text).
+
+    Scale shape: one corpus scan explodes (doc, idx, line) with a
+    portable 60-bit line hash; duplicate detection is ONE hash-keyed
+    aggregation (count distinct docs per line hash — linear, the
+    wordcount shuffle, never pairwise); reassembly is one doc-keyed
+    aggregation. Text lines travel the two linear shuffles once each —
+    at 100 TB you would shuffle (hash, doc, idx) and rejoin the line
+    text by (doc, idx), but the fixture's short lines make the direct
+    form cheaper. 60-bit hash collisions would conflate two distinct
+    lines (~n^2/2^61); the same documented trade as the shingle
+    pipeline.
+    """
+    ws = F.filter(tokens(text_col), lambda x: x != "")
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(derived_lines(ws, words_per_line))
+                       .alias("idx", "line"))
+              .withColumn("h", md5_hash64(F.col("line"))))
+    dup = (ex.groupBy("h")
+             .agg(F.count_distinct("doc_id").alias("__nd"))
+             .filter(F.col("__nd") >= min_docs)
+             .select("h", F.lit(True).alias("__dup")))
+    flagged = (ex.join(dup, "h", "left")
+                 .select("doc_id", "idx", "line",
+                         F.coalesce(F.col("__dup"), F.lit(False))
+                          .alias("__dup")))
+    rows = F.array_sort(F.collect_list(F.struct("idx", "__dup", "line")))
+    return (flagged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_lines"),
+                 F.sum(F.when(~F.col("__dup"), 1).otherwise(0))
+                  .cast("long").alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.filter(rows, lambda s: ~s["__dup"]),
+                         lambda s: s["line"]),
+                     "\n").alias("clean_text")))
+
+
+def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
+                   "src0", "src1", "src2", "src3", "src4"),
+               holdout_mod: int = 5, text_col: str = "text",
+               id_col: str = "doc_id",
+               group_col: str = "source") -> DataFrame:
+    """Model-based quality filter, the fastText/DCLM classifier tier
+    (DCLM, Li et al. 2024; FineWeb-Edu is the same shape): train a
+    cheap linear text classifier to separate a curated target domain
+    from the raw corpus, score everything, keep what scores high. This
+    is the DISCRIMINATIVE counterpart of :func:`dsir_score` — the exact
+    family the DSIR paper benchmarks against — sharing its fixture
+    target (``target_sources``, the dialect-shifted src0-src4):
+    multinomial Naive Bayes log-odds over word-BIGRAM counts (the
+    dsir_score feature convention — the fixture's dialect axis is word
+    order, not unigram choice), trained only on the ~80% split
+    (doc_id % holdout_mod != 0) and scored over EVERY document. Output
+    per document: (doc_id, is_train, is_target, score, pred_target).
+
+    Fixture realism: the synthetic corpus draws every source from the
+    same distribution, so no text model can separate sources
+    out-of-sample there — the registry query checks parity/plan only,
+    and the LEARNING property (a held-out target-dialect document
+    scores positive, off-dialect negative) is pinned by the
+    synthetic-dialect unit test, exactly the dsir_score precedent
+    (tests/test_bpe.py::test_dsir_scores_target_dialect_higher).
+    Documents with fewer than two tokens have no features and score
+    exactly the prior.
+
+    Determinism: one ln() per TRAIN-VOCABULARY word over an exact
+    integer cross-ratio ((c1+1)(tot0+V)) / ((c0+1)(tot1+V)) — Laplace
+    smoothing cross-multiplied so each side is an exactly-representable
+    integer product (< 2^53 up to ~90M train tokens; beyond that
+    cross-engine parity still holds because both engines evaluate the
+    identical IEEE expression, the dsir_score note) — quantized to
+    integer micro-nats; the per-document score is prior + an INTEGER
+    sum of per-token weights (order-exact, the dsir_score pattern).
+    Words unseen in training contribute 0 (neutral). If either class is
+    absent from the train split, weights and prior collapse to 0
+    (score 0, pred false) rather than raising — mirrored in the oracle.
+
+    Scale shape: class counts are one bigram-keyed aggregation over
+    train tokens; scoring is one bigram-keyed equi-join over all tokens
+    plus a doc-keyed sum — all linear, the bigram_surprisal plan with a
+    vocabulary-sized model table (persist it; scoring new corpora then
+    never touches the train corpus).
+    """
+    tgt = [str(s) for s in target_sources]
+    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("__text"),
+                        F.col(group_col).alias("__g"))
+                .withColumn("__ws", ws)
+                .withColumn("is_train",
+                            (F.col("doc_id") % holdout_mod) != 0)
+                .withColumn("is_target", F.col("__g").isin(tgt)))
+    tk = (base.filter(F.size("__ws") >= 2)
+              .select("doc_id", "is_train", "is_target",
+                      F.explode(word_shingles(F.col("__ws"), 2))
+                       .alias("word")))
+    cw = (tk.filter("is_train")
+            .groupBy("word")
+            .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                  .alias("c1"),
+                 F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+                  .alias("c0")))
+    gl = cw.agg(F.sum("c1").alias("tot1"), F.sum("c0").alias("tot0"),
+                F.count("*").alias("v"))
+    nd = (base.filter("is_train")
+              .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+                    .alias("n1"),
+                   F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+                    .alias("n0")))
+    both = (F.col("n1") > 0) & (F.col("n0") > 0)
+    w6 = F.when(both, F.floor(F.log(
+        ((F.col("c1") + 1).cast("double")
+         * (F.col("tot0") + F.col("v")).cast("double"))
+        / ((F.col("c0") + 1).cast("double")
+           * (F.col("tot1") + F.col("v")).cast("double")))
+        * F.lit(1e6) + F.lit(0.5)).cast("long")).otherwise(F.lit(0))
+    weights = (cw.join(F.broadcast(gl), F.lit(True), "left")
+                 .join(F.broadcast(nd), F.lit(True), "left")
+                 .select("word", w6.alias("w6")))
+    prior6 = F.when(both, F.floor(
+        F.log(F.col("n1").cast("double") / F.col("n0").cast("double"))
+        * F.lit(1e6) + F.lit(0.5)).cast("long")).otherwise(F.lit(0))
+    pri = nd.select(prior6.alias("p6"))
+    dsum = (tk.join(weights, "word", "left")
+              .groupBy("doc_id")
+              .agg(F.sum(F.coalesce(F.col("w6"), F.lit(0))).alias("__sw")))
+    s6 = (F.coalesce(F.col("__sw"), F.lit(0)) + F.col("p6")).alias("s6")
+    scored = (base.select("doc_id", "is_train", "is_target")
+                  .join(dsum, "doc_id", "left")
+                  .join(F.broadcast(pri), F.lit(True), "left")
+                  .select("doc_id", "is_train", "is_target", s6))
+    return scored.select(
+        "doc_id", "is_train", "is_target",
+        (F.floor(F.col("s6").cast("double") / F.lit(1e6) * F.lit(1e4)
+                 + F.lit(0.5)) / F.lit(1e4)).alias("score"),
+        (F.col("s6") > 0).alias("pred_target"))

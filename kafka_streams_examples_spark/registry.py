@@ -28,6 +28,7 @@ from .operators import bpe as BPE
 from .operators import dedup as D
 from .operators import joins as J
 from .operators import ktable as K
+from .operators import retrieval as RET
 from .operators import sampling as SAMP
 from .operators import similarity as SIM
 from .operators import sketch as SKC
@@ -5102,3 +5103,229 @@ def _cluster_sample_sql(k: int = 8, iters: int = 2, quota: int = 20) -> str:
 def q_cluster_sample(spark: SparkSession, sf: str) -> DataFrame:
     return SAMP.cluster_quota_sample(table(spark, sf, "embeddings"),
                                      k=8, iters=2, quota=20)
+
+
+# ---------------------------------------------------------------------------
+# sparse lexical retrieval (BM25) — operators/retrieval.py
+
+# Shared BM25 oracle stages, mirroring operators/retrieval.py
+# expression-for-expression: K1/B appear as the identical decimal
+# literals both engines parse to the same doubles (2.2 == 1.2 + 1.0
+# bit-exactly, probed); idf quantizes ONCE per term to integer
+# micro-nats (the only ln); each posting impact multiplies that integer
+# by the exact IEEE tf-saturation ratio and floors straight back to an
+# integer, so per-document scores are order-exact integer sums.
+_BM25_CTES = f"""tk AS (SELECT doc_id, word FROM ({SQL_TOKENS}) WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY doc_id, word),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    st AS (SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM dl),
+    dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    idf AS (SELECT word,
+        CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5)
+             AS BIGINT) AS idf6,
+        avgdl FROM dft CROSS JOIN st),
+    post AS (SELECT tf.word, tf.doc_id, tf.tf,
+        CAST(floor(CAST(idf.idf6 AS DOUBLE)
+            * (CAST(tf.tf AS DOUBLE) * 2.2
+               / (CAST(tf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))
+            + 0.5) AS BIGINT) AS w6
+      FROM tf JOIN dl USING (doc_id) JOIN idf USING (word)),
+    qt AS (SELECT DISTINCT doc_id AS q_id, word FROM tk WHERE doc_id < 20),
+    sc AS (SELECT qt.q_id, post.doc_id AS c_id, sum(post.w6) AS s6
+           FROM qt JOIN post USING (word) WHERE post.doc_id <> qt.q_id
+           GROUP BY 1, 2),
+    rk AS (SELECT q_id, c_id, s6,
+             row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id)
+               AS rnk
+           FROM sc)"""
+
+_BM25_PRUNED_CTES = """re AS (SELECT greatest(CAST(32 AS BIGINT),
+             CAST(ceil(CAST(count(DISTINCT doc_id) AS DOUBLE) / 5.0)
+                  AS BIGINT)) AS r_eff FROM post),
+    pn AS (SELECT word, doc_id,
+             row_number() OVER (PARTITION BY word ORDER BY w6 DESC, doc_id)
+               AS rn
+           FROM post),
+    pr AS (SELECT word, doc_id FROM pn CROSS JOIN re WHERE rn <= r_eff),
+    cand AS (SELECT DISTINCT qt.q_id, pr.doc_id AS c_id
+             FROM qt JOIN pr USING (word) WHERE pr.doc_id <> qt.q_id),
+    rr AS (SELECT cand.q_id, cand.c_id, sum(post.w6) AS s6
+           FROM cand JOIN qt USING (q_id)
+           JOIN post ON post.word = qt.word AND post.doc_id = cand.c_id
+           GROUP BY 1, 2),
+    rk2 AS (SELECT q_id, c_id, s6,
+              row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id)
+                AS rnk
+            FROM rr)"""
+
+_BM25_SELECT = """SELECT q_id, c_id,
+      floor(CAST(s6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score,
+      CAST(rnk AS BIGINT) AS rnk
+    FROM {src} WHERE rnk <= 5"""
+
+
+@query(
+    "bm25_topk",
+    f"WITH {_BM25_CTES}\n    " + _BM25_SELECT.format(src="rk"),
+    "Exact BM25 top-5 for 20 query documents — the sparse-lexical "
+    "counterpart of knn_cosine (retrieval-based decontamination, "
+    "targeted corpus slicing and hybrid dense+sparse curation all "
+    "start here). Distributed shape: the classic sharded inverted "
+    "index — tf/df/dl are word- and doc-keyed linear aggregations, "
+    "scoring is ONE word-keyed equi-join of query terms against the "
+    "postings table, never anything quadratic in the corpus (the "
+    "31-word fixture vocabulary makes every posting list corpus-length "
+    "— the worst case — and the plan is still linear). idf quantizes "
+    "once per TERM to integer micro-nats (the only ln, at vocabulary "
+    "scale); per-posting impacts floor back to integers so document "
+    "scores are order-exact integer sums; ranking ties break on the "
+    "raw integer then ascending doc id (operators/retrieval.py).",
+)
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return RET.bm25_topk(table(spark, sf, "documents"))
+
+
+@query(
+    "bm25_pruned",
+    f"WITH {_BM25_CTES},\n    {_BM25_PRUNED_CTES}\n    "
+    + _BM25_SELECT.format(src="rk2"),
+    "Impact-ordered static index pruning (Carmel et al. SIGIR'01, the "
+    "WAND-lite scale path): BM25 impacts depend only on (term, doc), "
+    "so the index prunes OFFLINE to the top-r_eff postings per term "
+    "(a word-keyed WindowGroupLimit); serving touches at most "
+    "r_eff * |query terms| candidates per query — corpus-size "
+    "independent, the sparse analog of IVF probing — then "
+    "exact-reranks only those candidates via (doc, word)-keyed "
+    "equi-joins against the full postings table. r_eff = "
+    "greatest(32, ceil(n_docs/5)) — the auto_refine pattern: the "
+    "uniform word-salad fixture is the static-pruning worst case "
+    "(per-term impacts barely discriminate; measured recall@5 knee at "
+    "sf0.01: r=64 -> 0.88, r=96 -> 1.0), a zipfian production corpus "
+    "keeps far less, and bm25_recall gauges whatever is chosen.",
+)
+def q_bm25_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    return RET.bm25_pruned(table(spark, sf, "documents"))
+
+
+@query(
+    "bm25_recall",
+    f"""WITH {_BM25_CTES},
+    {_BM25_PRUNED_CTES},
+    ex AS (SELECT q_id, c_id FROM rk WHERE rnk <= 5),
+    px AS (SELECT q_id, c_id FROM rk2 WHERE rnk <= 5),
+    hx AS (SELECT e.q_id, CASE WHEN p.c_id IS NULL THEN 0 ELSE 1 END AS hit
+           FROM ex e LEFT JOIN px p ON p.q_id = e.q_id AND p.c_id = e.c_id)
+    SELECT q_id, CAST(sum(hit) AS DOUBLE) / count(*) AS recall_at_k
+    FROM hx GROUP BY q_id""",
+    "Recall@5 of the pruned BM25 tier against the exact baseline, per "
+    "query — the knn_recall grading pattern for the sparse family: the "
+    "pruned index's quality can never drift unmeasured, and the oracle "
+    "composes both tiers' CTEs verbatim so the gauge can never drift "
+    "from the per-tier contracts.",
+)
+def q_bm25_recall(spark: SparkSession, sf: str) -> DataFrame:
+    return RET.bm25_recall(table(spark, sf, "documents"))
+
+
+@query(
+    "line_dedup",
+    r"""WITH t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws
+      FROM documents),
+    lx AS (SELECT doc_id, i AS idx,
+        coalesce(array_to_string(ws[(i*12+1):(i*12+12)], ' '), '') AS line
+      FROM t, unnest(generate_series(0,
+            CAST(greatest(ceil(len(ws) / 12.0), 1) AS BIGINT) - 1)) AS u(i)),
+    lh AS (SELECT doc_id, idx, line,
+        CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS h FROM lx),
+    dup AS (SELECT h, 1 AS dd FROM lh GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    fl AS (SELECT lh.doc_id, lh.idx, lh.line,
+        CASE WHEN dup.dd IS NULL THEN 0 ELSE 1 END AS dp
+      FROM lh LEFT JOIN dup USING (h))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(1 - dp) AS BIGINT) AS n_kept,
+      coalesce(string_agg(CASE WHEN dp = 0 THEN line END, chr(10)
+                          ORDER BY idx), '') AS clean_text
+    FROM fl GROUP BY doc_id""",
+    "Cross-document duplicate-line removal — the RefinedWeb/CCNet "
+    "boilerplate pass (run corpus-wide before fuzzy dedup: headers, "
+    "footers and nav chrome repeat across documents): any line in >= 2 "
+    "DISTINCT documents is cut everywhere, survivors rejoin in "
+    "original order. One corpus scan explodes (doc, idx, line) with "
+    "the portable 60-bit line hash; detection is ONE hash-keyed "
+    "count-distinct (linear, the wordcount shuffle — never pairwise); "
+    "reassembly is one doc-keyed ordered aggregation. The fixture is "
+    "single-line prose, so lines derive deterministically (12-word "
+    "wraps, the gopher_rules convention but UNdecorated so identical "
+    "runs in different documents produce identical lines — the "
+    "property cross-doc line dedup needs; near-duplicate fixture docs "
+    "supply real shared lines).",
+)
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.line_dedup(table(spark, sf, "documents"))
+
+
+@query(
+    "nb_quality_filter",
+    r"""WITH t AS (SELECT doc_id,
+        (doc_id % 5) <> 0 AS is_train,
+        source IN ('src0','src1','src2','src3','src4') AS is_target,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws
+      FROM documents),
+    bg AS (SELECT doc_id, is_train, is_target, ws[i] || ' ' || ws[i+1] AS word
+           FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+           WHERE len(ws) >= 2),
+    cw AS (SELECT word,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c0
+           FROM bg WHERE is_train GROUP BY word),
+    gl AS (SELECT sum(c1) AS tot1, sum(c0) AS tot0, count(*) AS v FROM cw),
+    nd AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS n0
+           FROM t WHERE is_train),
+    wt AS (SELECT word,
+             CASE WHEN nd.n1 > 0 AND nd.n0 > 0 THEN
+               CAST(floor(ln((CAST(c1 + 1 AS DOUBLE) * CAST(tot0 + v AS DOUBLE))
+                           / (CAST(c0 + 1 AS DOUBLE) * CAST(tot1 + v AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS w6
+           FROM cw CROSS JOIN gl CROSS JOIN nd),
+    pri AS (SELECT CASE WHEN n1 > 0 AND n0 > 0 THEN
+              CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6
+                         + 0.5) AS BIGINT)
+            ELSE 0 END AS p6 FROM nd),
+    ds AS (SELECT bg.doc_id, sum(coalesce(wt.w6, 0)) AS sw
+           FROM bg LEFT JOIN wt USING (word) GROUP BY bg.doc_id),
+    sc AS (SELECT t.doc_id, t.is_train, t.is_target,
+             coalesce(ds.sw, 0) + pri.p6 AS s6
+           FROM t LEFT JOIN ds USING (doc_id) CROSS JOIN pri)
+    SELECT doc_id, is_train, is_target,
+      floor(CAST(s6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score,
+      s6 > 0 AS pred_target
+    FROM sc""",
+    "Model-based quality filter, the fastText/DCLM classifier tier "
+    "(DCLM trains a linear classifier to separate a curated target "
+    "domain from the raw corpus and keeps high scorers; FineWeb-Edu is "
+    "the same shape): multinomial Naive Bayes log-odds over word "
+    "BIGRAMS — the DISCRIMINATIVE counterpart of dsir_score (the exact "
+    "family the DSIR paper benchmarks against), sharing its fixture "
+    "target (src0-src4). Trains only on the ~80% split (doc_id % 5 != "
+    "0), scores EVERY document. One ln per train-vocabulary bigram "
+    "over an exact integer cross-ratio, quantized to micro-nats; "
+    "per-doc scores are prior + order-exact integer sums (the "
+    "dsir_score arithmetic). The synthetic fixture draws every source "
+    "from one distribution, so no text model separates sources "
+    "out-of-sample HERE; the learning property (held-out "
+    "target-dialect doc scores positive, off-dialect negative) is "
+    "pinned by the synthetic-dialect unit test, the dsir_score "
+    "precedent (tests/test_retrieval_nb.py).",
+)
+def q_nb_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.nb_quality(table(spark, sf, "documents"))

@@ -89,6 +89,20 @@ BNLJ_BY_DESIGN = {
     # kmeans assignment step (the kmeans_train shape) + the stored k-row
     # codebook broadcast the new batch routes against
     "incremental_knn",
+    # BM25: the 1-row corpus-stats broadcast (n_docs, avgdl) attaches to
+    # the vocabulary-sized df table before idf — the tfidf_top_terms
+    # 1-row scalar shape; scoring itself is word-keyed equi-joins
+    "bm25_topk",
+    # same stats broadcast + the 1-row adaptive r_eff bound broadcast
+    # against the ranked postings (the auto_refine scalar pattern)
+    "bm25_pruned",
+    # composes both BM25 tiers above; the recall overlay itself is an
+    # equi-join on (q_id, c_id)
+    "bm25_recall",
+    # NB model state: the 1-row class-totals / doc-counts / prior
+    # broadcasts attach to the vocabulary-sized weight table and the
+    # per-doc sums — the dsir_score 1-row totals shape
+    "nb_quality_filter",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

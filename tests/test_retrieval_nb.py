@@ -1,0 +1,219 @@
+"""Unit tests for sparse lexical retrieval (operators/retrieval.py),
+cross-document line dedup and the NB quality filter (operators/text.py).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_examples_spark.operators import retrieval as RET
+from kafka_streams_examples_spark.operators.text import line_dedup, nb_quality
+
+K1, B = RET.K1, RET.B
+
+
+def _bm25_python(rows: list[tuple[int, str]], n_queries: int, k: int):
+    """Plain-Python replica of the module's integer-quantized BM25
+    contract (idf -> micro-nat int per term, impact -> int per posting,
+    doc score = int sum; ties rank by (s6 desc, c_id asc))."""
+    toks = {d: t.lower().split() for d, t in rows}
+    tf = {d: Counter(ws) for d, ws in toks.items()}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len([d for d in dl if dl[d] > 0])
+    avgdl = sum(dl.values()) / n
+    df = Counter(w for c in tf.values() for w in c)
+    idf6 = {w: math.floor(math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                          * 1e6 + 0.5) for w in df}
+
+    def w6(d, w):
+        t = float(tf[d][w])
+        comp = t * (K1 + 1.0) / (t + K1 * ((1.0 - B) + B * (dl[d] / avgdl)))
+        return math.floor(float(idf6[w]) * comp + 0.5)
+
+    out = {}
+    for q in range(n_queries):
+        scores = {}
+        for c in tf:
+            if c == q:
+                continue
+            s6 = sum(w6(c, w) for w in set(toks[q]) if w in tf[c])
+            if s6:
+                scores[c] = s6
+        ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        out[q] = [(c, math.floor(s / 1e6 * 1e4 + 0.5) / 1e4, r + 1)
+                  for r, (c, s) in enumerate(ranked)]
+    return out
+
+
+CORPUS = [
+    (0, "spark shuffle join spark"),
+    (1, "join window agg"),
+    (2, "spark spark spark filter"),
+    (3, "window window shuffle agg filter"),
+    (4, "filter agg join shuffle spark window"),
+    (5, "shuffle shuffle shuffle"),
+]
+
+
+def test_bm25_topk_matches_python_replica(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {q: [] for q in range(2)}
+    for r in RET.bm25_topk(docs, k=3, n_queries=2).collect():
+        got[r.q_id].append((r.c_id, r.score, r.rnk))
+    for q in got:
+        got[q].sort(key=lambda x: x[2])
+    assert got == _bm25_python(CORPUS, n_queries=2, k=3)
+
+
+def test_bm25_pruned_equals_exact_when_index_uncut(spark):
+    # r_floor covers every posting list -> candidates == all matching
+    # docs, and the exact rerank must reproduce bm25_topk verbatim
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    exact = sorted(map(tuple, RET.bm25_topk(docs, k=3, n_queries=2).collect()))
+    pruned = sorted(map(tuple,
+                        RET.bm25_pruned(docs, k=3, n_queries=2,
+                                        r_floor=100).collect()))
+    assert pruned == exact
+
+
+def test_bm25_recall_is_one_when_index_uncut(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    rows = RET.bm25_recall(docs, k=3, n_queries=2, r_floor=100).collect()
+    assert len(rows) == 2
+    assert all(r.recall_at_k == 1.0 for r in rows)
+
+
+def test_bm25_self_excluded_and_rank_contract(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    rows = RET.bm25_topk(docs, k=5, n_queries=3).collect()
+    assert all(r.c_id != r.q_id for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        # scores non-increasing in rank
+        assert all(a.score >= b.score for a, b in zip(rs, rs[1:]))
+
+
+# --- line dedup -----------------------------------------------------------
+
+W12A = " ".join(f"a{i}" for i in range(12))   # a shared 12-word line
+W12B = " ".join(f"b{i}" for i in range(12))
+W12C = " ".join(f"c{i}" for i in range(12))
+
+
+def test_line_dedup_removes_cross_doc_lines_keeps_order(spark):
+    docs = spark.createDataFrame(
+        [(0, W12A + " " + W12B),    # line0 = A (dup), line1 = B (unique)
+         (1, W12A + " " + W12C),    # line0 = A (dup), line1 = C (unique)
+         (2, W12C.replace("c", "d"))],  # untouched singleton
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert (got[0].n_lines, got[0].n_kept, got[0].clean_text) == (2, 1, W12B)
+    assert (got[1].n_lines, got[1].n_kept, got[1].clean_text) == (2, 1, W12C)
+    assert got[2].n_kept == got[2].n_lines == 1
+
+
+def test_line_dedup_all_lines_removed_yields_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(0, W12A), (1, W12A)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    for d in (0, 1):
+        assert (got[d].n_lines, got[d].n_kept, got[d].clean_text) == (1, 0, "")
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    docs = spark.createDataFrame(
+        [(0, W12A), (1, W12A), (2, W12B)], ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert all(got[d].n_kept == 1 for d in (0, 1, 2))
+
+
+def test_line_dedup_survivors_rejoin_in_original_order(spark):
+    # doc 0: unique, DUP, unique -> clean text must be line0 \n line2
+    docs = spark.createDataFrame(
+        [(0, W12B + " " + W12A + " " + W12C), (1, W12A)],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert got[0].clean_text == W12B + "\n" + W12C
+    assert (got[0].n_lines, got[0].n_kept) == (3, 2)
+
+
+# --- NB quality filter ----------------------------------------------------
+
+TGT_TEXT = "alpha beta alpha beta alpha beta gamma alpha beta"
+RAW_TEXT = "delta eps delta eps delta eps zeta delta eps"
+
+
+def _nb_rows():
+    # train docs (id % 5 != 0) carry the dialect split; held-out docs
+    # (id % 5 == 0) test generalization: doc 10 is target-dialect but
+    # NOT from a target source, doc 15 is off-dialect
+    return [
+        (1, TGT_TEXT, "src0"), (2, TGT_TEXT, "src1"),
+        (3, RAW_TEXT, "src9"), (4, RAW_TEXT, "src8"),
+        (6, TGT_TEXT, "src2"), (7, RAW_TEXT, "src7"),
+        (10, TGT_TEXT, "src9"),   # held out, target dialect
+        (15, RAW_TEXT, "src9"),   # held out, raw dialect
+        (20, "single", "src9"),   # held out, <2 tokens -> prior only
+    ]
+
+
+def test_nb_quality_generalizes_to_held_out_dialect(spark):
+    docs = spark.createDataFrame(_nb_rows(), ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in nb_quality(docs).collect()}
+    assert not got[10].is_train and not got[10].is_target
+    assert got[10].pred_target        # learned dialect, not the label rule
+    assert not got[15].pred_target
+    assert got[10].score > got[15].score
+    # <2 tokens: no features, score == quantized prior (3 target vs 3
+    # raw train docs -> prior 0 -> pred false)
+    assert got[20].score == 0.0 and not got[20].pred_target
+
+
+def test_nb_quality_matches_python_replica(spark):
+    rows = _nb_rows()
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in nb_quality(docs).collect()}
+
+    def grams(t):
+        ws = t.lower().split()
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    tgt_srcs = {"src0", "src1", "src2", "src3", "src4"}
+    c1, c0 = Counter(), Counter()
+    n1 = n0 = 0
+    for d, t, s in rows:
+        if d % 5 == 0:
+            continue
+        if s in tgt_srcs:
+            n1 += 1
+            c1.update(grams(t))
+        else:
+            n0 += 1
+            c0.update(grams(t))
+    vocab = set(c1) | set(c0)
+    tot1, tot0, v = sum(c1.values()), sum(c0.values()), len(vocab)
+    w6 = {w: math.floor(math.log(((c1[w] + 1) * (tot0 + v))
+                                 / ((c0[w] + 1) * (tot1 + v)))
+                        * 1e6 + 0.5) for w in vocab}
+    p6 = math.floor(math.log(n1 / n0) * 1e6 + 0.5)
+    for d, t, s in rows:
+        s6 = p6 + sum(w6.get(g, 0) for g in grams(t))
+        exp = math.floor(s6 / 1e6 * 1e4 + 0.5) / 1e4
+        assert got[d].score == exp, d
+        assert got[d].pred_target == (s6 > 0), d
+
+
+def test_nb_quality_single_class_collapses_to_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, TGT_TEXT, "src9"), (2, RAW_TEXT, "src8"), (5, TGT_TEXT, "src9")],
+        ["doc_id", "text", "source"])   # no target-source doc in train
+    rows = nb_quality(docs).collect()
+    assert all(r.score == 0.0 and not r.pred_target for r in rows)
