@@ -94,7 +94,12 @@ HEADLINE = [
     "dedup_clusters",
     "cms_estimate",
     "stratified_sample",
-    "quality_score",
+    # r11 rotation: quality_score (scan-speed text battery — its cost
+    # shape stays timed by repetition_stats / pii_redact /
+    # unigram_surprisal) rotated out for bm25_topk, the sole wire
+    # representative of the new sparse-retrieval family (exact
+    # inverted-index scoring; the pruned tier shares its plan prefix)
+    "bm25_topk",
     "media_features",
     # r4 additions: anti/semi TPC-H shapes + chunking/shuffle/novelty ops
     "tpch_q18",

@@ -69,6 +69,12 @@ CURVE = [
     # corpus encode over a 1-row broadcast; stored-codebook route +
     # bucket-confined rerank on a corpus-trained index)
     "unigram_lm_train", "unigram_encode", "incremental_knn",
+    # r11 second wave (inverted-index BM25 on the worst-case uniform
+    # vocabulary — postings volume is linear in corpus size, so the
+    # exact tier must scale ~10x per decade while the pruned tier's
+    # SERVING join is bounded by r_eff * |terms| candidates; hash-keyed
+    # line dedup; bigram-model train + score joins)
+    "bm25_topk", "bm25_pruned", "line_dedup", "nb_quality_filter",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
