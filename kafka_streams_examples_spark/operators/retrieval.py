@@ -223,3 +223,108 @@ def bm25_recall(docs: DataFrame, k: int = 5, n_queries: int = 20,
                 .agg((F.sum("hit").cast("double") / F.count("*"))
                      .alias("recall_at_k"))
                 .orderBy("q_id"))
+
+
+# --- persisted / write-once index (the build_ivf_index precedent) ---------
+
+#: Word-hash partition count for the persisted postings layout. A real
+#: vocabulary is far too large for one partition directory per term;
+#: hashing words into WB buckets keeps the directory count fixed while
+#: still letting a query batch prune every bucket its terms don't hash
+#: into (dynamic partition pruning at the scan).
+WB_BUCKETS = 64
+
+
+def _wb(word) -> "F.Column":
+    from ..functions import md5_hash64
+    return F.pmod(md5_hash64(word), F.lit(WB_BUCKETS)).cast("int")
+
+
+def build_bm25_index(docs: DataFrame, path: str, r_floor: int = 32,
+                     keep_denom: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+    """Score and PERSIST the write-once BM25 index:
+    ``{path}/postings`` (word, doc_id, tf, w6 — the full scored
+    inverted index, parquet-partitioned by the word-hash bucket ``wb``)
+    and ``{path}/pruned`` (the impact-ordered top-r_eff serving index,
+    same layout). The sparse-retrieval analog of
+    :func:`similarity.build_ivf_index`: one full-corpus pass at build
+    time, then every later query batch is served from these two tables
+    without touching a byte of corpus text."""
+    post = postings(docs, text_col, id_col).withColumn("wb", _wb(F.col("word")))
+    post.write.mode("overwrite").partitionBy("wb").parquet(f"{path}/postings")
+    w = Window.partitionBy("word").orderBy(F.col("w6").desc(), F.col("doc_id"))
+    pruned = (post.withColumn("__r", F.row_number().over(w))
+                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
+                        F.lit(True), "left")
+                  .filter(F.col("__r") <= F.col("r_eff"))
+                  .drop("__r", "r_eff"))
+    pruned.write.mode("overwrite").partitionBy("wb").parquet(f"{path}/pruned")
+
+
+def query_bm25_index(spark, path: str, queries: DataFrame, k: int = 5,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     exclude_self: bool = True) -> DataFrame:
+    """Serve a NEW query batch from a :func:`build_bm25_index` index:
+    candidates from the pruned serving index, exact rerank against the
+    full postings — identical candidate/rerank joins to
+    :func:`bm25_pruned`, so oracle parity transfers to the persisted
+    path verbatim (pinned by test_bm25_index_persisted_equals_inline).
+    Both scans join on (wb, word), so the word-hash partition column
+    prunes every bucket the query terms don't hash into. Reads ZERO
+    corpus text bytes (inputFiles-tested)."""
+    post = spark.read.parquet(f"{path}/postings")
+    pruned = spark.read.parquet(f"{path}/pruned")
+    qt = (_doc_tokens(queries, text_col, id_col)
+          .distinct()
+          .withColumnRenamed("doc_id", "q_id")
+          .withColumn("wb", _wb(F.col("word"))))
+    cand = qt.join(pruned, ["wb", "word"])
+    if exclude_self:
+        cand = cand.filter(F.col("doc_id") != F.col("q_id"))
+    cands = cand.select("q_id", F.col("doc_id").alias("c_id")).distinct()
+    rerank = (cands.join(qt, "q_id")
+                   .join(post.select("wb", "word",
+                                     F.col("doc_id").alias("c_id"), "w6"),
+                         ["wb", "word", "c_id"])
+                   .groupBy("q_id", "c_id")
+                   .agg(F.sum("w6").alias("s6")))
+    return _topk(rerank, k)
+
+
+# --- hybrid dense + sparse fusion -----------------------------------------
+
+def hybrid_rrf(dense: DataFrame, sparse: DataFrame, k: int = 5,
+               kconst: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09, the standard
+    hybrid-retrieval combiner): fused score = sum over tiers of
+    1 / (kconst + rank), taking each tier's ranked list as-is — no
+    score calibration across heterogeneous scales (cosine vs BM25
+    micro-nats) needed, which is exactly why RRF is the production
+    default for dense+sparse curation.
+
+    Inputs are the tiers' ranked outputs (q_id, c_id, ..., rnk). Each
+    contribution quantizes to integer micro-units BEFORE the sum
+    (floor(1e6/(kconst + rnk) + 0.5)), so fused scores are exact
+    integer sums and ties break on (fused desc, c_id) — engine-exact.
+    A candidate missing from one tier contributes 0 from it. One
+    (q_id, c_id)-keyed full-outer join of two k-row-per-query lists —
+    cost is query-batch-bounded, corpus-size independent."""
+    def contrib(col: str):
+        return F.floor(F.lit(1e6)
+                       / (F.lit(float(kconst)) + F.col(col).cast("double"))
+                       + F.lit(0.5)).cast("long")
+
+    d = dense.select("q_id", "c_id", contrib("rnk").alias("__d6"))
+    s = sparse.select("q_id", "c_id", contrib("rnk").alias("__s6"))
+    fused = (d.join(s, ["q_id", "c_id"], "full_outer")
+              .select("q_id", "c_id",
+                      (F.coalesce(F.col("__d6"), F.lit(0))
+                       + F.coalesce(F.col("__s6"), F.lit(0))).alias("s6")))
+    w = Window.partitionBy("q_id").orderBy(F.col("s6").desc(), F.col("c_id"))
+    return (fused.withColumn("rnk", F.row_number().over(w))
+                 .filter(F.col("rnk") <= k)
+                 .select("q_id", "c_id",
+                         (F.col("s6").cast("double") / F.lit(1e6))
+                         .alias("rrf_score"),
+                         F.col("rnk").cast("long").alias("rnk")))

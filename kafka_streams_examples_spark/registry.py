@@ -5329,3 +5329,53 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_nb_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return TX.nb_quality(table(spark, sf, "documents"))
+
+
+@query(
+    "hybrid_rrf",
+    f"""WITH {_BM25_CTES},
+    eq AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+    ec AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    esc AS (SELECT q_id, c_id,
+              floor(list_cosine_similarity(qv, cv) * 1e6 + 0.5) / 1e6 AS d6
+            FROM eq CROSS JOIN ec WHERE q_id <> c_id),
+    rkd AS (SELECT q_id, c_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY d6 DESC, c_id)
+                AS rnk
+            FROM esc),
+    ex AS (SELECT q_id, c_id, rnk FROM rk WHERE rnk <= 5),
+    dx AS (SELECT q_id, c_id, rnk FROM rkd WHERE rnk <= 5),
+    fu AS (SELECT coalesce(ex.q_id, dx.q_id) AS q_id,
+             coalesce(ex.c_id, dx.c_id) AS c_id,
+             coalesce(CAST(floor(1e6 / (60.0 + CAST(ex.rnk AS DOUBLE)) + 0.5)
+                           AS BIGINT), 0)
+           + coalesce(CAST(floor(1e6 / (60.0 + CAST(dx.rnk AS DOUBLE)) + 0.5)
+                           AS BIGINT), 0) AS s6
+           FROM ex FULL OUTER JOIN dx
+             ON ex.q_id = dx.q_id AND ex.c_id = dx.c_id)
+    SELECT q_id, c_id, CAST(s6 AS DOUBLE) / 1e6 AS rrf_score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT q_id, c_id, s6,
+            row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, c_id)
+              AS rnk
+          FROM fu) z
+    WHERE rnk <= 5""",
+    "Hybrid dense+sparse retrieval via reciprocal-rank fusion (Cormack "
+    "et al. SIGIR'09, the production-default combiner): fuse "
+    "knn_cosine's top-5 (embeddings) with bm25_topk's top-5 "
+    "(documents; the fixture pairs vec_id/doc_id) as sum of "
+    "1/(60 + rank) — rank-based, so no score calibration across "
+    "heterogeneous scales (cosine vs BM25 micro-nats) is needed. Each "
+    "contribution quantizes to integer micro-units BEFORE the sum, so "
+    "fused scores are exact integer sums with (fused desc, c_id) "
+    "tie-break. The fusion itself is a (q_id, c_id)-keyed full-outer "
+    "join of two k-row-per-query lists — query-batch-bounded, "
+    "corpus-size independent; the oracle composes both tiers' CTEs "
+    "verbatim so fusion parity rides the per-tier contracts.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    dense = SIM.brute_force_knn(emb.filter(F.col("vec_id") < 20), emb, k=5)
+    sparse = RET.bm25_topk(table(spark, sf, "documents"))
+    return RET.hybrid_rrf(dense, sparse)

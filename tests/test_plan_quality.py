@@ -103,6 +103,10 @@ BNLJ_BY_DESIGN = {
     # broadcasts attach to the vocabulary-sized weight table and the
     # per-doc sums — the dsir_score 1-row totals shape
     "nb_quality_filter",
+    # fuses knn_cosine (allowlisted broadcast query set) with bm25_topk
+    # (allowlisted 1-row stats broadcast); the fusion join itself is a
+    # (q_id, c_id) equi-join of two k-row-per-query lists
+    "hybrid_rrf",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

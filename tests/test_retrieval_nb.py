@@ -217,3 +217,85 @@ def test_nb_quality_single_class_collapses_to_zero(spark):
         ["doc_id", "text", "source"])   # no target-source doc in train
     rows = nb_quality(docs).collect()
     assert all(r.score == 0.0 and not r.pred_target for r in rows)
+
+
+# --- persisted index + hybrid fusion --------------------------------------
+
+def test_bm25_index_persisted_equals_inline(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    RET.build_bm25_index(docs, str(tmp_path / "idx"), r_floor=2,
+                         keep_denom=3)
+    got = sorted(map(tuple,
+                     RET.query_bm25_index(spark, str(tmp_path / "idx"),
+                                          docs.filter("doc_id < 2"),
+                                          k=3).collect()))
+    want = sorted(map(tuple,
+                      RET.bm25_pruned(docs, k=3, n_queries=2, r_floor=2,
+                                      keep_denom=3).collect()))
+    assert got == want
+
+
+def test_bm25_index_serving_reads_zero_corpus_text(spark, tmp_path):
+    sf_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    RET.build_bm25_index(sf_docs, str(tmp_path / "idx"))
+    queries = spark.createDataFrame(
+        [(9001, "spark join window"), (9002, "filter agg")],
+        ["doc_id", "text"])
+    res = RET.query_bm25_index(spark, str(tmp_path / "idx"), queries)
+    files = res.inputFiles()
+    assert files, "plan should read the persisted index"
+    assert all("/idx/" in f for f in files)   # never documents.parquet
+    assert res.count() > 0
+
+
+def test_bm25_index_scan_partitioned_by_word_bucket(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    RET.build_bm25_index(docs, str(tmp_path / "idx"))
+    import os
+    parts = [d for d in os.listdir(str(tmp_path / "idx" / "postings"))
+             if d.startswith("wb=")]
+    assert parts, "postings must be partitioned by the word-hash bucket"
+    plan = (RET.query_bm25_index(spark, str(tmp_path / "idx"),
+                                 docs.filter("doc_id < 1"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan
+
+
+def _rrf_python(dense, sparse, k=5, kc=60):
+    import math
+    cand = {}
+    for (q, c, r) in dense:
+        cand[(q, c)] = cand.get((q, c), 0) + math.floor(1e6 / (kc + r) + 0.5)
+    for (q, c, r) in sparse:
+        cand[(q, c)] = cand.get((q, c), 0) + math.floor(1e6 / (kc + r) + 0.5)
+    out = {}
+    for q in {q for q, _ in cand}:
+        rows = sorted(((s, c) for (qq, c), s in cand.items() if qq == q),
+                      key=lambda x: (-x[0], x[1]))[:k]
+        out[q] = [(c, s / 1e6, i + 1) for i, (s, c) in enumerate(rows)]
+    return out
+
+
+def test_hybrid_rrf_matches_python_replica(spark):
+    dense = [(0, 10, 1), (0, 11, 2), (1, 20, 1)]
+    sparse = [(0, 11, 1), (0, 12, 2), (1, 21, 1)]
+    ddf = spark.createDataFrame(dense, ["q_id", "c_id", "rnk"])
+    sdf = spark.createDataFrame(sparse, ["q_id", "c_id", "rnk"])
+    got = {}
+    for r in RET.hybrid_rrf(ddf, sdf, k=5).collect():
+        got.setdefault(r.q_id, []).append((r.c_id, r.rrf_score, r.rnk))
+    for q in got:
+        got[q].sort(key=lambda x: x[2])
+    assert got == _rrf_python(dense, sparse)
+    # the doc both tiers agree on outranks every single-tier doc
+    assert got[0][0][0] == 11
+
+
+def test_hybrid_rrf_missing_tier_contributes_zero(spark):
+    ddf = spark.createDataFrame([(0, 10, 1)], ["q_id", "c_id", "rnk"])
+    sdf = spark.createDataFrame([(0, 11, 1)], ["q_id", "c_id", "rnk"])
+    rows = sorted(RET.hybrid_rrf(ddf, sdf, k=5).collect(),
+                  key=lambda r: r.rnk)
+    # equal single-tier contributions: tie breaks to the lower c_id
+    assert [r.c_id for r in rows] == [10, 11]
+    assert rows[0].rrf_score == rows[1].rrf_score
