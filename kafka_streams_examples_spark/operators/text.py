@@ -799,6 +799,26 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
               .select("doc_id", "is_train", "is_target",
                       F.explode(word_shingles(F.col("__ws"), 2))
                        .alias("word")))
+    weights, pri = _nb_weights(base, tk)
+    dsum = (tk.join(weights, "word", "left")
+              .groupBy("doc_id")
+              .agg(F.sum(F.coalesce(F.col("w6"), F.lit(0))).alias("__sw")))
+    s6 = (F.coalesce(F.col("__sw"), F.lit(0)) + F.col("p6")).alias("s6")
+    scored = (base.select("doc_id", "is_train", "is_target")
+                  .join(dsum, "doc_id", "left")
+                  .join(F.broadcast(pri), F.lit(True), "left")
+                  .select("doc_id", "is_train", "is_target", s6))
+    return scored.select(
+        "doc_id", "is_train", "is_target",
+        (F.floor(F.col("s6").cast("double") / F.lit(1e6) * F.lit(1e4)
+                 + F.lit(0.5)) / F.lit(1e4)).alias("score"),
+        (F.col("s6") > 0).alias("pred_target"))
+
+
+def _nb_weights(base: DataFrame, tk: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared NB trainer: (weights (word, w6), prior pri (p6)) from the
+    labeled token table — the single source for both the registry
+    composition and the broadcastable :func:`nb_model`."""
     cw = (tk.filter("is_train")
             .groupBy("word")
             .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
@@ -826,16 +846,65 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
         F.log(F.col("n1").cast("double") / F.col("n0").cast("double"))
         * F.lit(1e6) + F.lit(0.5)).cast("long")).otherwise(F.lit(0))
     pri = nd.select(prior6.alias("p6"))
-    dsum = (tk.join(weights, "word", "left")
-              .groupBy("doc_id")
-              .agg(F.sum(F.coalesce(F.col("w6"), F.lit(0))).alias("__sw")))
-    s6 = (F.coalesce(F.col("__sw"), F.lit(0)) + F.col("p6")).alias("s6")
-    scored = (base.select("doc_id", "is_train", "is_target")
-                  .join(dsum, "doc_id", "left")
-                  .join(F.broadcast(pri), F.lit(True), "left")
-                  .select("doc_id", "is_train", "is_target", s6))
-    return scored.select(
-        "doc_id", "is_train", "is_target",
-        (F.floor(F.col("s6").cast("double") / F.lit(1e6) * F.lit(1e4)
+    return weights, pri
+
+
+def nb_model(docs: DataFrame, target_sources: Sequence[str] = (
+                 "src0", "src1", "src2", "src3", "src4"),
+             holdout_mod: int = 5, text_col: str = "text",
+             id_col: str = "doc_id",
+             group_col: str = "source") -> DataFrame:
+    """Train :func:`nb_quality`'s model and fold it into the 1-row
+    broadcastable codec (__w: map<bigram, w6>, p6) — the bpe_codec /
+    unigram_codec shape. This is the artifact a 100 TB deployment
+    persists: scoring any OTHER corpus (or the ingest stream, see
+    streaming/pipelines.py:streaming_nb_filter) is then one scan with
+    zero joins. The fixture model is vocabulary-sized (~1k bigrams); a
+    production model hash-buckets features first (the dsir_score
+    convention) so the map stays bounded at any corpus size."""
+    tgt = [str(s) for s in target_sources]
+    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("__text"),
+                        F.col(group_col).alias("__g"))
+                .withColumn("__ws", ws)
+                .withColumn("is_train",
+                            (F.col("doc_id") % holdout_mod) != 0)
+                .withColumn("is_target", F.col("__g").isin(tgt)))
+    tk = (base.filter(F.size("__ws") >= 2)
+              .select("doc_id", "is_train", "is_target",
+                      F.explode(word_shingles(F.col("__ws"), 2))
+                       .alias("word")))
+    weights, pri = _nb_weights(base, tk)
+    wmap = weights.agg(F.map_from_entries(F.collect_list(
+        F.struct("word", "w6"))).alias("__w"))
+    return wmap.join(F.broadcast(pri), F.lit(True), "left")
+
+
+def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a trained :func:`nb_model`: per document
+    (id, score, pred_target) — identical arithmetic to
+    :func:`nb_quality`'s scoring half (pinned by
+    test_apply_nb_equals_nb_quality_scores), but expressed as ONE
+    scan-side fold over the broadcast map: zero joins, zero shuffles,
+    so it runs unmodified on a streaming DataFrame (stateless append).
+    Out-of-model bigrams contribute 0, <2-token documents score the
+    prior — the nb_quality contracts."""
+    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    d = (docs.select(F.col(id_col), F.col(text_col))
+             .join(F.broadcast(model), F.lit(True), "left")
+             .withColumn("__ws", ws))
+    grams = F.when(F.size("__ws") >= 2, word_shingles(F.col("__ws"), 2)) \
+             .otherwise(F.array().cast("array<string>"))
+    s6 = (F.col("p6")
+          + F.aggregate(grams, F.lit(0).cast("long"),
+                        lambda acc, g: acc + F.coalesce(
+                            F.element_at(F.col("__w"), g),
+                            F.lit(0).cast("long"))))
+    return d.select(
+        F.col(id_col),
+        (F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
                  + F.lit(0.5)) / F.lit(1e4)).alias("score"),
-        (F.col("s6") > 0).alias("pred_target"))
+        (s6 > 0).alias("pred_target"))

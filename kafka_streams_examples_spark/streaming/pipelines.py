@@ -259,3 +259,21 @@ def streaming_gopher_gate(docs: DataFrame) -> DataFrame:
     from ..operators.text import gopher_rules
 
     return gopher_rules(docs)
+
+
+def streaming_nb_filter(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Model-based quality filtering AT INGEST: the trained NB codec
+    (a 1-row static DataFrame from ``operators.text.nb_model`` —
+    bigram->weight map + prior) broadcast-joins onto the raw document
+    stream and ``operators.text.apply_nb``'s scan-side fold scores
+    each document as it arrives — stateless, append mode, no state
+    store, zero shuffles, bounded by scan/decode throughput. This is
+    the DCLM/fastText filter running in the ingest path (score at
+    ingest, store only keepers) while the classifier itself stays a
+    batch artifact retrained offline — the Kafka Streams GlobalKTable
+    shape (static enrichment state, streaming facts), exactly like
+    streaming_bpe_encode. Batch-equality is pinned by
+    tests/test_streaming.py::test_streaming_nb_filter_equals_batch."""
+    from ..operators.text import apply_nb
+
+    return apply_nb(docs, model)

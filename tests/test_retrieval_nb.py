@@ -299,3 +299,14 @@ def test_hybrid_rrf_missing_tier_contributes_zero(spark):
     # equal single-tier contributions: tie breaks to the lower c_id
     assert [r.c_id for r in rows] == [10, 11]
     assert rows[0].rrf_score == rows[1].rrf_score
+
+
+def test_apply_nb_equals_nb_quality_scores(spark):
+    from kafka_streams_examples_spark.operators.text import apply_nb, nb_model
+    docs = spark.createDataFrame(_nb_rows(), ["doc_id", "text", "source"])
+    model = nb_model(docs)
+    got = {r.doc_id: (r.score, r.pred_target)
+           for r in apply_nb(docs, model).collect()}
+    want = {r.doc_id: (r.score, r.pred_target)
+            for r in nb_quality(docs).collect()}
+    assert got == want

@@ -827,3 +827,31 @@ def test_streaming_gopher_gate_equals_batch(spark, sf_dir):
             for r in gopher_rules(cat_table(spark, sf_dir, "documents"))
             .collect()}
     assert got == want and got
+
+
+def test_streaming_nb_filter_equals_batch(spark, sf_dir):
+    """Ingest-time NB quality scoring: the trained model applied to the
+    document stream must score row-for-row what the batch composition
+    computes on the same fixture (the 1-row codec is the only state;
+    scoring is a stateless scan-side fold on both sides)."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.text import (
+        nb_model, nb_quality,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_nb_filter,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    model = nb_model(docs)
+    out = streaming_nb_filter(stream_table(spark, sf_dir, "documents"),
+                              model)
+    name, q = run_to_memory(out, mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    q.stop()
+    want = {(r.doc_id, r.score, r.pred_target)
+            for r in nb_quality(docs).collect()}
+    assert got == want and got
