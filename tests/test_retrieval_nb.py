@@ -310,3 +310,17 @@ def test_apply_nb_equals_nb_quality_scores(spark):
     want = {r.doc_id: (r.score, r.pred_target)
             for r in nb_quality(docs).collect()}
     assert got == want
+
+
+def test_bm25_family_empty_and_blank_corpora_yield_empty(spark):
+    # empty relation: the stats aggregation produces no row, so the
+    # avgdl division never evaluates (no ANSI divide error) and every
+    # tier returns 0 rows; same for all-whitespace documents
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    blank = spark.createDataFrame([(0, ""), (1, "  ")],
+                                  "doc_id long, text string")
+    for docs in (empty, blank):
+        assert RET.bm25_topk(docs).count() == 0
+        assert RET.bm25_pruned(docs).count() == 0
+        assert RET.bm25_recall(docs).count() == 0
+    assert line_dedup(empty).count() == 0
