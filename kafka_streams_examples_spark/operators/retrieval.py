@@ -42,7 +42,8 @@ Ranking ties break on the raw integer score then ascending doc id.
 
 Reference parity: the reference tokenizes streams for counting only
 (WordCountLambdaExample.java:72-75); retrieval is part of the
-beyond-reference LLM-pipeline tier (SURVEY.md §6).
+beyond-reference LLM-pipeline tier (SURVEY.md §7.1 item 12; inventory
+in COVERAGE.md).
 """
 
 from __future__ import annotations

@@ -97,7 +97,12 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "semantic_prune",
             # r11 additions (word-memoized encode: corpus scan + the
             # vocabulary-scale EM; stored-codebook route + bucket rerank)
-            "unigram_encode", "incremental_knn"]
+            "unigram_encode", "incremental_knn",
+            # r11 second wave (exact inverted-index BM25 on the
+            # worst-case uniform vocabulary — postings scored per query
+            # grow linearly with the corpus; the pruned tier's serving
+            # join stays candidate-bounded; hash-keyed line dedup)
+            "bm25_topk", "bm25_pruned", "line_dedup"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
