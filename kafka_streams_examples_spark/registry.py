@@ -5379,3 +5379,51 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     dense = SIM.brute_force_knn(emb.filter(F.col("vec_id") < 20), emb, k=5)
     sparse = RET.bm25_topk(table(spark, sf, "documents"))
     return RET.hybrid_rrf(dense, sparse)
+
+
+@query(
+    "quantile_sketch",
+    """WITH s AS (SELECT event_type, value FROM events
+      WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'qsk'), 1, 15)
+                 AS BIGINT) % 16 = 0),
+    est AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+              quantile_cont(value, [0.5, 0.9]) AS qs
+            FROM s GROUP BY event_type),
+    f AS (SELECT e.event_type, est.m, est.qs[1] AS p50r, est.qs[2] AS p90r,
+            CAST(count(*) AS BIGINT) AS n,
+            sum(CASE WHEN e.value <= est.qs[1] THEN 1 ELSE 0 END) AS le50,
+            sum(CASE WHEN e.value <= est.qs[2] THEN 1 ELSE 0 END) AS le90
+          FROM events e JOIN est USING (event_type)
+          GROUP BY 1, 2, 3, 4),
+    g AS (SELECT event_type, n, m,
+            floor(p50r * 1e4 + 0.5) / 1e4 AS p50_est,
+            floor(p90r * 1e4 + 0.5) / 1e4 AS p90_est,
+            floor(abs(CAST(le50 AS DOUBLE) / CAST(n AS DOUBLE) - 0.5) * 1e6
+                  + 0.5) / 1e6 AS p50_rank_err,
+            floor(abs(CAST(le90 AS DOUBLE) / CAST(n AS DOUBLE) - 0.9) * 1e6
+                  + 0.5) / 1e6 AS p90_rank_err,
+            floor(3.0 / sqrt(CAST(m AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS rank_bound
+          FROM f)
+    SELECT event_type, n, m, p50_est, p90_est, p50_rank_err, p90_rank_err,
+           rank_bound,
+           (p50_rank_err <= rank_bound AND p90_rank_err <= rank_bound)
+             AS within_bound
+    FROM g""",
+    "Bounded-memory quantile estimation with an in-query error gauge — "
+    "the approximate tier value_percentiles' doc promises at 100 TB, "
+    "with the budget MEASURED instead of assumed (the approx_distinct "
+    "error-bound pattern, completing the sketch family: CMS counts, "
+    "HLL cardinality, now quantiles): a deterministic 1/16 hash sample "
+    "(one scan-side predicate, mergeable across shards by "
+    "construction — sample membership is a pure row property), exact "
+    "interpolated p50/p90 of the sample (the value_percentiles "
+    "engine-parity contract), then each estimate's realized rank error "
+    "|rank(est)/n - p| from one conditional aggregate, compared to the "
+    "3/sqrt(m) uniform-sample bound per type. Two linear scans, one "
+    "tiny shuffle on the type handful; rank errors are exact-integer "
+    "ratios quantized at 6dp, sqrt is correctly rounded "
+    "(operators/sketch.py:quantile_sketch).",
+)
+def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    return SKC.quantile_sketch(table(spark, sf, "events"))

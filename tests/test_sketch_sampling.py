@@ -248,3 +248,50 @@ def test_weighted_upsample_fractional_epochs(spark):
                              default_weight=1.0, key_col="doc_id")
     assert (out.filter("source = 'wiki'").exceptAll(
         out3.filter("source = 'wiki'")).count() == 0)
+
+
+def test_quantile_sketch_matches_python_replica(spark):
+    import hashlib, math
+    from kafka_streams_examples_spark.operators.sketch import quantile_sketch
+
+    rows = [(i, "t", float((i * 37) % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = quantile_sketch(df, rate=4).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sample = sorted(v for i, _, v in rows if h64(f"{i}qsk") % 4 == 0)
+    m = len(sample)
+
+    def q_cont(p):
+        hpos = (m - 1) * p
+        lo, hi = int(math.floor(hpos)), int(math.ceil(hpos))
+        return sample[lo] + (hpos - lo) * (sample[hi] - sample[lo])
+
+    def sr(x, d):
+        return math.floor(x * 10 ** d + 0.5) / 10 ** d
+
+    assert (r.n, r.m) == (400, m)
+    assert r.p50_est == sr(q_cont(0.5), 4)
+    assert r.p90_est == sr(q_cont(0.9), 4)
+    le50 = sum(1 for _, _, v in rows if v <= q_cont(0.5))
+    assert r.p50_rank_err == sr(abs(le50 / 400 - 0.5), 6)
+    assert r.rank_bound == sr(3.0 / math.sqrt(m), 6)
+
+
+def test_quantile_sketch_within_bound_on_fixture(spark, sf_dir):
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.operators.sketch import quantile_sketch
+
+    rows = quantile_sketch(table(spark, sf_dir, "events")).collect()
+    assert rows
+    # a 1/16 uniform sample must realize rank errors inside the
+    # 3/sqrt(m) bound on every fixture type (deterministic, not flaky:
+    # the sample is a pure hash property of the data)
+    assert all(r.within_bound for r in rows)
+    # determinism: byte-identical on re-run
+    again = quantile_sketch(table(spark, sf_dir, "events")).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
