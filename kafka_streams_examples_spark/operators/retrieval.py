@@ -329,3 +329,76 @@ def hybrid_rrf(dense: DataFrame, sparse: DataFrame, k: int = 5,
                          (F.col("s6").cast("double") / F.lit(1e6))
                          .alias("rrf_score"),
                          F.col("rnk").cast("long").alias("rnk")))
+
+
+# --- ingest-time retrieval gate -------------------------------------------
+
+def bm25_gate_index(docs: DataFrame, r_floor: int = 32,
+                    keep_denom: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """The stream-probe form of the pruned index: (word, c_id, c_map)
+    where ``c_map`` is the candidate document's word->impact map over
+    its PRUNED postings. Carrying the map on every posting row trades
+    index bytes for a stateless one-join probe — exactly the trade
+    stream_near_dup makes carrying band/shingle arrays on index rows;
+    the map is bounded by the document's distinct terms."""
+    post = postings(docs, text_col, id_col)
+    w = Window.partitionBy("word").orderBy(F.col("w6").desc(),
+                                           F.col("doc_id"))
+    pruned = (post.withColumn("__r", F.row_number().over(w))
+                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
+                        F.lit(True), "left")
+                  .filter(F.col("__r") <= F.col("r_eff"))
+                  .select("word", "doc_id", "w6"))
+    perdoc = (pruned.groupBy("doc_id")
+                    .agg(F.map_from_entries(F.collect_list(
+                        F.struct("word", "w6"))).alias("c_map")))
+    return (pruned.join(perdoc, "doc_id")
+                  .select("word", F.col("doc_id").alias("c_id"), "c_map"))
+
+
+def bm25_gate(new_docs: DataFrame, index: DataFrame, tau: float = 3.0,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Retrieval gate AT INGEST: each arriving document probes a
+    batch-built :func:`bm25_gate_index` and emits (new_id, c_id,
+    score) for every indexed document whose pruned-index BM25 score
+    against the new document's terms reaches ``tau`` — the
+    lexical-overlap admission check (dedup / decontamination trigger)
+    run BEFORE a document enters the corpus, the sparse sibling of
+    streaming/dedup.py:stream_near_dup.
+
+    Entirely STATELESS, so it runs unmodified on a streaming
+    DataFrame: candidacy is one stream-static equi-join on word; the
+    score is a scan-side fold of the new document's sorted distinct
+    terms over the candidate's carried ``c_map`` (no aggregation
+    state); a pair colliding on several shared words would emit once
+    per word, so the row is kept only where the joined word is the
+    FIRST of the new document's sorted terms present in ``c_map`` —
+    exactly-once per pair with zero state (the stream_near_dup
+    first-shared-band trick). Scores are pruned-index scores — the
+    candidate-generation tier's lower-variance floor; admitted
+    documents get the exact offline rerank (bm25_pruned's contract).
+    """
+    tau6 = int(tau * 1e6)
+    terms = F.array_sort(F.array_distinct(
+        F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != "")))
+    new = (new_docs.select(F.col(id_col).alias("new_id"),
+                           terms.alias("__terms"))
+                   .withColumn("word", F.explode("__terms")))
+    joined = (new.join(index, "word")
+                 .filter(F.col("c_id") != F.col("new_id")))
+    first_shared = F.element_at(
+        F.filter(F.col("__terms"),
+                 lambda t: F.element_at(F.col("c_map"), t).isNotNull()), 1)
+    s6 = F.aggregate(
+        F.col("__terms"), F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at(F.col("c_map"), t),
+                                        F.lit(0).cast("long")))
+    return (joined.filter(F.col("word") == first_shared)
+                  .withColumn("__s6", s6)
+                  .filter(F.col("__s6") >= tau6)
+                  .select("new_id", "c_id",
+                          (F.floor(F.col("__s6").cast("double") / F.lit(1e6)
+                                   * F.lit(1e4) + F.lit(0.5))
+                           / F.lit(1e4)).alias("score")))

@@ -908,3 +908,51 @@ def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
         (F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
                  + F.lit(0.5)) / F.lit(1e4)).alias("score"),
         (s6 > 0).alias("pred_target"))
+
+
+def boiler_codec(docs: DataFrame, min_docs: int = 2,
+                 words_per_line: int = 12, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Detect boilerplate lines (the :func:`line_dedup` hash-keyed
+    count-distinct) and fold the offending line-hash set into a 1-row
+    broadcastable codec (__bl: map<hash, true>) — the nb_model /
+    bpe_codec shape. This is the artifact an ingest deployment
+    persists and refreshes offline; at 100 TB the set would sit behind
+    a Bloom filter, the same bounded-state note as nb_model."""
+    ws = F.filter(tokens(text_col), lambda x: x != "")
+    ex = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(derived_lines(ws, words_per_line))
+                       .alias("line"))
+              .select("doc_id", md5_hash64(F.col("line")).alias("h")))
+    dup = (ex.groupBy("h")
+             .agg(F.count_distinct("doc_id").alias("__nd"))
+             .filter(F.col("__nd") >= min_docs))
+    return dup.agg(F.map_from_entries(F.collect_list(
+        F.struct(F.col("h"), F.lit(True)))).alias("__bl"))
+
+
+def apply_line_filter(docs: DataFrame, codec: DataFrame,
+                      words_per_line: int = 12, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cut known boilerplate lines from documents using a
+    :func:`boiler_codec` — same output contract as :func:`line_dedup`
+    (doc_id, n_lines, n_kept, clean_text; equality pinned by
+    test_apply_line_filter_equals_line_dedup) but computed entirely
+    scan-side: the line array never explodes, survivors keep document
+    order for free, and there are zero joins and zero shuffles — so
+    the identical expressions run unmodified on a streaming DataFrame
+    (streaming/pipelines.py:streaming_line_filter, the ingest-time
+    RefinedWeb boilerplate cut)."""
+    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    d = (docs.select(F.col(id_col), F.col(text_col))
+             .join(F.broadcast(codec), F.lit(True), "left")
+             .withColumn("__lines", derived_lines(ws, words_per_line)))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda l: F.element_at(F.col("__bl"), md5_hash64(l)).isNull())
+    return d.select(
+        F.col(id_col).alias("doc_id"),
+        F.size("__lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"))

@@ -277,3 +277,21 @@ def streaming_nb_filter(docs: DataFrame, model: DataFrame) -> DataFrame:
     from ..operators.text import apply_nb
 
     return apply_nb(docs, model)
+
+
+def streaming_line_filter(docs: DataFrame, codec: DataFrame) -> DataFrame:
+    """Boilerplate-line removal AT INGEST: the batch-detected
+    boilerplate hash set (a 1-row static DataFrame from
+    ``operators.text.boiler_codec``) broadcast-joins onto the raw
+    document stream and ``operators.text.apply_line_filter``'s
+    scan-side line filter cuts known cross-corpus boilerplate from
+    each arriving document — stateless, append mode, zero shuffles
+    (the line array never explodes). This is RefinedWeb's boilerplate
+    pass running in the ingest path while detection stays a batch
+    artifact refreshed offline — the GlobalKTable shape a third time
+    (streaming_bpe_encode, streaming_nb_filter). Batch-equality vs
+    line_dedup is pinned by
+    tests/test_streaming.py::test_streaming_line_filter_equals_batch."""
+    from ..operators.text import apply_line_filter
+
+    return apply_line_filter(docs, codec)

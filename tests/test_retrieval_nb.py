@@ -324,3 +324,85 @@ def test_bm25_family_empty_and_blank_corpora_yield_empty(spark):
         assert RET.bm25_pruned(docs).count() == 0
         assert RET.bm25_recall(docs).count() == 0
     assert line_dedup(empty).count() == 0
+
+
+def test_apply_line_filter_equals_line_dedup(spark, sf_dir):
+    from kafka_streams_examples_spark.operators.text import (
+        apply_line_filter, boiler_codec,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple,
+                     apply_line_filter(docs, boiler_codec(docs)).collect()))
+    want = sorted(map(tuple, line_dedup(docs).collect()))
+    assert got == want and got
+
+
+def test_bm25_gate_flags_near_copy_not_unrelated(spark):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    index = RET.bm25_gate_index(docs, r_floor=100)
+    new = spark.createDataFrame(
+        [(9001, "spark shuffle join spark"),        # copy of doc 0
+         (9002, "zzz yyy xxx www")],                # shares nothing
+        ["doc_id", "text"])
+    rows = RET.bm25_gate(new, index, tau=1.0).collect()
+    by_new = {}
+    for r in rows:
+        by_new.setdefault(r.new_id, set()).add(r.c_id)
+    assert 0 in by_new.get(9001, set())     # the near-copy is flagged
+    assert 9002 not in by_new               # no-overlap doc passes clean
+    # exactly-once per (new, c) pair despite several shared words
+    assert len(rows) == len({(r.new_id, r.c_id) for r in rows})
+
+
+def test_bm25_gate_score_matches_pruned_map_sum(spark):
+    import math
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    index = RET.bm25_gate_index(docs, r_floor=100)
+    new = spark.createDataFrame([(9001, "spark shuffle join spark")],
+                                ["doc_id", "text"])
+    got = {r.c_id: r.score for r in RET.bm25_gate(new, index, tau=0.1).collect()}
+    # with the index uncut (r_floor covers all postings), the gate score
+    # equals the exact BM25 sum over shared terms — replicate in python
+    rep = _bm25_python(CORPUS + [(9001, "spark shuffle join spark")],
+                       n_queries=1, k=10)
+    # replica ranks query 0 == doc 0's text == the new doc's text; its
+    # scored candidates (excluding doc 0 itself handled by gate) match
+    want = {}
+    toks = {d: t.lower().split() for d, t in CORPUS}
+    # rebuild expected from the replica machinery over the ORIGINAL corpus
+    from collections import Counter
+    tf = {d: Counter(ws) for d, ws in toks.items()}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(dl); avgdl = sum(dl.values()) / n
+    df = Counter(w for c in tf.values() for w in c)
+    idf6 = {w: math.floor(math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                          * 1e6 + 0.5) for w in df}
+    def w6(d, w):
+        t = float(tf[d][w])
+        comp = t * (K1 + 1.0) / (t + K1 * ((1.0 - B) + B * (dl[d] / avgdl)))
+        return math.floor(float(idf6[w]) * comp + 0.5)
+    qterms = set("spark shuffle join spark".split())
+    for c in tf:
+        s6 = sum(w6(c, w) for w in qterms if w in tf[c])
+        if s6 >= 100_000:   # tau = 0.1
+            want[c] = math.floor(s6 / 1e6 * 1e4 + 0.5) / 1e4
+    assert got == want
+
+
+def test_bm25_gate_runs_on_stream_equals_batch(spark, sf_dir, tmp_path):
+    from kafka_streams_examples_spark.streaming.core import run_to_memory
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = RET.bm25_gate_index(docs).localCheckpoint(eager=True)
+    new = docs.filter("doc_id < 5") \
+              .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    new.coalesce(1).write.parquet(str(tmp_path / "new"))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(str(tmp_path / "new")))
+    name, q = run_to_memory(RET.bm25_gate(stream, index, tau=3.0),
+                            mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    q.stop()
+    want = {tuple(r) for r in
+            RET.bm25_gate(spark.read.parquet(str(tmp_path / "new")),
+                          index, tau=3.0).collect()}
+    assert got == want and got

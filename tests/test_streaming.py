@@ -855,3 +855,29 @@ def test_streaming_nb_filter_equals_batch(spark, sf_dir):
     want = {(r.doc_id, r.score, r.pred_target)
             for r in nb_quality(docs).collect()}
     assert got == want and got
+
+
+def test_streaming_line_filter_equals_batch(spark, sf_dir):
+    """Ingest-time boilerplate cut: the batch-detected line-hash codec
+    applied to the document stream must produce row-for-row what the
+    batch line_dedup computes on the same fixture."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.text import (
+        boiler_codec, line_dedup,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_line_filter,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    codec = boiler_codec(docs)
+    out = streaming_line_filter(stream_table(spark, sf_dir, "documents"),
+                                codec)
+    name, q = run_to_memory(out, mode="append")
+    got = {tuple(r) for r in spark.table(name).collect()}
+    q.stop()
+    want = {tuple(r) for r in line_dedup(docs).collect()}
+    assert got == want and got
