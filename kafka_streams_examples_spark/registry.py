@@ -5427,3 +5427,38 @@ def q_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
     return SKC.quantile_sketch(table(spark, sf, "events"))
+
+
+@query(
+    "bm25_gate",
+    f"""WITH {_BM25_CTES},
+    {_BM25_PRUNED_CTES},
+    nt AS (SELECT doc_id AS new_id, word FROM tk WHERE doc_id < 20
+           GROUP BY 1, 2),
+    g AS (SELECT nt.new_id, pr.doc_id AS c_id, sum(post.w6) AS s6
+          FROM nt JOIN pr ON pr.word = nt.word
+          JOIN post ON post.word = pr.word AND post.doc_id = pr.doc_id
+          WHERE pr.doc_id <> nt.new_id
+          GROUP BY 1, 2)
+    SELECT new_id, c_id,
+      floor(CAST(s6 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS score
+    FROM g WHERE s6 >= 3000000""",
+    "The ingest-time retrieval gate in batch form (the exact semantics "
+    "streaming runs stateless, test_bm25_gate_runs_on_stream_equals_"
+    "batch): each arriving document (the 20 query docs standing in for "
+    "an ingest batch) probes the impact-pruned index and is flagged "
+    "against every corpus document whose pruned-index BM25 score over "
+    "the arrival's distinct terms reaches tau=3.0 — the lexical "
+    "dedup/decontamination admission check run BEFORE a document "
+    "enters the corpus (the sparse sibling of stream_near_dup). "
+    "Spark folds the arrival's sorted terms over the candidate's "
+    "carried word->impact map with first-shared-word exactly-once "
+    "dedup (zero state); the oracle computes the identical shared-term "
+    "sum relationally over the pruned postings, so parity also proves "
+    "the stateless fold == the relational aggregate "
+    "(operators/retrieval.py:bm25_gate).",
+)
+def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return RET.bm25_gate(docs.filter(F.col("doc_id") < 20),
+                         RET.bm25_gate_index(docs), tau=3.0)

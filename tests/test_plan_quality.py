@@ -107,6 +107,9 @@ BNLJ_BY_DESIGN = {
     # (allowlisted 1-row stats broadcast); the fusion join itself is a
     # (q_id, c_id) equi-join of two k-row-per-query lists
     "hybrid_rrf",
+    # the same 1-row stats + adaptive r_eff broadcasts as bm25_pruned,
+    # under the gate's stream-static probe composition
+    "bm25_gate",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
