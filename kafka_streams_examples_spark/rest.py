@@ -8,6 +8,9 @@ A thin stdlib-only HTTP facade over the StateStore query surface
 - GET /state/keyvalues/{store}/all            -> Q2 full scan (:122-126)
 - GET /state/keyvalues/{store}/range/{a}/{b}  -> Q3 range scan (:137-143)
 - GET /state/windowed/{store}/{key}/{a}/{b}   -> Q4 window fetch (:156-172)
+- GET /search/{index}/{query}?k=N             -> ad-hoc lexical top-k over
+  a registered serving.SearchIndex (persisted BM25 index) — the
+  retrieval-family analog of the keyvalue routes (beyond-reference)
 - GET /orders/{store}/{key}?timeout=ms        -> Q7 long-poll
   read-your-writes GET (OrdersService.java:148-187): blocks until the key
   materializes in the store or the timeout lapses (404).
@@ -65,6 +68,10 @@ class InteractiveQueryService:
                     parts = [unquote(p) for p in url.path.strip("/").split("/")]
                     if parts[0] == "state":
                         self._send(*svc._state(parts[1:]))
+                    elif parts[0] == "search":
+                        q = parse_qs(url.query)
+                        k = int(q.get("k", ["5"])[0])
+                        self._send(*svc._search(parts[1], parts[2], k))
                     elif parts[0] == "orders":
                         q = parse_qs(url.query)
                         timeout_ms = int(q.get("timeout", ["1000"])[0])
@@ -96,6 +103,16 @@ class InteractiveQueryService:
             return 200, _rows_json(
                 store.fetch_window(parts[2], parts[3], parts[4]).collect())
         return 404, b'{"error": "no such state route"}'
+
+    def _search(self, index_name: str, text: str,
+                k: int) -> tuple[int, bytes]:
+        # GET /search/{index}/{query}?k=N — ad-hoc lexical top-k over a
+        # registered serving.SearchIndex (persisted BM25 index); the
+        # retrieval-family analog of the keyvalue routes
+        idx = self.stores.get(index_name)
+        if idx is None or not hasattr(idx, "search"):
+            return 404, b'{"error": "no such index"}'
+        return 200, _rows_json(idx.search(text, k))
 
     def _long_poll(self, store_name: str, key: str,
                    timeout_ms: int) -> tuple[int, bytes]:    # Q7

@@ -85,3 +85,30 @@ class DiskStateStore(StateStore):
 
     def fetch_sessions(self, key) -> DataFrame:  # Q5
         return self._pruned(key)
+
+
+class SearchIndex:
+    """Interactive lexical search over a persisted
+    ``operators.retrieval.build_bm25_index`` — the retrieval family's
+    member of the interactive-query surface (the reference serves
+    materialized STATE per key; a curation deployment equally serves
+    its corpus INDEX for ad-hoc "what matches this eval prompt"
+    checks). A free-text query becomes a 1-row query DataFrame and
+    runs the exact candidate/rerank joins ``query_bm25_index`` uses,
+    so served results can never drift from the batch contract. The
+    ``collect()`` is the sanctioned serving-read-path one (the
+    StateStore.get precedent)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def search(self, text: str, k: int = 5):
+        from .operators.retrieval import query_bm25_index
+
+        q = self.spark.createDataFrame([(0, text)],
+                                       "doc_id long, text string")
+        return (query_bm25_index(self.spark, self.path, q, k=k,
+                                 exclude_self=False)
+                .select("c_id", "score", "rnk")
+                .orderBy("rnk").collect())

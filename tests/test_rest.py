@@ -79,3 +79,36 @@ def test_rest_long_poll_timeout(service):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(service.port, "/orders/word-count/never?timeout=300")
     assert ei.value.code == 404
+
+
+def test_rest_search_over_persisted_bm25_index(spark, tmp_path):
+    """The retrieval-family interactive query: GET /search/{index}/{q}
+    serves top-k doc ids + scores straight from the persisted BM25
+    index via the same joins the batch contract uses."""
+    from kafka_streams_examples_spark.operators.retrieval import (
+        build_bm25_index,
+    )
+    from kafka_streams_examples_spark.rest import InteractiveQueryService
+    from kafka_streams_examples_spark.serving import SearchIndex
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle join spark"),
+         (1, "join window agg"),
+         (2, "spark spark spark filter"),
+         (3, "window window shuffle agg filter")],
+        ["doc_id", "text"])
+    build_bm25_index(docs, str(tmp_path / "idx"))
+    svc = InteractiveQueryService().start()
+    try:
+        svc.register("docs", SearchIndex(spark, str(tmp_path / "idx")))
+        status, rows = _get(svc.port, "/search/docs/spark%20shuffle?k=2")
+        assert status == 200 and len(rows) == 2
+        assert rows[0]["rnk"] == 1
+        # the spark-heavy docs outrank the sparkless ones
+        assert rows[0]["c_id"] in (0, 2)
+        # unknown index -> 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(svc.port, "/search/nope/spark")
+        assert ei.value.code == 404
+    finally:
+        svc.stop()

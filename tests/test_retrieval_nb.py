@@ -406,3 +406,28 @@ def test_bm25_gate_runs_on_stream_equals_batch(spark, sf_dir, tmp_path):
             RET.bm25_gate(spark.read.parquet(str(tmp_path / "new")),
                           index, tau=3.0).collect()}
     assert got == want and got
+
+
+from hypothesis import given, settings, strategies as st
+
+_vocab_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc = st.lists(_vocab_word, min_size=1, max_size=10)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=6))
+def test_bm25_property_random_corpora(spark, corpora):
+    """Random tiny corpora over a 6-word vocabulary (dense term overlap
+    — maximal posting-list collisions and tf variation, the integer-
+    quantization contract's hard cases) must match the plain-Python
+    BM25 replica exactly: idf micro-nat floors, per-posting impact
+    floors, integer score sums, and (s6 desc, c_id) rank ties."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nq = min(2, len(rows))
+    got = {q: [] for q in range(nq)}
+    for r in RET.bm25_topk(docs, k=4, n_queries=nq).collect():
+        got[r.q_id].append((r.c_id, r.score, r.rnk))
+    for q in got:
+        got[q].sort(key=lambda x: x[2])
+    assert got == _bm25_python(rows, n_queries=nq, k=4)
