@@ -75,6 +75,10 @@ CURVE = [
     # SERVING join is bounded by r_eff * |terms| candidates; hash-keyed
     # line dedup; bigram-model train + score joins)
     "bm25_topk", "bm25_pruned", "line_dedup", "nb_quality_filter",
+    # r11 third wave (pruned-index ingest gate — candidacy bounded per
+    # arriving doc; rank fusion of two bounded tiers; two linear scans
+    # with the sample aggregation between)
+    "bm25_gate", "hybrid_rrf", "quantile_sketch",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
