@@ -956,3 +956,68 @@ def apply_line_filter(docs: DataFrame, codec: DataFrame,
         F.size("__lines").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         F.array_join(kept, "\n").alias("clean_text"))
+
+
+def corpus_report(docs: DataFrame, min_words: int = 50,
+                  words_per_line: int = 12, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The corpus datasheet — the (metric, value) summary every corpus
+    release publishes (the Datasheets-for-Datasets / data-card shape)
+    and the first sanity gate a 100 TB build re-runs after each
+    pipeline stage: volume (docs, tokens, vocabulary, mean length),
+    hygiene (exact-duplicate rate over the corpus_prep normalized
+    fingerprint, boilerplate-line rate over the line_dedup detector,
+    word-count-gate pass rate), and composition (language fractions,
+    source count).
+
+    One composed plan of linear aggregations: a doc-level pass, a
+    token-level pass, the fingerprint distinct and the line-hash
+    detector — every input is a keyed aggregation already audited
+    under its owning operator, combined via 1-row cross joins and
+    unpivoted with ``stack``. Ratios quantize at 6dp via the portable
+    floor formula; counts are exact doubles.
+    """
+    ws = F.filter(tokens(text_col), lambda x: x != "")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col("lang"), F.col("source"),
+                        F.md5(norm).alias("__fp"),
+                        ws.alias("__ws"))
+                .withColumn("__n", F.size("__ws")))
+    frac = lambda cond: stable_round(
+        F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+        / F.count("*").cast("double"), 6)
+    m1 = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("__n").cast("double").alias("total_tokens"),
+        stable_round(F.sum("__n").cast("double")
+                     / F.count("*").cast("double"), 6)
+         .alias("mean_doc_tokens"),
+        (F.lit(1.0) - F.count_distinct("__fp").cast("double")
+         / F.count("*").cast("double")).alias("__rawdup"),
+        frac(F.col("__n") >= min_words).alias("wordgate_pass_rate"),
+        frac(F.col("lang") == "en").alias("frac_lang_en"),
+        frac(F.col("lang") == "de").alias("frac_lang_de"),
+        frac(F.col("lang") == "fr").alias("frac_lang_fr"),
+        frac(F.col("lang") == "es").alias("frac_lang_es"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+    ).withColumn("exact_dup_rate",
+                 stable_round(F.col("__rawdup"), 6)).drop("__rawdup")
+    m2 = (base.select(F.explode("__ws").alias("w"))
+              .agg(F.count_distinct("w").cast("double")
+                    .alias("distinct_words")))
+    ld = (line_dedup(docs, min_docs=2, words_per_line=words_per_line,
+                     text_col=text_col, id_col=id_col)
+          .agg(stable_round(
+              F.lit(1.0) - F.sum("n_kept").cast("double")
+              / F.sum("n_lines").cast("double"), 6)
+              .alias("boiler_line_rate")))
+    one = (m1.join(F.broadcast(m2), F.lit(True), "left")
+             .join(F.broadcast(ld), F.lit(True), "left"))
+    cols = ["n_docs", "total_tokens", "distinct_words", "mean_doc_tokens",
+            "exact_dup_rate", "boiler_line_rate", "wordgate_pass_rate",
+            "frac_lang_en", "frac_lang_de", "frac_lang_fr", "frac_lang_es",
+            "n_sources"]
+    stack = ", ".join(f"'{c}', {c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (metric, value)")

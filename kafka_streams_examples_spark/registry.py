@@ -5462,3 +5462,77 @@ def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return RET.bm25_gate(docs.filter(F.col("doc_id") < 20),
                          RET.bm25_gate_index(docs), tau=3.0)
+
+
+@query(
+    "corpus_report",
+    r"""WITH base AS (SELECT doc_id, lang, source,
+        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x <> '')) AS n
+      FROM documents),
+    m1 AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        CAST(sum(n) AS DOUBLE) AS total_tokens,
+        floor(CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+          / 1e6 AS mean_doc_tokens,
+        floor((1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+          AS exact_dup_rate,
+        floor(CAST(sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+          AS wordgate_pass_rate,
+        floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_en,
+        floor(CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_de,
+        floor(CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_fr,
+        floor(CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_es,
+        CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+      FROM base),
+    m2 AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS distinct_words
+           FROM ({SQLTOK}) WHERE word <> ''),
+    t AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents),
+    lx AS (SELECT doc_id,
+        coalesce(array_to_string(ws[(i*12+1):(i*12+12)], ' '), '') AS line
+      FROM t, unnest(generate_series(0,
+            CAST(greatest(ceil(len(ws) / 12.0), 1) AS BIGINT) - 1)) AS u(i)),
+    lh AS (SELECT doc_id,
+        CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS h FROM lx),
+    dup AS (SELECT h FROM lh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    ld AS (SELECT floor((1.0 - CAST(sum(CASE WHEN dup.h IS NULL THEN 1
+                                        ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS boiler_line_rate
+           FROM lh LEFT JOIN dup ON lh.h = dup.h)
+    SELECT m.* FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM m1
+      UNION ALL SELECT 'total_tokens', total_tokens FROM m1
+      UNION ALL SELECT 'distinct_words', distinct_words FROM m2
+      UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM m1
+      UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM m1
+      UNION ALL SELECT 'boiler_line_rate', boiler_line_rate FROM ld
+      UNION ALL SELECT 'wordgate_pass_rate', wordgate_pass_rate FROM m1
+      UNION ALL SELECT 'frac_lang_en', frac_lang_en FROM m1
+      UNION ALL SELECT 'frac_lang_de', frac_lang_de FROM m1
+      UNION ALL SELECT 'frac_lang_fr', frac_lang_fr FROM m1
+      UNION ALL SELECT 'frac_lang_es', frac_lang_es FROM m1
+      UNION ALL SELECT 'n_sources', n_sources FROM m1) m""".replace(
+        "{SQLTOK}", SQL_TOKENS),
+    "The corpus datasheet (Datasheets-for-Datasets / data-card shape) "
+    "— the (metric, value) summary a corpus release publishes and the "
+    "sanity gate a 100 TB build re-runs after every pipeline stage: "
+    "volume (docs, tokens, vocabulary, mean length), hygiene "
+    "(exact-duplicate rate over corpus_prep's normalized fingerprint, "
+    "boilerplate-line rate over line_dedup's detector, word-count-gate "
+    "pass rate) and composition (language fractions, source count). "
+    "One composed plan of linear aggregations already audited under "
+    "their owning operators, combined by 1-row broadcasts and "
+    "unpivoted with stack; ratios quantize at 6dp "
+    "(operators/text.py:corpus_report).",
+)
+def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.corpus_report(table(spark, sf, "documents"))

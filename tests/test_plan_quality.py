@@ -110,6 +110,9 @@ BNLJ_BY_DESIGN = {
     # the same 1-row stats + adaptive r_eff broadcasts as bm25_pruned,
     # under the gate's stream-static probe composition
     "bm25_gate",
+    # datasheet assembly: the 1-row vocabulary / boiler-rate aggregates
+    # broadcast-join onto the 1-row doc-level aggregate before stack
+    "corpus_report",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

@@ -431,3 +431,24 @@ def test_bm25_property_random_corpora(spark, corpora):
     for q in got:
         got[q].sort(key=lambda x: x[2])
     assert got == _bm25_python(rows, n_queries=nq, k=4)
+
+
+def test_corpus_report_metrics(spark):
+    from kafka_streams_examples_spark.operators.text import corpus_report
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd", "en", "s1"),
+         (1, "aa bb cc dd", "en", "s1"),      # exact duplicate of 0
+         (2, "ee ff gg", "de", "s2")],
+        ["doc_id", "text", "lang", "source"])
+    got = {r.metric: r.value for r in corpus_report(docs).collect()}
+    assert got["n_docs"] == 3.0
+    assert got["total_tokens"] == 11.0
+    assert got["distinct_words"] == 7.0
+    assert got["n_sources"] == 2.0
+    assert got["exact_dup_rate"] == round(1 - 2 / 3, 6)
+    assert abs(got["frac_lang_en"] - 2 / 3) < 1e-5
+    assert abs(got["frac_lang_de"] - 1 / 3) < 1e-5
+    assert got["wordgate_pass_rate"] == 0.0       # all docs under 50 words
+    # docs 0 and 1 share their single 12-word-wrapped line -> 2 of the
+    # corpus's 3 derived lines are boilerplate
+    assert abs(got["boiler_line_rate"] - 2 / 3) < 1e-5
