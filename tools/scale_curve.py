@@ -77,8 +77,8 @@ CURVE = [
     "bm25_topk", "bm25_pruned", "line_dedup", "nb_quality_filter",
     # r11 third wave (pruned-index ingest gate — candidacy bounded per
     # arriving doc; rank fusion of two bounded tiers; two linear scans
-    # with the sample aggregation between)
-    "bm25_gate", "hybrid_rrf", "quantile_sketch",
+    # with the sample aggregation between; the composed datasheet)
+    "bm25_gate", "hybrid_rrf", "quantile_sketch", "corpus_report",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
