@@ -1021,3 +1021,65 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
     stack = ", ".join(f"'{c}', {c}" for c in cols)
     return one.selectExpr(
         f"stack({len(cols)}, {stack}) AS (metric, value)")
+
+
+def kn_surprisal(docs: DataFrame, discount: float = 0.75,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per document — the
+    production perplexity-filter tier (CCNet's filter is a KN-smoothed
+    KenLM; :func:`bigram_surprisal` is the plain-MLE-interpolation
+    step below it). Per bigram position:
+
+        p(w2|w1) = max(c(w1,w2) - d, 0) / c(w1·)
+                   + (d * N1+(w1,·) / c(w1·)) * (N1+(·,w2) / T)
+
+    with absolute discount ``d``, context counts c(w1·) = sum of the
+    row's outgoing bigram counts, N1+ the distinct-continuation /
+    distinct-history counts, and T the distinct bigram types — the
+    continuation-probability backoff that makes KN rank "frequent word
+    in a novel context" (high N1+ backoff mass, low evidence) above
+    raw-frequency smoothing. score = order-exact mean of micro-nat
+    -ln p over the document (the bigram_surprisal closing contract;
+    <2-token documents report (0, 0.0)).
+
+    Plan: identical linear shape to bigram_surprisal — bigram counts
+    shuffle on (w1, w2); context/continuation tables are two more
+    aggregations OF THE BIGRAM-TYPE TABLE (vocabulary-squared scale at
+    worst, never corpus scale); scoring probes them by word-keyed
+    equi-joins; T is a 1-row broadcast. Association order of the two
+    smoothing terms is explicit and shared with the oracle.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    tk = docs.select(F.col(id_col), toks.alias("ws"))
+    bg = (tk.filter(F.size("ws") >= 2)
+            .select(F.col(id_col),
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 2),
+                        lambda i: F.struct(F.get("ws", i).alias("w1"),
+                                           F.get("ws", i + 1).alias("w2"))))
+                     .alias("b"))
+            .select(id_col, F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2")))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count("*").alias("n1f"))
+    bk = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
+    tt = c12.agg(F.count("*").alias("t"))
+    c1d = F.col("c1").cast("double")
+    p = (F.greatest(F.col("c12").cast("double") - F.lit(discount),
+                    F.lit(0.0)) / c1d
+         + (F.lit(discount) * F.col("n1f").cast("double") / c1d)
+           * (F.col("n1b").cast("double") / F.col("t").cast("double")))
+    sc = (bg.join(c12, ["w1", "w2"]).join(ctx, "w1").join(bk, "w2")
+            .join(F.broadcast(tt), F.lit(True))
+            .select(F.col(id_col),
+                    F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                     .cast("long").alias("s6")))
+    agg = sc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
+            .alias("surprisal"))
+    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                        F.coalesce("surprisal", F.lit(0.0)).alias("surprisal")))

@@ -5536,3 +5536,51 @@ def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     return TX.corpus_report(table(spark, sf, "documents"))
+
+
+@query(
+    "kn_surprisal",
+    r"""WITH tk AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+           FROM tk, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+           WHERE len(ws) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM c12 GROUP BY 1),
+    bk AS (SELECT w2, count(*) AS n1b FROM c12 GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM c12),
+    sc AS (SELECT bg.doc_id,
+        CAST(floor(-ln(
+            greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+              / CAST(ctx.c1 AS DOUBLE)
+            + (0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+              * (CAST(bk.n1b AS DOUBLE) / CAST(tt.t AS DOUBLE)))
+            * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM bg JOIN c12 USING (w1, w2)
+      JOIN ctx ON ctx.w1 = bg.w1
+      JOIN bk ON bk.w2 = bg.w2
+      CROSS JOIN tt),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        floor(CAST(sum(s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5) / 1e4
+          AS surprisal
+      FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.surprisal, 0.0) AS surprisal
+    FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "Interpolated Kneser-Ney bigram surprisal — the production "
+    "perplexity-filter tier (CCNet's filter is a KN-smoothed KenLM; "
+    "bigram_surprisal is the plain-MLE-interpolation step below): "
+    "p(w2|w1) = max(c12 - d, 0)/c(w1.) + (d*N1+(w1,.)/c(w1.)) * "
+    "(N1+(.,w2)/T) with d=0.75 — absolute discounting plus the "
+    "continuation-probability backoff that ranks frequent-word-in-"
+    "novel-context above raw-frequency smoothing. Same linear plan "
+    "shape as bigram_surprisal (bigram counts shuffle on (w1,w2); the "
+    "context/continuation tables aggregate the BIGRAM-TYPE table, "
+    "vocabulary-squared at worst, never corpus scale; T a 1-row "
+    "broadcast); logs quantize to integer micro-nats before the "
+    "order-exact per-doc mean; <2-token documents report (0, 0.0) "
+    "(operators/text.py:kn_surprisal).",
+)
+def q_kn_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.kn_surprisal(table(spark, sf, "documents"))

@@ -113,6 +113,9 @@ BNLJ_BY_DESIGN = {
     # datasheet assembly: the 1-row vocabulary / boiler-rate aggregates
     # broadcast-join onto the 1-row doc-level aggregate before stack
     "corpus_report",
+    # the 1-row bigram-type-count broadcast in the continuation term
+    # (the unigram_surprisal corpus-total shape)
+    "kn_surprisal",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

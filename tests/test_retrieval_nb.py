@@ -452,3 +452,61 @@ def test_corpus_report_metrics(spark):
     # docs 0 and 1 share their single 12-word-wrapped line -> 2 of the
     # corpus's 3 derived lines are boilerplate
     assert abs(got["boiler_line_rate"] - 2 / 3) < 1e-5
+
+
+def test_kn_surprisal_matches_python_replica(spark):
+    import math
+    from collections import Counter
+    from kafka_streams_examples_spark.operators.text import kn_surprisal
+
+    rows = [(0, "aa bb aa bb cc"), (1, "aa bb aa"), (2, "cc dd cc dd"),
+            (3, "one"), (4, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_bigrams, r.surprisal)
+           for r in kn_surprisal(docs).collect()}
+
+    bgs = {}
+    c12 = Counter()
+    for d, t in rows:
+        ws = t.split()
+        bgs[d] = list(zip(ws, ws[1:]))
+        c12.update(bgs[d])
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1b[w2] += 1
+    t = len(c12)
+    for d, _ in rows:
+        if not bgs[d]:
+            assert got[d] == (0, 0.0)
+            continue
+        s6 = 0
+        for (w1, w2) in bgs[d]:
+            p = (max(c12[(w1, w2)] - 0.75, 0.0) / c1[w1]
+                 + (0.75 * n1f[w1] / c1[w1]) * (n1b[w2] / t))
+            s6 += math.floor(-math.log(p) * 1e6 + 0.5)
+        exp = math.floor(s6 / (len(bgs[d]) * 1e6) * 1e4 + 0.5) / 1e4
+        assert got[d] == (len(bgs[d]), exp), d
+
+
+def test_kn_continuation_ranks_burst_above_diverse(spark):
+    """The KN property MLE interpolation lacks: 'york' occurs MANY
+    times but only ever after 'new' (one history), while 'house' has
+    the same total count spread over many histories. In a NOVEL
+    context ('the york' vs 'the house'), KN's continuation probability
+    N1+(., w2) makes york the surprise, even though raw unigram
+    counts are equal."""
+    from kafka_streams_examples_spark.operators.text import kn_surprisal
+    burst = " ".join(["new york"] * 6)                  # york: 1 history
+    diverse = "a house b house c house d house e house f house"
+    docs = spark.createDataFrame(
+        [(0, burst), (1, diverse),
+         (2, "the york the house the york the house")],  # novel contexts
+        ["doc_id", "text"])
+    # per-position check via two probe docs built from the same corpus
+    probes = spark.createDataFrame(
+        [(10, "the york"), (11, "the house")], ["doc_id", "text"])
+    scored = {r.doc_id: r.surprisal
+              for r in kn_surprisal(docs.union(probes)).collect()}
+    assert scored[10] > scored[11]

@@ -106,7 +106,10 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             # worst-case uniform vocabulary — postings scored per query
             # grow linearly with the corpus; the pruned tier's serving
             # join stays candidate-bounded; hash-keyed line dedup)
-            "bm25_topk", "bm25_pruned", "line_dedup"]
+            "bm25_topk", "bm25_pruned", "line_dedup",
+            # r11 third wave (bigram-model joins under the 10x/decade
+            # vocabulary growth; the composed datasheet)
+            "nb_quality_filter", "corpus_report"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
