@@ -147,7 +147,10 @@ def quantile_sketch(events: DataFrame, rate: int = 16,
     bound uses the correctly-rounded sqrt (the source_mixture
     precedent). At 100 TB: two linear scans (sample + rank check), one
     tiny shuffle on the type handful; choose ``rate`` for the target
-    sample size m — the gauge measures whatever is chosen.
+    sample size m — the gauge measures whatever is chosen. A type
+    whose sample is empty has no estimate row (the inner join drops
+    it); at the fixture's per-type volumes (m ~ n/16 >> 1) that never
+    happens — lower ``rate`` for small types.
     """
     h = md5_hash64(F.concat(F.col(key_col).cast("string"), F.lit("qsk")))
     s = events.filter(h % rate == 0)

@@ -975,7 +975,9 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
     detector — every input is a keyed aggregation already audited
     under its owning operator, combined via 1-row cross joins and
     unpivoted with ``stack``. Ratios quantize at 6dp via the portable
-    floor formula; counts are exact doubles.
+    floor formula; counts are exact doubles. Precondition: a non-empty
+    corpus (the per-doc ratios divide by the document count; an empty
+    release has no datasheet to publish).
     """
     ws = F.filter(tokens(text_col), lambda x: x != "")
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")

@@ -79,6 +79,9 @@ CURVE = [
     # arriving doc; rank fusion of two bounded tiers; two linear scans
     # with the sample aggregation between; the composed datasheet)
     "bm25_gate", "hybrid_rrf", "quantile_sketch", "corpus_report",
+    # r11 late addition (KN-smoothed bigram joins, the bigram_surprisal
+    # plan with two extra bigram-TYPE-table aggregations)
+    "kn_surprisal",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
