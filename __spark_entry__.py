@@ -43,67 +43,24 @@ from kafka_streams_examples_spark.registry import QUERIES
 # mechanically from CORRECTNESS_r01..r10.json by
 # `tools/update_window.py --emit` (r11 refresh: CORRECTNESS_r10 absorbed,
 # 50/50 green; every registry query remains signed, all r7+).
-_R07 = ("dsir_resample",)
-_R08 = (
-    "agg_max", "anomaly_daily", "bigram_surprisal", "bpe_fertility",
-    "bpe_train", "branch_counts", "daily_1800", "decontaminate",
-    "dsir_score", "embedding_lsh_pairs", "embedding_near_dup",
-    "epoch_mixture", "exact_dedup", "filter_transform", "fold_letters",
-    "funnel_conversion", "gopher_rules", "hopping_6h", "lang_id",
-    "minhash_signature", "pii_redact", "pipeline_funnel", "quality_score",
-    "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs",
-    "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly",
-    "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",
-)
-_R09 = (
-    "approx_distinct", "cluster_sample", "cms_estimate", "corpus_prep",
-    "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters",
-    "dedup_clusters_star", "dedup_keep_best", "dedup_recall",
-    "distinct_users", "fingerprint", "frame_sample", "incremental_dedup",
-    "inventory_reservation", "kmeans_train", "knn_graph",
-    "knn_hard_negatives", "knn_ivf_trained", "knn_ivfpq",
-    "knn_multiprobe", "knn_recall", "knn_recall_clustered",
-    "leakage_split", "media_features", "minhash_lsh_pairs",
-    "music_charts", "ngram_jaccard", "ngram_jaccard_capped",
-    "order_validation", "pageview_region", "pq_knn", "rollup_sales",
-    "running_counts_trace", "salted_join_skew", "semantic_dedup",
-    "shard_pack", "simhash", "soft_dedup", "source_overlap",
-    "token_count", "top_articles_windowed", "tpch_q10", "tpch_q3",
-    "tpch_q4", "tpch_q5", "tpch_q6", "vocab_stats",
-    "winnow_fingerprints",
-)
-_R10 = (
-    "anonymize_props", "asof_join", "bigram_novelty", "bpe_encode",
-    "curriculum_order", "dedup_ttl", "doc_chunks",
-    "exact_substring_apply", "exact_substring_dedup", "fk_chain",
-    "global_shuffle", "having_count", "json_extract", "knn_cosine",
-    "knn_ivf", "ktable_latest", "ktable_reagg", "label_silhouette",
-    "merge_union", "pack_sequences", "pack_sequences_bpe",
-    "quality_deciles", "quality_filter_median", "reduce_concat",
-    "reservoir_per_stratum", "retention_cohorts", "semantic_prune",
-    "session_windows", "source_mixture", "stratified_sample",
-    "stream_stream_join", "stream_stream_outer_join",
-    "stream_table_join", "table_table_join", "tfidf_top_terms",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
-    "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",
-)
-_SIGNED_ROUND: dict[str, int] = {**{n: 7 for n in _R07},
-                                 **{n: 8 for n in _R08},
+_R08 = ("epoch_mixture", "gopher_rules",)
+_R09 = ("approx_distinct", "cluster_sample", "cms_estimate", "corpus_prep", "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters", "dedup_clusters_star", "dedup_keep_best", "dedup_recall", "distinct_users", "fingerprint", "frame_sample", "incremental_dedup", "inventory_reservation", "kmeans_train", "knn_graph", "knn_hard_negatives", "knn_ivf_trained", "knn_ivfpq", "knn_multiprobe", "knn_recall", "knn_recall_clustered", "leakage_split", "media_features", "minhash_lsh_pairs", "music_charts", "ngram_jaccard", "ngram_jaccard_capped", "order_validation", "pageview_region", "pq_knn", "rollup_sales", "running_counts_trace", "salted_join_skew", "semantic_dedup", "shard_pack", "simhash", "soft_dedup", "source_overlap", "token_count", "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "vocab_stats", "winnow_fingerprints",)
+_R10 = ("anonymize_props", "asof_join", "bigram_novelty", "curriculum_order", "dedup_ttl", "doc_chunks", "exact_substring_apply", "exact_substring_dedup", "fk_chain", "global_shuffle", "having_count", "json_extract", "knn_cosine", "knn_ivf", "ktable_latest", "ktable_reagg", "merge_union", "pack_sequences", "quality_deciles", "quality_filter_median", "reduce_concat", "reservoir_per_stratum", "retention_cohorts", "semantic_prune", "session_windows", "source_mixture", "stratified_sample", "stream_stream_join", "stream_stream_outer_join", "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",)
+_R11 = ("agg_max", "anomaly_daily", "bigram_surprisal", "bm25_gate", "bm25_pruned", "bm25_recall", "bm25_topk", "bpe_encode", "bpe_fertility", "bpe_train", "branch_counts", "corpus_report", "daily_1800", "decontaminate", "dsir_resample", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup", "exact_dedup", "filter_transform", "fold_letters", "funnel_conversion", "hopping_6h", "hybrid_rrf", "incremental_knn", "kn_surprisal", "label_silhouette", "lang_id", "line_dedup", "minhash_signature", "nb_quality_filter", "pack_sequences_bpe", "pii_redact", "pipeline_funnel", "quality_score", "quantile_sketch", "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly", "unigram_encode", "unigram_lm_train", "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",)
+_SIGNED_ROUND: dict[str, int] = {**{n: 8 for n in _R08},
                                  **{n: 9 for n in _R09},
-                                 **{n: 10 for n in _R10}}
+                                 **{n: 10 for n in _R10},
+                                 **{n: 11 for n in _R11}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-11 diff: ADVICE fixes touched label_silhouette (degenerate
-# single-label corpora now emit zero rows like the oracle — a no-op
-# filter on the fixture) and bpe_codec (vocab-scale WORD_SEP assertion
-# — plan grows a when/raise_error over the symbol table, output
-# unchanged), which sits under bpe_encode and pack_sequences_bpe.
-# New queries (unigram_lm_train/unigram_encode, incremental_knn) front
-# via the never-signed rule.
+# Round-12 diff: corpus_report grew derived per-language rows (was a
+# fixed en/de/fr/es enumeration that silently dropped zh); the shared
+# adaptive-pruning step of the BM25 family was extracted into
+# pruned_postings (bm25_pruned / bm25_gate call through it; bm25_recall
+# sits on bm25_pruned) and bm25_gate's tau now rounds to micro-nats.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "label_silhouette", "bpe_encode", "pack_sequences_bpe")
+    "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate")
 
 
 def _ordered_names() -> list[str]:

@@ -143,14 +143,23 @@ def bm25_topk(docs: DataFrame, k: int = 5, n_queries: int = 20,
     return _topk(scored, k)
 
 
-def pruned_postings(post: DataFrame, r: int) -> DataFrame:
-    """Static impact-ordered pruning: keep the top-``r`` postings per
-    term by (impact desc, doc id). A vocabulary-keyed WindowGroupLimit
-    — each map task forwards at most r rows per term, and the pruned
-    index is at most r * |vocabulary| rows (tiny, persistable)."""
+def pruned_postings(post: DataFrame, r_floor: int = 32,
+                    keep_denom: int = 5) -> DataFrame:
+    """Static impact-ordered pruning: keep the top-``r_eff`` postings
+    per term by (impact desc, doc id), where r_eff comes from
+    :func:`adaptive_r` over the same postings table. A vocabulary-keyed
+    WindowGroupLimit plus a 1-row broadcast of the bound — each map
+    task forwards at most r_eff rows per term, and the pruned index is
+    at most r_eff * |vocabulary| rows (tiny, persistable). The single
+    pruning step shared by :func:`bm25_pruned`,
+    :func:`build_bm25_index` and :func:`bm25_gate_index`; all original
+    columns pass through."""
     w = Window.partitionBy("word").orderBy(F.col("w6").desc(), F.col("doc_id"))
     return (post.withColumn("__r", F.row_number().over(w))
-                .filter(F.col("__r") <= r).drop("__r"))
+                .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
+                      F.lit(True), "left")
+                .filter(F.col("__r") <= F.col("r_eff"))
+                .drop("__r", "r_eff"))
 
 
 def adaptive_r(post: DataFrame, r_floor: int = 32,
@@ -181,13 +190,7 @@ def bm25_pruned(docs: DataFrame, k: int = 5, n_queries: int = 20,
     (doc, word)-keyed equi-joins — the IVF probe-then-rerank shape.
     Same output schema as :func:`bm25_topk`."""
     post = postings(docs, text_col, id_col)
-    w = Window.partitionBy("word").orderBy(F.col("w6").desc(),
-                                           F.col("doc_id"))
-    pruned = (post.withColumn("__r", F.row_number().over(w))
-                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
-                        F.lit(True), "left")
-                  .filter(F.col("__r") <= F.col("r_eff"))
-                  .drop("__r", "r_eff"))
+    pruned = pruned_postings(post, r_floor, keep_denom)
     qt = query_terms(docs, n_queries, text_col, id_col)
     cands = (qt.join(pruned, "word")
                .filter(F.col("doc_id") != F.col("q_id"))
@@ -254,12 +257,7 @@ def build_bm25_index(docs: DataFrame, path: str, r_floor: int = 32,
     without touching a byte of corpus text."""
     post = postings(docs, text_col, id_col).withColumn("wb", _wb(F.col("word")))
     post.write.mode("overwrite").partitionBy("wb").parquet(f"{path}/postings")
-    w = Window.partitionBy("word").orderBy(F.col("w6").desc(), F.col("doc_id"))
-    pruned = (post.withColumn("__r", F.row_number().over(w))
-                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
-                        F.lit(True), "left")
-                  .filter(F.col("__r") <= F.col("r_eff"))
-                  .drop("__r", "r_eff"))
+    pruned = pruned_postings(post, r_floor, keep_denom)
     pruned.write.mode("overwrite").partitionBy("wb").parquet(f"{path}/pruned")
 
 
@@ -343,13 +341,8 @@ def bm25_gate_index(docs: DataFrame, r_floor: int = 32,
     stream_near_dup makes carrying band/shingle arrays on index rows;
     the map is bounded by the document's distinct terms."""
     post = postings(docs, text_col, id_col)
-    w = Window.partitionBy("word").orderBy(F.col("w6").desc(),
-                                           F.col("doc_id"))
-    pruned = (post.withColumn("__r", F.row_number().over(w))
-                  .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
-                        F.lit(True), "left")
-                  .filter(F.col("__r") <= F.col("r_eff"))
-                  .select("word", "doc_id", "w6"))
+    pruned = pruned_postings(post, r_floor, keep_denom) \
+        .select("word", "doc_id", "w6")
     perdoc = (pruned.groupBy("doc_id")
                     .agg(F.map_from_entries(F.collect_list(
                         F.struct("word", "w6"))).alias("c_map")))
@@ -379,7 +372,7 @@ def bm25_gate(new_docs: DataFrame, index: DataFrame, tau: float = 3.0,
     candidate-generation tier's lower-variance floor; admitted
     documents get the exact offline rerank (bm25_pruned's contract).
     """
-    tau6 = int(tau * 1e6)
+    tau6 = round(tau * 1e6)
     terms = F.array_sort(F.array_distinct(
         F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                  lambda x: x != "")))

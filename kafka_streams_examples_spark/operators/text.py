@@ -967,8 +967,9 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
     pipeline stage: volume (docs, tokens, vocabulary, mean length),
     hygiene (exact-duplicate rate over the corpus_prep normalized
     fingerprint, boilerplate-line rate over the line_dedup detector,
-    word-count-gate pass rate), and composition (language fractions,
-    source count).
+    word-count-gate pass rate), and composition (one ``frac_lang_*``
+    row per language OBSERVED in the corpus — derived from the data,
+    not a fixed enumeration — plus source count).
 
     One composed plan of linear aggregations: a doc-level pass, a
     token-level pass, the fingerprint distinct and the line-hash
@@ -998,10 +999,6 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
         (F.lit(1.0) - F.count_distinct("__fp").cast("double")
          / F.count("*").cast("double")).alias("__rawdup"),
         frac(F.col("__n") >= min_words).alias("wordgate_pass_rate"),
-        frac(F.col("lang") == "en").alias("frac_lang_en"),
-        frac(F.col("lang") == "de").alias("frac_lang_de"),
-        frac(F.col("lang") == "fr").alias("frac_lang_fr"),
-        frac(F.col("lang") == "es").alias("frac_lang_es"),
         F.count_distinct("source").cast("double").alias("n_sources"),
     ).withColumn("exact_dup_rate",
                  stable_round(F.col("__rawdup"), 6)).drop("__rawdup")
@@ -1018,11 +1015,22 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
              .join(F.broadcast(ld), F.lit(True), "left"))
     cols = ["n_docs", "total_tokens", "distinct_words", "mean_doc_tokens",
             "exact_dup_rate", "boiler_line_rate", "wordgate_pass_rate",
-            "frac_lang_en", "frac_lang_de", "frac_lang_fr", "frac_lang_es",
             "n_sources"]
     stack = ", ".join(f"'{c}', {c}" for c in cols)
-    return one.selectExpr(
+    fixed = one.selectExpr(
         f"stack({len(cols)}, {stack}) AS (metric, value)")
+    # composition rows are DERIVED from the data (one row per observed
+    # language), so a corpus in any language mix gets a complete
+    # datasheet — a fixed enumeration would silently omit the rest
+    nd = base.agg(F.count("*").alias("__nd"))
+    langs = (base.groupBy("lang").agg(F.count("*").alias("__c"))
+                 .join(F.broadcast(nd), F.lit(True), "left")
+                 .select(F.concat(F.lit("frac_lang_"), F.col("lang"))
+                          .alias("metric"),
+                         stable_round(F.col("__c").cast("double")
+                                      / F.col("__nd").cast("double"), 6)
+                          .alias("value")))
+    return fixed.unionAll(langs)
 
 
 def kn_surprisal(docs: DataFrame, discount: float = 0.75,

@@ -5481,14 +5481,6 @@ def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
         floor(CAST(sum(CASE WHEN n >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
               / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
           AS wordgate_pass_rate,
-        floor(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_en,
-        floor(CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_de,
-        floor(CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_fr,
-        floor(CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS DOUBLE)
-              / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS frac_lang_es,
         CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
       FROM base),
     m2 AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS distinct_words
@@ -5516,11 +5508,11 @@ def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
       UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM m1
       UNION ALL SELECT 'boiler_line_rate', boiler_line_rate FROM ld
       UNION ALL SELECT 'wordgate_pass_rate', wordgate_pass_rate FROM m1
-      UNION ALL SELECT 'frac_lang_en', frac_lang_en FROM m1
-      UNION ALL SELECT 'frac_lang_de', frac_lang_de FROM m1
-      UNION ALL SELECT 'frac_lang_fr', frac_lang_fr FROM m1
-      UNION ALL SELECT 'frac_lang_es', frac_lang_es FROM m1
-      UNION ALL SELECT 'n_sources', n_sources FROM m1) m""".replace(
+      UNION ALL SELECT 'n_sources', n_sources FROM m1
+      UNION ALL SELECT 'frac_lang_' || lang,
+        floor(CAST(count(*) AS DOUBLE) / (SELECT n_docs FROM m1)
+              * 1e6 + 0.5) / 1e6
+        FROM base GROUP BY lang) m""".replace(
         "{SQLTOK}", SQL_TOKENS),
     "The corpus datasheet (Datasheets-for-Datasets / data-card shape) "
     "— the (metric, value) summary a corpus release publishes and the "

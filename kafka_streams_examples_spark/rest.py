@@ -69,8 +69,15 @@ class InteractiveQueryService:
                     if parts[0] == "state":
                         self._send(*svc._state(parts[1:]))
                     elif parts[0] == "search":
+                        if len(parts) < 3:
+                            self._send(404, b'{"error": "no such route"}')
+                            return
                         q = parse_qs(url.query)
-                        k = int(q.get("k", ["5"])[0])
+                        try:
+                            k = int(q.get("k", ["5"])[0])
+                        except ValueError:
+                            self._send(400, b'{"error": "k must be an int"}')
+                            return
                         self._send(*svc._search(parts[1], parts[2], k))
                     elif parts[0] == "orders":
                         q = parse_qs(url.query)
