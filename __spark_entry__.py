@@ -59,8 +59,14 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 8 for n in _R08},
 # adaptive-pruning step of the BM25 family was extracted into
 # pruned_postings (bm25_pruned / bm25_gate call through it; bm25_recall
 # sits on bm25_pruned) and bm25_gate's tau now rounds to micro-nats.
+# The join-fallback work (strategy params on apply_bpe/apply_unigram,
+# nb_quality refactor through _nb_base_tk) sits under the four encode/
+# score queries; outputs are crossover-pinned unchanged but the shared
+# code moved, so they front the window.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate")
+    "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate",
+    "bpe_encode", "pack_sequences_bpe", "unigram_encode",
+    "nb_quality_filter")
 
 
 def _ordered_names() -> list[str]:

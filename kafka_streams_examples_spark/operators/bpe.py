@@ -185,13 +185,99 @@ def bpe_codec(docs: DataFrame, merges: int = 6,
                        "rhs:string>>").alias("__merges"), "__ids")
 
 
+#: Distinct-word-table size above which ``strategy="auto"`` switches a
+#: corpus-scale encode/score from the 1-row broadcast codec map to the
+#: hash-partitioned word-keyed equi-join. A zipf-bounded vocabulary
+#: (curated text) folds into a few-MB map; a web corpus's distinct
+#: "words" (typos, URLs, ids) grow with corpus size and would outgrow
+#: any broadcast budget — above the limit the memoized table stays a
+#: TABLE and the join path applies it (the line_dedup join shape). At
+#: ~40 bytes/entry the limit keeps the broadcast around 20 MB.
+WORD_BROADCAST_LIMIT = 500_000
+
+
+def encode_with_word_table(docs: DataFrame, per_word: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Corpus-scale application of a memoized per-distinct-word encode
+    table ``(word, n, ids)`` via a word-keyed equi-join — the
+    scale path when the distinct-word table exceeds
+    :data:`WORD_BROADCAST_LIMIT` (the broadcast-map form caps out).
+
+    Shape: one posexplode of the token array (positions carry document
+    order through the shuffle), ONE hash-partitioned equi-join on the
+    exploded token column against the word table (``shuffle_hash``
+    hinted — the word side is unbounded by assumption, so Catalyst must
+    never broadcast it; both sides hash-partition on the same zipf-
+    distributed key, the line_dedup join shape), and one doc-keyed
+    reassembly ordered by position. Documents with no tokens re-attach
+    through a doc-keyed left join with the same (0, 0, '') fallbacks as
+    the broadcast form — output byte-identical by the crossover tests.
+    """
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    ex = docs.select(F.col(id_col),
+                     F.posexplode(toks).alias("__pos", "word"))
+    agg = (ex.join(per_word.hint("shuffle_hash"), "word")
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_words"),
+                  F.sum("n").cast("long").alias("n_tokens"),
+                  F.array_join(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("__pos", "ids"))),
+                      lambda s: s["ids"]), ",").alias("token_ids")))
+    return (docs.select(F.col(id_col))
+                .join(agg, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_words", F.lit(0).cast("long"))
+                         .alias("n_words"),
+                        F.coalesce("n_tokens", F.lit(0).cast("long"))
+                         .alias("n_tokens"),
+                        F.coalesce("token_ids", F.lit(""))
+                         .alias("token_ids")))
+
+
+def bpe_word_table(docs: DataFrame, codec: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """The memoized encode table (word, n, ids) — every DISTINCT corpus
+    word segmented ONCE under the trained codec (segmentation is a pure
+    function of the word: the merge fold re-derives it exactly as
+    :func:`apply_bpe`'s whole-document form, since merges cannot cross
+    the word separator). Stays a TABLE for :func:`encode_with_word_table`;
+    never folded into a driver-visible structure."""
+    w = (word_counts(docs, text_col).select("word")
+             .join(F.broadcast(codec), F.lit(True), "left")
+             .withColumn("__enc", F.aggregate(
+                 "__merges", _char_seq(F.col("word")),
+                 lambda acc, m: _apply_merge(acc, m["lhs"], m["rhs"])))
+             .withColumn("__toks", F.filter(F.split("__enc", " "),
+                                            lambda s: s != "")))
+    return w.select(
+        "word",
+        F.size("__toks").cast("long").alias("n"),
+        F.array_join(F.transform(
+            "__toks", lambda s: F.coalesce(F.element_at(F.col("__ids"), s),
+                                           F.lit(0)).cast("string")),
+            ",").alias("ids"))
+
+
 def apply_bpe(docs: DataFrame, codec: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id") -> DataFrame:
+              id_col: str = "doc_id", strategy: str = "broadcast",
+              word_limit: int = WORD_BROADCAST_LIMIT) -> DataFrame:
     """Scan-side encode of `docs` with a trained :func:`bpe_codec` —
     stateless Column expressions after a broadcast nested-loop join of
     the codec's single row, so the SAME function encodes a batch corpus
     and a streaming DataFrame (stream-static join; see
     streaming/pipelines.py:streaming_bpe_encode).
+
+    ``strategy`` sizes the corpus-scale application ("broadcast" — the
+    default scan-side fold, right for bounded vocabularies and the only
+    streaming-compatible form; "join" — memoize every distinct word
+    once via :func:`bpe_word_table` and apply it through
+    :func:`encode_with_word_table`, the open-vocabulary scale path;
+    "auto" — count the distinct-word table and pick, the adaptive_r
+    measure-then-switch convention at the price of one counting job).
+    All strategies are output byte-identical (crossover-tested).
 
     OOV contract: a word absent from training still segments correctly
     (the merge fold re-derives segmentations; no vocabulary lookup), and
@@ -199,6 +285,14 @@ def apply_bpe(docs: DataFrame, codec: DataFrame, text_col: str = "text",
     a CHARACTER never seen in training — encodes as the reserved UNK id
     0 (dense ranks start at 1). Without the explicit fallback,
     ``array_join`` would silently drop null ids and under-count."""
+    if strategy == "auto":
+        n = word_counts(docs, text_col).count()
+        strategy = "broadcast" if n <= word_limit else "join"
+    if strategy == "join":
+        return encode_with_word_table(
+            docs, bpe_word_table(docs, codec, text_col), text_col, id_col)
+    if strategy != "broadcast":
+        raise ValueError(f"apply_bpe: unknown strategy {strategy!r}")
     words = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                      lambda x: x != "")
     enc = (docs.select(id_col, F.col(text_col))
@@ -223,7 +317,8 @@ def apply_bpe(docs: DataFrame, codec: DataFrame, text_col: str = "text",
 
 
 def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
-               id_col: str = "doc_id") -> DataFrame:
+               id_col: str = "doc_id",
+               strategy: str = "broadcast") -> DataFrame:
     """Tokenize the corpus with the learned merges: per-document token-id
     sequences — the production step between tokenizer training
     (:func:`bpe_train`) and sequence packing / token counting.
@@ -250,7 +345,7 @@ def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
     setting) segment correctly instead of failing a lookup.
     """
     return apply_bpe(docs, bpe_codec(docs, merges, text_col),
-                     text_col, id_col)
+                     text_col, id_col, strategy)
 
 
 def bpe_fertility(docs: DataFrame, merges: int = 6,

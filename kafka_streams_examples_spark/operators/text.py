@@ -786,19 +786,8 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
     vocabulary-sized model table (persist it; scoring new corpora then
     never touches the train corpus).
     """
-    tgt = [str(s) for s in target_sources]
-    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__text"),
-                        F.col(group_col).alias("__g"))
-                .withColumn("__ws", ws)
-                .withColumn("is_train",
-                            (F.col("doc_id") % holdout_mod) != 0)
-                .withColumn("is_target", F.col("__g").isin(tgt)))
-    tk = (base.filter(F.size("__ws") >= 2)
-              .select("doc_id", "is_train", "is_target",
-                      F.explode(word_shingles(F.col("__ws"), 2))
-                       .alias("word")))
+    base, tk = _nb_base_tk(docs, target_sources, holdout_mod,
+                           text_col, id_col, group_col)
     weights, pri = _nb_weights(base, tk)
     dsum = (tk.join(weights, "word", "left")
               .groupBy("doc_id")
@@ -813,6 +802,29 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
         (F.floor(F.col("s6").cast("double") / F.lit(1e6) * F.lit(1e4)
                  + F.lit(0.5)) / F.lit(1e4)).alias("score"),
         (F.col("s6") > 0).alias("pred_target"))
+
+
+def _nb_base_tk(docs: DataFrame, target_sources: Sequence[str],
+                holdout_mod: int, text_col: str, id_col: str,
+                group_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared labeled-corpus prep: (base doc table with is_train /
+    is_target flags, exploded train/score bigram-token table) — the
+    single source for :func:`nb_quality`, :func:`nb_model` and
+    :func:`nb_weights_table`."""
+    tgt = [str(s) for s in target_sources]
+    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("__text"),
+                        F.col(group_col).alias("__g"))
+                .withColumn("__ws", ws)
+                .withColumn("is_train",
+                            (F.col("doc_id") % holdout_mod) != 0)
+                .withColumn("is_target", F.col("__g").isin(tgt)))
+    tk = (base.filter(F.size("__ws") >= 2)
+              .select("doc_id", "is_train", "is_target",
+                      F.explode(word_shingles(F.col("__ws"), 2))
+                       .alias("word")))
+    return base, tk
 
 
 def _nb_weights(base: DataFrame, tk: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -861,21 +873,36 @@ def nb_model(docs: DataFrame, target_sources: Sequence[str] = (
     streaming/pipelines.py:streaming_nb_filter) is then one scan with
     zero joins. The fixture model is vocabulary-sized (~1k bigrams); a
     production model hash-buckets features first (the dsir_score
-    convention) so the map stays bounded at any corpus size."""
-    tgt = [str(s) for s in target_sources]
-    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__text"),
-                        F.col(group_col).alias("__g"))
-                .withColumn("__ws", ws)
-                .withColumn("is_train",
-                            (F.col("doc_id") % holdout_mod) != 0)
-                .withColumn("is_target", F.col("__g").isin(tgt)))
-    tk = (base.filter(F.size("__ws") >= 2)
-              .select("doc_id", "is_train", "is_target",
-                      F.explode(word_shingles(F.col("__ws"), 2))
-                       .alias("word")))
-    weights, pri = _nb_weights(base, tk)
+    convention) so the map stays bounded at any corpus size — or keeps
+    the model in TABLE form (:func:`nb_weights_table`) and scores
+    through :func:`apply_nb_table`'s feature-keyed join; :func:`score_nb`
+    picks per measured model size."""
+    weights, pri = nb_weights_table(docs, target_sources, holdout_mod,
+                                    text_col, id_col, group_col)
+    return fold_nb_codec(weights, pri)
+
+
+def nb_weights_table(docs: DataFrame, target_sources: Sequence[str] = (
+                         "src0", "src1", "src2", "src3", "src4"),
+                     holdout_mod: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     group_col: str = "source") -> tuple[DataFrame,
+                                                         DataFrame]:
+    """Train :func:`nb_quality`'s model and return it in TABLE form:
+    (weights (word, w6), prior (p6) — genuinely scalar, one row). The
+    persistable artifact when the feature table is NOT broadcast-sized
+    (a web-scale bigram vocabulary): keep ``weights`` as a parquet
+    table and score through :func:`apply_nb_table`'s feature-keyed
+    join instead of folding into :func:`nb_model`'s 1-row map."""
+    base, tk = _nb_base_tk(docs, target_sources, holdout_mod,
+                           text_col, id_col, group_col)
+    return _nb_weights(base, tk)
+
+
+def fold_nb_codec(weights: DataFrame, pri: DataFrame) -> DataFrame:
+    """Fold a TABLE-form model into the 1-row broadcastable codec
+    (__w: map<bigram, w6>, p6) — only valid while the feature table is
+    broadcast-sized; :func:`score_nb` gates the fold on a count."""
     wmap = weights.agg(F.map_from_entries(F.collect_list(
         F.struct("word", "w6"))).alias("__w"))
     return wmap.join(F.broadcast(pri), F.lit(True), "left")
@@ -908,6 +935,64 @@ def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
         (F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
                  + F.lit(0.5)) / F.lit(1e4)).alias("score"),
         (s6 > 0).alias("pred_target"))
+
+
+def apply_nb_table(docs: DataFrame, weights: DataFrame, pri: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Score documents under a TABLE-form model
+    (:func:`nb_weights_table`): byte-identical output to
+    :func:`apply_nb` (crossover-tested), but the feature weights never
+    leave table form — scoring is ONE hash-partitioned equi-join of
+    the exploded bigram column against ``weights`` (``shuffle_hash``
+    hinted: the weight side is unbounded by assumption, Catalyst must
+    never broadcast it) plus a doc-keyed integer sum — the
+    open-vocabulary scale path when the train-bigram table outgrows
+    the broadcast budget. Out-of-model bigrams contribute 0 (left
+    join), <2-token documents score the prior — the apply_nb
+    contracts."""
+    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    base = (docs.select(F.col(id_col))
+                .join(F.broadcast(pri), F.lit(True), "left"))
+    tk = (docs.select(F.col(id_col), ws.alias("__ws"))
+              .filter(F.size("__ws") >= 2)
+              .select(F.col(id_col),
+                      F.explode(word_shingles(F.col("__ws"), 2))
+                       .alias("word")))
+    dsum = (tk.join(weights.hint("shuffle_hash"), "word", "left")
+              .groupBy(id_col)
+              .agg(F.sum(F.coalesce(F.col("w6"), F.lit(0))).alias("__sw")))
+    s6 = F.coalesce(F.col("__sw"), F.lit(0)) + F.col("p6")
+    return (base.join(dsum, id_col, "left")
+                .select(F.col(id_col),
+                        (F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
+                                 + F.lit(0.5)) / F.lit(1e4)).alias("score"),
+                        (s6 > 0).alias("pred_target")))
+
+
+def score_nb(docs: DataFrame, weights: DataFrame, pri: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id",
+             strategy: str = "auto",
+             feature_limit: int | None = None) -> DataFrame:
+    """Size-thresholded NB scoring dispatcher over a TABLE-form model:
+    "broadcast" folds ``weights`` into the 1-row codec and scores
+    scan-side (:func:`apply_nb` — zero joins, the streaming-compatible
+    form); "join" keeps it a table (:func:`apply_nb_table`); "auto"
+    counts the feature table and picks (the adaptive_r
+    measure-then-switch convention, one counting job; limit defaults
+    to :data:`operators.bpe.WORD_BROADCAST_LIMIT`). All strategies are
+    byte-identical (crossover-tested)."""
+    from .bpe import WORD_BROADCAST_LIMIT
+    if strategy == "auto":
+        limit = WORD_BROADCAST_LIMIT if feature_limit is None \
+            else feature_limit
+        strategy = "broadcast" if weights.count() <= limit else "join"
+    if strategy == "join":
+        return apply_nb_table(docs, weights, pri, text_col, id_col)
+    if strategy != "broadcast":
+        raise ValueError(f"score_nb: unknown strategy {strategy!r}")
+    return apply_nb(docs, fold_nb_codec(weights, pri), text_col, id_col)
 
 
 def boiler_codec(docs: DataFrame, min_docs: int = 2,

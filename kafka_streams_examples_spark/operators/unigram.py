@@ -220,28 +220,19 @@ def unigram_codec(docs: DataFrame, keep: int = 40, iters: int = 2,
             F.struct("piece", "__id"))).alias("__ids"))
 
 
-def apply_unigram(docs: DataFrame, codec: DataFrame,
-                  text_col: str = "text", id_col: str = "doc_id",
-                  max_len: int = 4) -> DataFrame:
-    """Encode ``docs`` with a trained :func:`unigram_codec`: per
-    document (id, n_words, n_tokens, token_ids) — the
-    :func:`operators.bpe.apply_bpe` output shape.
-
-    100 TB design — word-level memoization: segmentation is a pure
-    function of the word, so Viterbi runs ONCE per *distinct word of
-    the corpus being encoded* (a zipf-small table produced by the same
-    map-side-combined aggregation as tokenizer training), the resulting
-    word -> id-sequence table folds into a 1-row broadcast map, and the
-    corpus-scale pass is a single scan applying that map per token —
-    zero corpus shuffles, zero Python. An unknown CHARACTER (the only
-    way a piece can miss the id map, since Viterbi re-derives
-    segmentations) encodes as :data:`UNK_ID`."""
+def unigram_word_table(docs: DataFrame, codec: DataFrame,
+                       text_col: str = "text",
+                       max_len: int = 4) -> DataFrame:
+    """The memoized encode table (word, n, ids): every DISTINCT word of
+    the corpus being encoded Viterbi-segmented ONCE under the codec
+    (segmentation is a pure function of the word). The single source
+    for both of :func:`apply_unigram`'s application strategies."""
     words = (docs.select(F.explode(tokens(F.coalesce(F.col(text_col),
                                                      F.lit("")))).alias("word"))
                  .filter(F.col("word") != "").distinct())
     seg = segment_words(words, _codec_pieces(codec), max_len)
     ids = seg.join(F.broadcast(codec.select("__ids")), F.lit(True), "left")
-    per_word = ids.select(
+    return ids.select(
         "word",
         F.size("pieces").alias("n"),
         F.array_join(F.transform(
@@ -249,6 +240,42 @@ def apply_unigram(docs: DataFrame, codec: DataFrame,
             lambda p: F.coalesce(F.element_at(F.col("__ids"), p),
                                  F.lit(UNK_ID)).cast("string")),
             ",").alias("ids"))
+
+
+def apply_unigram(docs: DataFrame, codec: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_len: int = 4, strategy: str = "broadcast",
+                  word_limit: int | None = None) -> DataFrame:
+    """Encode ``docs`` with a trained :func:`unigram_codec`: per
+    document (id, n_words, n_tokens, token_ids) — the
+    :func:`operators.bpe.apply_bpe` output shape.
+
+    100 TB design — word-level memoization: segmentation is a pure
+    function of the word, so Viterbi runs ONCE per *distinct word of
+    the corpus being encoded* (a zipf-small table produced by the same
+    map-side-combined aggregation as tokenizer training,
+    :func:`unigram_word_table`). How that table is APPLIED is
+    ``strategy``-sized, exactly like :func:`operators.bpe.apply_bpe`:
+    "broadcast" folds it into a 1-row map and the corpus-scale pass is
+    a single scan applying the map per token (zero corpus shuffles —
+    right while the distinct-word table is zipf-bounded); "join" keeps
+    it a TABLE and applies it via the hash-partitioned word-keyed
+    equi-join (:func:`operators.bpe.encode_with_word_table` — the
+    open-vocabulary scale path: a web corpus's distinct "words" would
+    outgrow any broadcast budget); "auto" counts and picks
+    (:data:`operators.bpe.WORD_BROADCAST_LIMIT` default). All
+    strategies are byte-identical (crossover-tested). An unknown
+    CHARACTER (the only way a piece can miss the id map, since Viterbi
+    re-derives segmentations) encodes as :data:`UNK_ID`."""
+    from .bpe import WORD_BROADCAST_LIMIT, encode_with_word_table
+    per_word = unigram_word_table(docs, codec, text_col, max_len)
+    if strategy == "auto":
+        limit = WORD_BROADCAST_LIMIT if word_limit is None else word_limit
+        strategy = "broadcast" if per_word.count() <= limit else "join"
+    if strategy == "join":
+        return encode_with_word_table(docs, per_word, text_col, id_col)
+    if strategy != "broadcast":
+        raise ValueError(f"apply_unigram: unknown strategy {strategy!r}")
     wmap = per_word.agg(
         F.map_from_entries(F.collect_list(
             F.struct("word", F.struct("n", "ids").alias("v")))).alias("__w"))
@@ -276,9 +303,10 @@ def _codec_pieces(codec: DataFrame) -> DataFrame:
 
 def unigram_encode(docs: DataFrame, keep: int = 40, iters: int = 2,
                    max_len: int = 4, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   strategy: str = "broadcast") -> DataFrame:
     """Train-and-encode convenience: :func:`unigram_codec` on ``docs``
     then :func:`apply_unigram` over the same corpus (the bpe_encode
     registry shape)."""
     codec = unigram_codec(docs, keep, iters, max_len, text_col)
-    return apply_unigram(docs, codec, text_col, id_col, max_len)
+    return apply_unigram(docs, codec, text_col, id_col, max_len, strategy)

@@ -4003,6 +4003,27 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "bpe_encode_join",
+    _BPE_ENCODE_SQL,
+    "bpe_encode's open-vocabulary scale path: the same trained codec "
+    "applied through the word-memoized TABLE form — every distinct "
+    "corpus word segmented once (operators/bpe.py:bpe_word_table), "
+    "then ONE hash-partitioned equi-join of the posexploded token "
+    "column against that table (shuffle_hash hinted so Catalyst can "
+    "never broadcast the unbounded side) and a doc-keyed ordered "
+    "reassembly (encode_with_word_table, the line_dedup join shape). "
+    "At web scale the distinct-'word' table (typos, URLs, ids) is not "
+    "zipf-small and outgrows any broadcast budget; this path keeps it "
+    "a table end-to-end. Output byte-identical to bpe_encode "
+    "(crossover-tested; same oracle), strategy='auto' measures and "
+    "picks (WORD_BROADCAST_LIMIT).",
+)
+def q_bpe_encode_join(spark: SparkSession, sf: str) -> DataFrame:
+    return BPE.bpe_encode(table(spark, sf, "documents"), merges=6,
+                          strategy="join")
+
+
+@query(
     "pack_sequences_bpe",
     f"""WITH {_bpe_ctes(6)},
     dw AS (SELECT doc_id, word FROM ({SQL_TOKENS}) WHERE word <> ''),
@@ -4195,6 +4216,25 @@ def q_unigram_encode(spark: SparkSession, sf: str) -> DataFrame:
     return UNI.unigram_encode(table(spark, sf, "documents"),
                               keep=_UNIGRAM_KEEP, iters=_UNIGRAM_ITERS,
                               max_len=_UNIGRAM_MAXLEN)
+
+
+@query(
+    "unigram_encode_join",
+    QUERIES["unigram_encode"].oracle,
+    "unigram_encode's open-vocabulary scale path: the same trained "
+    "piece distribution applied through the word-memoized TABLE form — "
+    "Viterbi once per distinct word (operators/unigram.py:"
+    "unigram_word_table), then the hash-partitioned word-keyed "
+    "equi-join + ordered doc reassembly shared with bpe_encode_join "
+    "(operators/bpe.py:encode_with_word_table; shuffle_hash hinted so "
+    "the unbounded word table is never broadcast). Byte-identical to "
+    "unigram_encode (crossover-tested; same oracle); strategy='auto' "
+    "measures the distinct-word count and picks.",
+)
+def q_unigram_encode_join(spark: SparkSession, sf: str) -> DataFrame:
+    return UNI.unigram_encode(table(spark, sf, "documents"),
+                              keep=_UNIGRAM_KEEP, iters=_UNIGRAM_ITERS,
+                              max_len=_UNIGRAM_MAXLEN, strategy="join")
 
 
 @query(
@@ -5329,6 +5369,30 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_nb_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     return TX.nb_quality(table(spark, sf, "documents"))
+
+
+@query(
+    "nb_filter_join",
+    oracle_patch(QUERIES["nb_quality_filter"].oracle,
+                 "SELECT doc_id, is_train, is_target,\n      floor",
+                 "SELECT doc_id,\n      floor"),
+    "nb_quality_filter's open-vocabulary scale path: the same trained "
+    "NB model kept in TABLE form (operators/text.py:nb_weights_table — "
+    "the persistable (bigram, w6) weights plus the genuinely-scalar "
+    "1-row prior) and applied through apply_nb_table's hash-partitioned "
+    "feature-keyed equi-join (shuffle_hash hinted so the unbounded "
+    "weight table is never broadcast) + doc-keyed integer sum. At web "
+    "scale the train-bigram table outgrows any broadcast budget; this "
+    "path never folds it into nb_model's 1-row map. Scores "
+    "byte-identical to apply_nb over the folded codec "
+    "(crossover-tested); the oracle is nb_quality_filter's scoring "
+    "surface minus the split labels. score_nb dispatches per measured "
+    "model size.",
+)
+def q_nb_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    w, p = TX.nb_weights_table(docs)
+    return TX.apply_nb_table(docs, w, p)
 
 
 @query(

@@ -359,3 +359,23 @@ def test_dsir_resample_keeps_top_quantile(spark):
     kept = [r.dsir for r in rows]
     assert min(kept) >= thr - 1e-12
     assert sum(1 for s in scores if s >= thr) == len(rows)
+
+
+def test_apply_bpe_join_equals_broadcast_byte_for_byte(spark):
+    """Crossover contract of apply_bpe's strategies: the word-memoized
+    TABLE (bpe_word_table) applied via encode_with_word_table must
+    reproduce the scan-side broadcast encode exactly — empty documents,
+    repeated words, and never-seen characters (UNK id 0) included."""
+    from kafka_streams_examples_spark.operators import bpe as B
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, ""), (2, "  "),
+         (3, "low low qqq"), (4, "newest widest")],
+        "doc_id long, text string")
+    codec = B.bpe_codec(docs, merges=4)
+    b = sorted(map(tuple, B.apply_bpe(docs, codec).collect()))
+    j = sorted(map(tuple,
+                   B.apply_bpe(docs, codec, strategy="join").collect()))
+    assert b == j
+    a = sorted(map(tuple, B.apply_bpe(
+        docs, codec, strategy="auto", word_limit=1).collect()))
+    assert a == b

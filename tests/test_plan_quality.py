@@ -116,6 +116,14 @@ BNLJ_BY_DESIGN = {
     # the 1-row bigram-type-count broadcast in the continuation term
     # (the unigram_surprisal corpus-total shape)
     "kn_surprisal",
+    # join-fallback encode paths: the BOUNDED 1-row codec (merge array /
+    # piece map / scalar prior) still attaches by broadcast onto the
+    # vocabulary-scale word table — the unbounded per-word/weight table
+    # itself goes through the shuffle_hash equi-join (asserted by
+    # test_join_fallback_paths_never_broadcast_the_word_table)
+    "bpe_encode_join",
+    "unigram_encode_join",
+    "nb_filter_join",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so
@@ -147,6 +155,17 @@ def test_bnlj_only_where_designed(plans):
     stale = [n for n in BNLJ_BY_DESIGN
              if "BroadcastNestedLoopJoin" not in plans[n]]
     assert stale == []
+
+
+def test_join_fallback_paths_never_broadcast_the_word_table(plans):
+    """The open-vocabulary encode/score paths exist precisely because
+    the per-word / per-feature table is unbounded — their corpus-scale
+    application join must be a shuffle join (the shuffle_hash hint took
+    effect), never a BroadcastHashJoin that would re-introduce the
+    broadcast-budget ceiling the path is there to avoid."""
+    for n in ("bpe_encode_join", "unigram_encode_join", "nb_filter_join"):
+        assert "ShuffledHashJoin" in plans[n], \
+            f"{n}: word-table join not shuffle-partitioned"
 
 
 def test_no_row_at_a_time_python(plans):

@@ -510,3 +510,29 @@ def test_kn_continuation_ranks_burst_above_diverse(spark):
     scored = {r.doc_id: r.surprisal
               for r in kn_surprisal(docs.union(probes)).collect()}
     assert scored[10] > scored[11]
+
+
+def test_apply_nb_table_equals_broadcast_byte_for_byte(spark):
+    """Crossover contract of the NB scoring strategies: the TABLE-form
+    model (nb_weights_table) scored through apply_nb_table's
+    feature-keyed join must reproduce apply_nb over the folded codec
+    exactly — including <2-token documents (prior-only) and documents
+    whose bigrams are all out-of-model."""
+    from kafka_streams_examples_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(i, t, "src0" if i % 2 else "other")
+         for i, t in enumerate(
+             ["aa bb aa bb", "bb cc", "one", "", "dd ee dd",
+              "aa bb cc dd", "zz yy xx ww", "bb aa bb aa"])],
+        "doc_id long, text string, source string")
+    w, p = T.nb_weights_table(docs, target_sources=("src0",))
+    b = sorted(map(tuple, T.apply_nb(docs, T.fold_nb_codec(w, p)).collect()))
+    j = sorted(map(tuple, T.apply_nb_table(docs, w, p).collect()))
+    assert b == j
+    # the dispatcher: forced-tiny limit -> join path; huge limit ->
+    # broadcast path; both agree with the direct forms
+    a1 = sorted(map(tuple, T.score_nb(
+        docs, w, p, strategy="auto", feature_limit=1).collect()))
+    a2 = sorted(map(tuple, T.score_nb(
+        docs, w, p, strategy="auto", feature_limit=10**9).collect()))
+    assert a1 == b and a2 == b

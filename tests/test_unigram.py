@@ -183,3 +183,32 @@ def test_unigram_property_random_corpora(spark, corpora):
              U.unigram_encode(docs, keep=10, iters=2,
                               max_len=3).collect()}
     assert got_e == want_e
+
+
+def test_apply_unigram_join_equals_broadcast_byte_for_byte(spark):
+    """The crossover contract of the size-thresholded strategies: the
+    word-memoized TABLE applied via the shuffle_hash equi-join must
+    reproduce the broadcast-map encode exactly — including empty
+    documents (the (0, 0, '') fallbacks) and UNK characters."""
+    docs = spark.createDataFrame(
+        [(0, "abc abc de"), (1, ""), (2, "   "), (3, "de f abc"),
+         (4, "zzz"), (5, "abc zzz de de")],   # z unseen chars stay; dup words
+        "doc_id long, text string")
+    codec = U.unigram_codec(docs, keep=6, iters=1, max_len=3)
+    b = sorted(map(tuple, U.apply_unigram(
+        docs, codec, max_len=3).collect()))
+    j = sorted(map(tuple, U.apply_unigram(
+        docs, codec, max_len=3, strategy="join").collect()))
+    assert b == j
+    # auto: a forced 1-word limit must dispatch to the join path and
+    # still agree; a huge limit stays on broadcast
+    a = sorted(map(tuple, U.apply_unigram(
+        docs, codec, max_len=3, strategy="auto", word_limit=1).collect()))
+    assert a == b
+
+
+def test_apply_unigram_rejects_unknown_strategy(spark):
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    codec = U.unigram_codec(docs, keep=2, iters=1, max_len=2)
+    with pytest.raises(ValueError, match="strategy"):
+        U.apply_unigram(docs, codec, strategy="nope")
