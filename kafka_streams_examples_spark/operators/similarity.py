@@ -1069,7 +1069,22 @@ def _rerank_in_buckets(routed: DataFrame, vectors: DataFrame, k: int,
                                   stable_round(sim, 6).alias("__sim")), k)
 
 
-def build_ivf_index(corpus: DataFrame, path: str, kclusters: int = 8,
+def auto_kclusters(corpus: DataFrame, floor: int = 8) -> int:
+    """Corpus-scaled codebook size: ``max(floor, round(sqrt(n)))`` —
+    the FAISS sizing convention (k ≈ √n keeps both the codebook scan
+    and the mean bucket size at √n, so per-query probe cost grows as
+    √n per 10x data instead of linearly). One counting job at build
+    time (the adaptive_r measure-then-switch convention). A codebook
+    that is never re-sized as the corpus grows 10x/decade silently
+    degrades to linear bucket scans — the default must be the
+    scale-safe composition."""
+    import math
+    n = corpus.count()
+    return max(floor, int(round(math.sqrt(n))))
+
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    kclusters: int | None = None,
                     iters: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> None:
     """Train and PERSIST the write-once IVF index: ``{path}/codebook``
@@ -1081,7 +1096,11 @@ def build_ivf_index(corpus: DataFrame, path: str, kclusters: int = 8,
     (incremental_minhash_pairs) applied to the ANN tier: train once,
     route every subsequent batch without touching old corpus rows.
     At 100 TB the vectors write is the one full-corpus pass; the
-    codebook is k*dim doubles."""
+    codebook is k*dim doubles. ``kclusters`` defaults to
+    :func:`auto_kclusters` (≈√n) so the persisted index's bucket size
+    stays bounded as the corpus grows; pass an explicit k to pin it."""
+    if kclusters is None:
+        kclusters = auto_kclusters(corpus)
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
                              ckpt_each_iter=True)
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
@@ -1105,8 +1124,8 @@ def query_ivf_index(spark, path: str, queries: DataFrame, k: int = 5,
 
 
 def incremental_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                    nprobe: int = 2, kclusters: int = 8, iters: int = 2,
-                    id_col: str = "vec_id",
+                    nprobe: int = 2, kclusters: int | None = None,
+                    iters: int = 2, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """The day-over-day ANN shape as one composed plan (the registry /
     oracle surface for the persisted-index path): train the codebook on
@@ -1121,7 +1140,12 @@ def incremental_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     Differs from knn_ivf_trained in exactly the incremental semantics:
     queries are NOT part of the trained corpus, and routing uses the
     STORED codebook rather than recomputed assignment means — no part
-    of the index is touched by the new batch."""
+    of the index is touched by the new batch. ``kclusters`` defaults to
+    :func:`auto_kclusters` (≈√n of the existing corpus) so the default
+    composition keeps bucket size bounded as the corpus grows; the
+    registry query pins k=8 to match its oracle."""
+    if kclusters is None:
+        kclusters = auto_kclusters(corpus)
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
                              ckpt_each_iter=True)
     index = (asg.select(F.col("vec_id").alias(id_col),

@@ -1552,3 +1552,31 @@ def test_semantic_prune_keepers(spark, sf_dir):
             want = float(np.dot(v, ce)
                          / (np.linalg.norm(v) * np.linalg.norm(ce)))
             assert abs(r.cent_sim - round(want, 4)) < 2e-4
+
+
+def test_build_ivf_index_default_kclusters_scales_sqrt_n(spark, sf_dir,
+                                                         tmp_path):
+    """The scale-safe default (VERDICT r11): an IVF index built without
+    an explicit k sizes its codebook ~sqrt(n) (the FAISS convention),
+    so the mean bucket stays sqrt(n) as the corpus grows instead of
+    degrading to linear scans under a never-re-sized constant k. The
+    explicit-k override must still pin the codebook exactly."""
+    import math
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.similarity import (
+        auto_kclusters, build_ivf_index,
+    )
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    n = corpus.count()
+    want_k = max(8, int(round(math.sqrt(n))))
+    assert auto_kclusters(corpus) == want_k
+
+    path = str(tmp_path / "ivf_auto")
+    build_ivf_index(corpus, path)
+    assert spark.read.parquet(f"{path}/codebook").count() == want_k
+
+    pinned = str(tmp_path / "ivf_pinned")
+    build_ivf_index(corpus, pinned, kclusters=8)
+    assert spark.read.parquet(f"{pinned}/codebook").count() == 8

@@ -69,3 +69,27 @@ def test_embedding_shift_is_orthogonal(spark, replica):
     assert np.allclose(np.linalg.norm(a), np.linalg.norm(orig[1]))
     # labels moved to a fresh block
     assert {r["label"] for r in rep.collect()} == {3000}
+
+
+def test_token_rename_vocabulary_grows_sublinearly(spark, replica):
+    """The r12 zipf-fixture property: replicas draw token tags from the
+    SHARED ceil(R^(2/3)) pool, so the union vocabulary is bounded by
+    V * (S + 1) — not the V * (R + 1) of the old per-replica rename —
+    while still minting genuinely new words per decade."""
+    from pyspark.sql import functions as F
+    from scale_data import tag_pool_size
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    v0 = 8
+    replicas = 10
+    pool = tag_pool_size(replicas)
+    union = replica(docs, "documents", 0, pool)
+    for k in range(1, replicas):
+        union = union.unionByName(replica(docs, "documents", k, pool))
+    vocab = (union.select(F.explode(F.split("text", r"\s+")).alias("w"))
+                  .filter(F.col("w") != "").distinct().count())
+    assert vocab <= v0 * (pool + 1)      # bounded by the shared pool
+    assert vocab > v0 * 2                # but genuinely grows
+    # and the decade pool itself grows ~R^(2/3): 5 at R=10, 22 at R=100
+    assert tag_pool_size(10) == 5 and tag_pool_size(100) == 22

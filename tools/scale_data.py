@@ -8,12 +8,24 @@ needs is "10x the volume at the SAME dup/match density per row":
 - every key column gets ``replica * STRIDE`` added, consistently across
   fact and dimension (FKs keep joining: replica k's lineitem joins
   replica k's orders/part/supplier, all replicas share nation/region);
-- documents: every token is suffixed ``x{k}`` for replica k>0 — an
-  injective token rename, so WITHIN a replica every pairwise
-  shingle/minhash/simhash similarity is exactly the original, while
-  ACROSS replicas token sets are disjoint (no manufactured near-dup
-  families, which would grow pair output quadratically and measure the
-  data, not the plan);
+- documents: every token of replica k>0 is suffixed ``x{tag}`` with
+  ``tag = xxhash64(word, k) mod S`` drawn from a SHARED pool of size
+  ``S = ceil(replicas ** (2/3))`` (r12, VERDICT item 4 — the previous
+  per-replica ``x{k}`` rename grew the vocabulary LINEARLY in sf,
+  which twice made super-10x decade rows a fixture artifact that cost
+  a control study to exonerate). The tag depends only on (word, k), so
+  the rename is injective per replica and WITHIN a replica every
+  pairwise shingle/minhash/simhash similarity is exactly the original;
+  ACROSS replicas a 3-shingle survives only when all three words draw
+  the same tag in both replicas (prob 1/S^3), so with S ~ R^(2/3) the
+  expected cross-replica duplicate partners per unique shingle is
+  C(R,2)/S^3 ~ 0.5 — CONSTANT across decades (no manufactured
+  near-dup families: doc-pair Jaccard ~ 1/S^3 sits far below every
+  LSH threshold; 12-token lines and whole docs collide at 1/S^12 and
+  below). Vocabulary therefore grows ~ V * S ~ n^(2/3) — inside the
+  Heaps'-law range (beta 0.4-0.7) real web corpora show — so decade
+  rows for vocabulary-coupled operators (unigram/bpe encode, bm25,
+  nb) measure the PLAN by default;
 - embeddings: replica k circularly shifts the vector by k positions — an
   orthogonal transform, so within-replica cosines are bit-preserved and
   a vector vs its shifted copy decorrelates; labels offset per replica so
@@ -58,15 +70,33 @@ KEYS = {
 }
 
 
-def _replica(df: DataFrame, name: str, k: int) -> DataFrame:
+def tag_pool_size(replicas: int) -> int:
+    """Shared tag-pool size S = ceil(R^(2/3)): keeps the expected
+    cross-replica duplicate partners per unique 3-shingle, C(R,2)/S^3
+    ~ R^2 / (2 R^2) = 0.5, CONSTANT across decades while the
+    vocabulary grows ~ n^(2/3) (module docstring)."""
+    import math
+    return max(2, math.ceil(replicas ** (2 / 3)))
+
+
+def _replica(df: DataFrame, name: str, k: int,
+             tag_pool: int = 5) -> DataFrame:
     out = df
     for c in KEYS.get(name, []):
         out = out.withColumn(c, (F.col(c) + F.lit(k * STRIDE)).cast("long"))
     if name == "documents" and k > 0:
-        # injective token rename: similarity structure preserved within
-        # the replica, disjoint shingles across replicas
-        out = out.withColumn("text",
-                             F.regexp_replace("text", r"(\w+)", f"$1x{k}"))
+        # zipf-bounded token rename: tag = hash(word, k) mod S from the
+        # SHARED pool — injective per replica (the stem survives, and
+        # original words carry no digits so the suffix parses uniquely),
+        # so within-replica similarity structure is exactly the
+        # original while the global vocabulary grows ~ V * S, not V * R
+        tagged = F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: F.when(w == "", w).otherwise(F.concat(
+                w, F.lit("x"),
+                F.pmod(F.xxhash64(w, F.lit(k)), F.lit(tag_pool))
+                 .cast("string"))))
+        out = out.withColumn("text", F.array_join(tagged, " "))
     if name == "embeddings":
         if k > 0:
             dim = len(df.select("embedding").first()[0])
@@ -91,9 +121,10 @@ def main(dest: str = ".scale/sf1", replicas: int = REPLICAS) -> None:
         if name in ("region", "nation"):
             scaled = src
         else:
-            scaled = _replica(src, name, 0)
+            pool = tag_pool_size(replicas)
+            scaled = _replica(src, name, 0, pool)
             for k in range(1, replicas):
-                scaled = scaled.unionByName(_replica(src, name, k))
+                scaled = scaled.unionByName(_replica(src, name, k, pool))
         # one flat parquet FILE per table, like the driver's layout
         # (catalog.table reads {dir}/{name}.parquet; a directory works too)
         nparts = 8 if replicas <= 10 else 32
