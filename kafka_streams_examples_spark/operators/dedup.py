@@ -837,6 +837,34 @@ def _dup_spans(docs: DataFrame, l: int, text_col: str,
                .agg(F.min("pos").alias("s"), F.max("end").alias("e")))
 
 
+def max_dup_spans(docs: DataFrame, l: int = 4, min_len: int = 6,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Maximal duplicated-span BOUNDARIES with the Lee et al. (ACL'22)
+    minimum-length threshold — the suffix-array production form reports
+    maximal duplicated runs of at least N tokens (50 in the paper; the
+    fixture's shorter documents use a proportionally smaller default)
+    and hands their offsets to a byte-level cutter. :func:`_dup_spans`'
+    gaps-and-islands merge already reconstructs the maximal runs
+    exactly (see exact_substring_dedup_stats' equivalence argument);
+    this surface filters them to >= ``min_len`` tokens and emits the
+    boundaries themselves: (doc_id, span_start, span_end, span_len),
+    end-exclusive token offsets.
+
+    Scale shape: identical to the stats op — gram hashes + integer
+    positions shuffle once, text never shuffles, the interval-merge
+    window runs only over duplicate positions, and the threshold is a
+    post-merge filter (a span shorter than min_len can never extend a
+    longer one, so filtering after the merge is exact)."""
+    spans = _dup_spans(docs, l, text_col, id_col)
+    return (spans.filter((F.col("e") - F.col("s")) >= min_len)
+                 .select(F.col(id_col),
+                         F.col("s").cast("long").alias("span_start"),
+                         F.col("e").cast("long").alias("span_end"),
+                         (F.col("e") - F.col("s")).cast("long")
+                          .alias("span_len")))
+
+
 def exact_substring_dedup_apply(docs: DataFrame, l: int = 4,
                                 text_col: str = "text",
                                 id_col: str = "doc_id") -> DataFrame:

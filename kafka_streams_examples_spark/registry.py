@@ -4703,6 +4703,50 @@ def q_exact_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "max_dup_spans",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+           CAST('0x' || substr(md5(list_aggregate(ws[i:i+3], 'string_agg', ' ')),
+                1, 15) AS BIGINT) AS h
+          FROM tk, unnest(generate_series(1, len(ws) - 3)) AS u(i)
+          WHERE len(ws) >= 4),
+    w AS (SELECT h, min(doc_id) AS winner FROM g GROUP BY h),
+    d AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+          FROM g JOIN w USING (h) WHERE g.doc_id > w.winner),
+    m AS (SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM d),
+    i AS (SELECT doc_id, pos, e,
+           sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM m),
+    sp AS (SELECT doc_id, isl, min(pos) AS s, max(e) AS e FROM i GROUP BY 1, 2)
+    SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(e - s AS BIGINT) AS span_len
+    FROM sp WHERE e - s >= 6""",
+    "Maximal duplicated-span boundaries with the Lee et al. ACL'22 "
+    "minimum-length threshold — the suffix-array production form "
+    "reports maximal cross-document duplicated runs of >= N tokens and "
+    "hands their offsets to the cutter (the paper uses 50; the "
+    "fixture's shorter documents use 6). The gaps-and-islands merge "
+    "over duplicated 4-gram offsets reconstructs the maximal runs "
+    "exactly (operators/dedup.py equivalence argument), the threshold "
+    "is a post-merge filter (a short span can never extend a long "
+    "one), and output is the boundaries themselves: (doc_id, "
+    "span_start, span_end, span_len), end-exclusive token offsets. "
+    "All-integer after the gram hash; text never shuffles "
+    "(operators/dedup.py:max_dup_spans).",
+)
+def q_max_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    return D.max_dup_spans(table(spark, sf, "documents"), l=4, min_len=6)
+
+
+@query(
     "exact_substring_apply",
     r"""WITH tk AS (SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws

@@ -1580,3 +1580,26 @@ def test_build_ivf_index_default_kclusters_scales_sqrt_n(spark, sf_dir,
     pinned = str(tmp_path / "ivf_pinned")
     build_ivf_index(corpus, pinned, kclusters=8)
     assert spark.read.parquet(f"{pinned}/codebook").count() == 8
+
+
+def test_max_dup_spans_boundaries_and_threshold(spark):
+    """The boundary surface of the exact-substring family: a duplicated
+    run of M >= min_len tokens comes back as one (start, end) pair with
+    exact end-exclusive offsets; merged-but-short spans are filtered by
+    the Lee et al. minimum-length threshold AFTER the merge."""
+    from kafka_streams_examples_spark.operators.dedup import max_dup_spans
+    run = "alpha beta gamma delta epsilon zeta"          # 6-token run
+    docs = spark.createDataFrame(
+        [(0, f"{run} filler0 one two three four extra"),
+         # 6-run duplicated at offset 2; 4 tokens of the other run
+         # duplicated at offset 10 (merged span of 4 < min_len 6)
+         (1, f"x1 x2 {run} y1 y2 one two three four z9"),
+         (2, "totally unique tokens only here q w e r t")],
+        ["doc_id", "text"])
+    got = [(r.doc_id, r.span_start, r.span_end, r.span_len)
+           for r in max_dup_spans(docs, l=4, min_len=6).collect()]
+    assert got == [(1, 2, 8, 6)]
+    # with the threshold at the gram size, the short span surfaces too
+    got4 = sorted((r.doc_id, r.span_start, r.span_end, r.span_len)
+                  for r in max_dup_spans(docs, l=4, min_len=4).collect())
+    assert got4 == [(1, 2, 8, 6), (1, 10, 14, 4)]
