@@ -1178,3 +1178,82 @@ def kn_surprisal(docs: DataFrame, discount: float = 0.75,
                 .select(F.col(id_col),
                         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                         F.coalesce("surprisal", F.lit(0.0)).alias("surprisal")))
+
+
+def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM surprisal per document — the
+    KenLM-order step above :func:`kn_surprisal` (CCNet's production
+    filter is a 5-gram KN model; order 3 exercises the full RECURSIVE
+    continuation backoff, which higher orders only repeat). Per
+    trigram position, with absolute discount ``d``:
+
+        p(w3|w1,w2) = max(c(w1w2w3) - d, 0) / c(w1w2.)
+                      + (d * N1+(w1w2,.) / c(w1w2.)) * p_kn(w3|w2)
+
+        p_kn(w3|w2) = max(c'(w2w3) - d, 0) / c'(w2.)
+                      + (d * N1+c(w2,.) / c'(w2.)) * (N1+(.,w3) / T)
+
+    where the LOWER order runs on Chen-Goodman CONTINUATION counts
+    derived from the trigram TYPE table: c'(w2w3) = N1+(.,w2,w3)
+    (distinct w1 preceding the bigram), c'(w2.) its row-sum per w2,
+    N1+c(w2,.) the distinct-continuation count OF the continuation
+    table, N1+(.,w3) the distinct w2 preceding w3 in it, and T its
+    total type count. Every count is an aggregation OF the trigram-type
+    table (bounded by observed trigram TYPES — corpus-linear, never
+    vocabulary-cubed); the top order uses raw trigram counts. score =
+    order-exact mean of micro-nat -ln p over the document (the
+    kn_surprisal closing contract; <3-token documents report (0, 0.0)).
+
+    Plan: the linear kn_surprisal shape one order up — trigram counts
+    shuffle on (w1,w2,w3); four more aggregations of the TYPE table;
+    scoring probes them by keyed equi-joins; T is a 1-row broadcast.
+    Association order of the nested smoothing terms is explicit and
+    mirrored in the oracle, so both engines evaluate the identical
+    IEEE expression before the one ln() quantizes to micro-nats.
+    """
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    tk = docs.select(F.col(id_col), toks.alias("ws"))
+    tg = (tk.filter(F.size("ws") >= 3)
+            .select(F.col(id_col),
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - 3),
+                        lambda i: F.struct(
+                            F.get("ws", i).alias("w1"),
+                            F.get("ws", i + 1).alias("w2"),
+                            F.get("ws", i + 2).alias("w3")))).alias("t"))
+            .select(id_col, F.col("t.w1").alias("w1"),
+                    F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3")))
+    c123 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
+    ctx12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"),
+                                         F.count("*").alias("n12f"))
+    cont23 = c123.groupBy("w2", "w3").agg(F.count("*").alias("c23c"))
+    ctx2 = cont23.groupBy("w2").agg(F.sum("c23c").alias("c2dot"),
+                                    F.count("*").alias("n2f"))
+    cw3 = cont23.groupBy("w3").agg(F.count("*").alias("n3b"))
+    tt = cont23.agg(F.count("*").alias("t"))
+    d = F.lit(discount)
+    c12d = F.col("c12").cast("double")
+    c2dotd = F.col("c2dot").cast("double")
+    p2 = (F.greatest(F.col("c23c").cast("double") - d, F.lit(0.0)) / c2dotd
+          + (d * F.col("n2f").cast("double") / c2dotd)
+            * (F.col("n3b").cast("double") / F.col("t").cast("double")))
+    p = (F.greatest(F.col("c123").cast("double") - d, F.lit(0.0)) / c12d
+         + (d * F.col("n12f").cast("double") / c12d) * p2)
+    sc = (tg.join(c123, ["w1", "w2", "w3"]).join(ctx12, ["w1", "w2"])
+            .join(cont23, ["w2", "w3"]).join(ctx2, "w2").join(cw3, "w3")
+            .join(F.broadcast(tt), F.lit(True))
+            .select(F.col(id_col),
+                    F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                     .cast("long").alias("s6")))
+    agg = sc.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
+            .alias("surprisal"))
+    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("n_trigrams", F.lit(0))
+                         .alias("n_trigrams"),
+                        F.coalesce("surprisal", F.lit(0.0))
+                         .alias("surprisal")))

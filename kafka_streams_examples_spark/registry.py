@@ -5684,3 +5684,61 @@ def q_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_kn_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     return TX.kn_surprisal(table(spark, sf, "documents"))
+
+
+@query(
+    "kn3_surprisal",
+    r"""WITH tk AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents),
+    tg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+           FROM tk, unnest(generate_series(1, len(ws) - 2)) AS u(i)
+           WHERE len(ws) >= 3),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tg GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, sum(c123) AS c12, count(*) AS n12f
+              FROM c123 GROUP BY 1, 2),
+    cont23 AS (SELECT w2, w3, count(*) AS c23c FROM c123 GROUP BY 1, 2),
+    ctx2 AS (SELECT w2, sum(c23c) AS c2dot, count(*) AS n2f
+             FROM cont23 GROUP BY 1),
+    cw3 AS (SELECT w3, count(*) AS n3b FROM cont23 GROUP BY 1),
+    tt AS (SELECT count(*) AS t FROM cont23),
+    sc AS (SELECT tg.doc_id,
+        CAST(floor(-ln(
+            greatest(CAST(c123.c123 AS DOUBLE) - 0.75, 0.0)
+              / CAST(ctx12.c12 AS DOUBLE)
+            + (0.75 * CAST(ctx12.n12f AS DOUBLE)
+               / CAST(ctx12.c12 AS DOUBLE))
+              * (greatest(CAST(cont23.c23c AS DOUBLE) - 0.75, 0.0)
+                   / CAST(ctx2.c2dot AS DOUBLE)
+                 + (0.75 * CAST(ctx2.n2f AS DOUBLE)
+                    / CAST(ctx2.c2dot AS DOUBLE))
+                   * (CAST(cw3.n3b AS DOUBLE) / CAST(tt.t AS DOUBLE))))
+            * 1e6 + 0.5) AS BIGINT) AS s6
+      FROM tg JOIN c123 USING (w1, w2, w3)
+      JOIN ctx12 ON ctx12.w1 = tg.w1 AND ctx12.w2 = tg.w2
+      JOIN cont23 ON cont23.w2 = tg.w2 AND cont23.w3 = tg.w3
+      JOIN ctx2 ON ctx2.w2 = tg.w2
+      JOIN cw3 ON cw3.w3 = tg.w3
+      CROSS JOIN tt),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        floor(CAST(sum(s6) AS DOUBLE) / (count(*) * 1e6) * 1e4 + 0.5) / 1e4
+          AS surprisal
+      FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+           coalesce(a.surprisal, 0.0) AS surprisal
+    FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "Interpolated Kneser-Ney TRIGRAM surprisal — the KenLM-order step "
+    "above kn_surprisal (CCNet's production filter is a 5-gram KN "
+    "model; order 3 exercises the full RECURSIVE continuation backoff "
+    "that higher orders only repeat): p(w3|w1w2) = max(c123-d,0)/c12 + "
+    "(d*N1+(w1w2,.)/c12) * p_kn(w3|w2), where the lower order runs on "
+    "Chen-Goodman continuation counts derived from the trigram TYPE "
+    "table (bounded by observed trigram TYPES — corpus-linear, never "
+    "vocabulary-cubed). Same linear plan one order up: trigram counts "
+    "shuffle on (w1,w2,w3); four aggregations OF the type table; "
+    "keyed-join probes; T a 1-row broadcast; micro-nat integer "
+    "quantization before the order-exact per-doc mean; <3-token "
+    "documents report (0, 0.0) (operators/text.py:kn3_surprisal).",
+)
+def q_kn3_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.kn3_surprisal(table(spark, sf, "documents"))

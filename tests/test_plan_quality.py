@@ -116,6 +116,8 @@ BNLJ_BY_DESIGN = {
     # the 1-row bigram-type-count broadcast in the continuation term
     # (the unigram_surprisal corpus-total shape)
     "kn_surprisal",
+    # the same 1-row type-count broadcast, one order up
+    "kn3_surprisal",
     # join-fallback encode paths: the BOUNDED 1-row codec (merge array /
     # piece map / scalar prior) still attaches by broadcast onto the
     # vocabulary-scale word table — the unbounded per-word/weight table

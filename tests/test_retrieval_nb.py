@@ -536,3 +536,67 @@ def test_apply_nb_table_equals_broadcast_byte_for_byte(spark):
     a2 = sorted(map(tuple, T.score_nb(
         docs, w, p, strategy="auto", feature_limit=10**9).collect()))
     assert a1 == b and a2 == b
+
+
+def test_kn3_surprisal_matches_python_replica(spark):
+    import math
+    from collections import Counter
+    from kafka_streams_examples_spark.operators.text import kn3_surprisal
+
+    rows = [(0, "aa bb cc aa bb cc dd"), (1, "aa bb cc"), (2, "xx yy"),
+            (3, "one"), (4, ""), (5, "cc dd ee cc dd ee")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_trigrams, r.surprisal)
+           for r in kn3_surprisal(docs).collect()}
+
+    tgs, c123 = {}, Counter()
+    for d, t in rows:
+        ws = t.split()
+        tgs[d] = list(zip(ws, ws[1:], ws[2:]))
+        c123.update(tgs[d])
+    c12, n12f, cont23 = Counter(), Counter(), Counter()
+    for (w1, w2, w3), c in c123.items():
+        c12[(w1, w2)] += c
+        n12f[(w1, w2)] += 1
+        cont23[(w2, w3)] += 1          # distinct-w1 types per (w2,w3)
+    c2dot, n2f, n3b = Counter(), Counter(), Counter()
+    for (w2, w3), c in cont23.items():
+        c2dot[w2] += c
+        n2f[w2] += 1
+        n3b[w3] += 1
+    t = len(cont23)
+    d_ = 0.75
+    for d, _ in rows:
+        if not tgs[d]:
+            assert got[d] == (0, 0.0)
+            continue
+        s6 = 0
+        for (w1, w2, w3) in tgs[d]:
+            p2 = (max(cont23[(w2, w3)] - d_, 0.0) / c2dot[w2]
+                  + (d_ * n2f[w2] / c2dot[w2]) * (n3b[w3] / t))
+            p = (max(c123[(w1, w2, w3)] - d_, 0.0) / c12[(w1, w2)]
+                 + (d_ * n12f[(w1, w2)] / c12[(w1, w2)]) * p2)
+            s6 += math.floor(-math.log(p) * 1e6 + 0.5)
+        exp = math.floor(s6 / (len(tgs[d]) * 1e6) * 1e4 + 0.5) / 1e4
+        assert got[d] == (len(tgs[d]), exp), d
+
+
+def test_kn3_continuation_ranks_burst_above_diverse(spark):
+    """The order-3 version of the KN property: the trigram-tail bigram
+    'big apple' occurs MANY times but only ever after 'the' (one
+    history), while 'nice house' has the same total count spread over
+    many histories. In a NOVEL context, the recursive continuation
+    backoff makes the bursty tail the surprise even though raw counts
+    are equal."""
+    from kafka_streams_examples_spark.operators.text import kn3_surprisal
+    burst = " ".join(["the big apple"] * 6)      # (big,apple): 1 history
+    diverse = " ".join(f"{h} nice house" for h in "abcdef")
+    docs = spark.createDataFrame(
+        [(0, burst), (1, diverse),
+         (2, "zz big apple zz nice house zz big apple zz nice house")],
+        ["doc_id", "text"])
+    probes = spark.createDataFrame(
+        [(10, "zz big apple"), (11, "zz nice house")], ["doc_id", "text"])
+    scored = {r.doc_id: r.surprisal
+              for r in kn3_surprisal(docs.union(probes)).collect()}
+    assert scored[10] > scored[11]
