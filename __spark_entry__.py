@@ -63,10 +63,12 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 8 for n in _R08},
 # nb_quality refactor through _nb_base_tk) sits under the four encode/
 # score queries; outputs are crossover-pinned unchanged but the shared
 # code moved, so they front the window.
+# gopher_rules grew keep_text/min_stopwords plumbing (defaults
+# unchanged) for the composed ingest chain.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate",
     "bpe_encode", "pack_sequences_bpe", "unigram_encode",
-    "nb_quality_filter")
+    "nb_quality_filter", "gopher_rules")
 
 
 def _ordered_names() -> list[str]:

@@ -590,7 +590,9 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def gopher_rules(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", words_per_line: int = 12,
-                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+                 min_words: int = 50, max_words: int = 100_000,
+                 keep_text: bool = False,
+                 min_stopwords: int = 2) -> DataFrame:
     """Gopher quality-filter rule battery (Rae et al. 2021, A1.1) — the
     published heuristic gate every large text-corpus build runs before
     dedup: word-count bounds, mean-word-length bounds, symbol-to-word
@@ -646,8 +648,12 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     sw_hits = F.size(F.array_intersect(
         F.array_distinct(F.col("__ws")),
         F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).cast("long")
+    # keep_text threads the raw text through for the chained ingest
+    # pipeline (ingest_chain), which gates and THEN transforms the same
+    # row — a stream cannot re-join its own verdicts
+    carry = [F.col(text_col)] if keep_text else []
     d = d.select(
-        F.col(id_col), F.col("n_words"),
+        F.col(id_col), *carry, F.col("n_words"),
         stable_round(mean_word_len, 4).alias("mean_word_len"),
         stable_round(frac_alpha, 4).alias("frac_alpha_words"),
         stable_round(per_word(symbols), 4).alias("symbol_ratio"),
@@ -669,7 +675,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         "rule_bullets": F.col("frac_bullet_lines") <= 0.9,
         "rule_ellipsis": F.col("frac_ellipsis_lines") <= 0.3,
         "rule_alpha": F.col("frac_alpha_words") >= 0.8,
-        "rule_stopwords": F.col("stopword_hits") >= 2,
+        "rule_stopwords": F.col("stopword_hits") >= min_stopwords,
     }
     for name, expr in rules.items():
         d = d.withColumn(name, expr)
@@ -692,6 +698,28 @@ def derived_lines(ws: Column, words_per_line: int = 12) -> Column:
     return F.transform(
         F.sequence(F.lit(0), n_lines - 1),
         lambda i: F.concat_ws(" ", F.slice(ws, i * wpl + 1, wpl)))
+
+
+def apply_line_filter_chained(docs: DataFrame, codec: DataFrame,
+                              words_per_line: int = 12,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """:func:`apply_line_filter` as a CHAINABLE transform: (n_lines,
+    n_kept, clean_text) APPENDED to the input row instead of selected
+    out, so the ingest chain threads upstream flags through without a
+    self-join. Filter expressions shared with apply_line_filter
+    verbatim."""
+    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                  lambda x: x != "")
+    d = (docs.join(F.broadcast(codec), F.lit(True), "left")
+             .withColumn("__lines", derived_lines(ws, words_per_line)))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda l: F.element_at(F.col("__bl"), md5_hash64(l)).isNull())
+    return (d.withColumn("n_lines", F.size("__lines").cast("long"))
+             .withColumn("n_kept", F.size(kept).cast("long"))
+             .withColumn("clean_text", F.array_join(kept, "\n"))
+             .drop("__bl", "__lines"))
 
 
 def line_dedup(docs: DataFrame, min_docs: int = 2,
@@ -918,10 +946,23 @@ def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
     so it runs unmodified on a streaming DataFrame (stateless append).
     Out-of-model bigrams contribute 0, <2-token documents score the
     prior — the nb_quality contracts."""
+    return (apply_nb_chained(docs.select(F.col(id_col), F.col(text_col)),
+                             model, text_col, id_col)
+            .select(F.col(id_col), "score", "pred_target"))
+
+
+def apply_nb_chained(docs: DataFrame, model: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """:func:`apply_nb` as a CHAINABLE transform: same scoring columns
+    (score, pred_target) APPENDED to the input row instead of selected
+    out — so a multi-gate ingest pipeline can thread upstream flags
+    through without a self-join (streams cannot re-join themselves).
+    The single source of the scoring expressions (apply_nb delegates
+    here)."""
     ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                   lambda x: x != "")
-    d = (docs.select(F.col(id_col), F.col(text_col))
-             .join(F.broadcast(model), F.lit(True), "left")
+    d = (docs.join(F.broadcast(model), F.lit(True), "left")
              .withColumn("__ws", ws))
     grams = F.when(F.size("__ws") >= 2, word_shingles(F.col("__ws"), 2)) \
              .otherwise(F.array().cast("array<string>"))
@@ -930,11 +971,11 @@ def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
                         lambda acc, g: acc + F.coalesce(
                             F.element_at(F.col("__w"), g),
                             F.lit(0).cast("long"))))
-    return d.select(
-        F.col(id_col),
-        (F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
-                 + F.lit(0.5)) / F.lit(1e4)).alias("score"),
-        (s6 > 0).alias("pred_target"))
+    return (d.withColumn("score",
+                         F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
+                                 + F.lit(0.5)) / F.lit(1e4))
+             .withColumn("pred_target", s6 > 0)
+             .drop("__w", "p6", "__ws"))
 
 
 def apply_nb_table(docs: DataFrame, weights: DataFrame, pri: DataFrame,
@@ -1027,20 +1068,14 @@ def apply_line_filter(docs: DataFrame, codec: DataFrame,
     order for free, and there are zero joins and zero shuffles — so
     the identical expressions run unmodified on a streaming DataFrame
     (streaming/pipelines.py:streaming_line_filter, the ingest-time
-    RefinedWeb boilerplate cut)."""
-    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                  lambda x: x != "")
-    d = (docs.select(F.col(id_col), F.col(text_col))
-             .join(F.broadcast(codec), F.lit(True), "left")
-             .withColumn("__lines", derived_lines(ws, words_per_line)))
-    kept = F.filter(
-        F.col("__lines"),
-        lambda l: F.element_at(F.col("__bl"), md5_hash64(l)).isNull())
-    return d.select(
-        F.col(id_col).alias("doc_id"),
-        F.size("__lines").cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.array_join(kept, "\n").alias("clean_text"))
+    RefinedWeb boilerplate cut). Expressions single-sourced in
+    :func:`apply_line_filter_chained` (this form selects the
+    line_dedup contract columns out)."""
+    return (apply_line_filter_chained(
+                docs.select(F.col(id_col), F.col(text_col)),
+                codec, words_per_line, text_col, id_col)
+            .select(F.col(id_col).alias("doc_id"),
+                    "n_lines", "n_kept", "clean_text"))
 
 
 def corpus_report(docs: DataFrame, min_words: int = 50,
@@ -1257,3 +1292,93 @@ def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
                          .alias("n_trigrams"),
                         F.coalesce("surprisal", F.lit(0.0))
                          .alias("surprisal")))
+
+
+def ingest_chain(docs: DataFrame, boiler: DataFrame, model: DataFrame,
+                 words_per_line: int = 12, text_col: str = "text",
+                 id_col: str = "doc_id", min_words: int = 25,
+                 min_stopwords: int = 1) -> DataFrame:
+    """The composed stateless half of the ingest path — arrive ->
+    Gopher gate -> boilerplate line filter -> NB quality filter — as
+    ONE chained scan over each document: per doc (id, g_gopher,
+    n_lines, n_kept, clean_text, score, pred_target), where the NB
+    score is computed over the CLEANED text (documents are scored as
+    they would be stored). Every stage is pure Column expressions over
+    broadcast-static artifacts (:func:`gopher_rules` threads the text
+    through; the ``_chained`` forms of the line filter and NB append
+    their columns instead of selecting them out), so there are ZERO
+    self-joins and zero shuffles and the identical chain runs
+    unmodified on a streaming DataFrame
+    (streaming/pipelines.py:streaming_ingest_funnel)."""
+    g = (gopher_rules(docs, text_col, id_col, words_per_line,
+                      min_words=min_words, keep_text=True,
+                      min_stopwords=min_stopwords)
+         .select(F.col(id_col), F.col(text_col),
+                 F.col("kept").alias("g_gopher")))
+    lf = apply_line_filter_chained(g, boiler, words_per_line,
+                                   text_col, id_col)
+    nb = apply_nb_chained(lf.drop(text_col), model,
+                          text_col="clean_text", id_col=id_col)
+    return nb.select(F.col(id_col), "g_gopher", "n_lines", "n_kept",
+                     "clean_text", "score", "pred_target")
+
+
+def ingest_gate_flags(arriving: DataFrame, existing: DataFrame,
+                      tau: float = 3.0, words_per_line: int = 12,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-arriving-document verdicts of the FULL ingest path: the
+    stateless :func:`ingest_chain` (gopher -> line filter -> NB, all
+    artifacts trained offline on the EXISTING corpus) plus the BM25
+    admission gate (the cleaned document probes a
+    :func:`operators.retrieval.bm25_gate_index` built on the existing
+    corpus; one lexical hit at score >= tau rejects — the
+    dedup/decontamination trigger). Output per doc: (id, g_gopher,
+    g_line, g_nb, g_admit) — each gate independent of the cascade
+    (pure per-doc functions of fixed offline artifacts), so the funnel
+    aggregation composes them in order without re-running anything.
+
+    The admission anti-join runs batch-side: a stream cannot anti-join
+    its own derived hit stream, so the streaming form emits hit events
+    alongside the chain (streaming_ingest_funnel) and the store-side
+    batch does this set difference — exactly this function's shape."""
+    from .retrieval import bm25_gate, bm25_gate_index
+    boiler = boiler_codec(existing, words_per_line=words_per_line,
+                          text_col=text_col, id_col=id_col)
+    model = nb_model(existing, text_col=text_col, id_col=id_col)
+    chain = ingest_chain(arriving, boiler, model, words_per_line,
+                         text_col, id_col)
+    index = bm25_gate_index(existing, text_col=text_col, id_col=id_col)
+    hits = (bm25_gate(chain.select(F.col(id_col), "clean_text"), index,
+                      tau, text_col="clean_text", id_col=id_col)
+            .select(F.col("new_id").alias(id_col)).distinct()
+            .withColumn("__hit", F.lit(True)))
+    return (chain.join(hits, id_col, "left")
+                 .select(F.col(id_col),
+                         "g_gopher",
+                         (F.col("n_kept") > 0).alias("g_line"),
+                         F.col("pred_target").alias("g_nb"),
+                         F.col("__hit").isNull().alias("g_admit")))
+
+
+def ingest_funnel(arriving: DataFrame, existing: DataFrame,
+                  tau: float = 3.0, words_per_line: int = 12,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The ingest-path yield report (the pipeline_funnel counting shape
+    over the COMPOSED gates): survivor counts through arrive ->
+    gopher -> line filter (document not reduced to nothing) -> NB
+    filter -> BM25 admission, as one conditional aggregate over
+    :func:`ingest_gate_flags`. The first row a 100 TB ingest
+    deployment reads after every batch window."""
+    f = ingest_gate_flags(arriving, existing, tau, words_per_line,
+                          text_col, id_col)
+    c = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)) \
+        .cast("long").alias(name)
+    g, l = F.col("g_gopher"), F.col("g_line")
+    n, a = F.col("g_nb"), F.col("g_admit")
+    return f.agg(F.count("*").cast("long").alias("n_arrived"),
+                 c(g, "n_gopher"),
+                 c(g & l, "n_line"),
+                 c(g & l & n, "n_nb"),
+                 c(g & l & n & a, "n_admitted"))

@@ -5572,6 +5572,176 @@ def q_bm25_gate(spark: SparkSession, sf: str) -> DataFrame:
                          RET.bm25_gate_index(docs), tau=3.0)
 
 
+def _ingest_funnel_sql() -> str:
+    """The composed ingest-path oracle: the (patched) gopher battery as
+    a subquery over arriving docs, plus fresh CTEs for the three
+    offline artifacts trained on the EXISTING corpus (boilerplate line
+    set, NB model, pruned BM25 gate index) applied to the arriving
+    batch's CLEANED text — mirroring operators/text.py:ingest_funnel
+    stage for stage."""
+    gop = oracle_patch(
+        oracle_patch(QUERIES["gopher_rules"].oracle,
+                     "n_words BETWEEN 50 AND 100000",
+                     "n_words BETWEEN 25 AND 100000"),
+        "stopword_hits >= 2", "stopword_hits >= 1")
+    return r"""WITH gop AS (SELECT doc_id, kept AS g_gopher
+               FROM (""" + gop + r""") gq WHERE doc_id % 10 = 7),
+    -- boilerplate line set from the EXISTING corpus (boiler_codec)
+    ext AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents WHERE doc_id % 10 <> 7),
+    exl AS (SELECT doc_id,
+        coalesce(array_to_string(ws[(i*12+1):(i*12+12)], ' '), '') AS line
+      FROM ext, unnest(generate_series(0,
+            CAST(greatest(ceil(len(ws) / 12.0), 1) AS BIGINT) - 1)) AS u(i)),
+    bl AS (SELECT CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS h
+           FROM exl GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    -- line filter applied to the ARRIVING batch (apply_line_filter)
+    art AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents WHERE doc_id % 10 = 7),
+    arl AS (SELECT doc_id, i AS idx,
+        coalesce(array_to_string(ws[(i*12+1):(i*12+12)], ' '), '') AS line
+      FROM art, unnest(generate_series(0,
+            CAST(greatest(ceil(len(ws) / 12.0), 1) AS BIGINT) - 1)) AS u(i)),
+    arf AS (SELECT arl.doc_id, arl.idx, arl.line,
+              (bl.h IS NULL) AS keep
+            FROM arl LEFT JOIN bl
+              ON bl.h = CAST('0x' || substr(md5(arl.line), 1, 15) AS BIGINT)),
+    lfa AS (SELECT doc_id,
+              sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+              coalesce(string_agg(line, chr(10) ORDER BY idx)
+                         FILTER (WHERE keep), '') AS clean_text
+            FROM arf GROUP BY doc_id),
+    -- NB model trained on the EXISTING corpus (nb_model)
+    tnb AS (SELECT doc_id,
+        (doc_id % 5) <> 0 AS is_train,
+        source IN ('src0','src1','src2','src3','src4') AS is_target,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+          AS ws FROM documents WHERE doc_id % 10 <> 7),
+    bge AS (SELECT doc_id, is_train, is_target, ws[i] || ' ' || ws[i+1]
+              AS word
+            FROM tnb, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2),
+    cw AS (SELECT word,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c0
+           FROM bge WHERE is_train GROUP BY word),
+    gl AS (SELECT sum(c1) AS tot1, sum(c0) AS tot0, count(*) AS v FROM cw),
+    nd AS (SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS n0
+           FROM tnb WHERE is_train),
+    wt AS (SELECT word,
+             CASE WHEN nd.n1 > 0 AND nd.n0 > 0 THEN
+               CAST(floor(ln((CAST(c1 + 1 AS DOUBLE) * CAST(tot0 + v AS DOUBLE))
+                           / (CAST(c0 + 1 AS DOUBLE) * CAST(tot1 + v AS DOUBLE)))
+                    * 1e6 + 0.5) AS BIGINT)
+             ELSE 0 END AS w6
+           FROM cw CROSS JOIN gl CROSS JOIN nd),
+    pri AS (SELECT CASE WHEN n1 > 0 AND n0 > 0 THEN
+              CAST(floor(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6
+                         + 0.5) AS BIGINT)
+            ELSE 0 END AS p6 FROM nd),
+    -- NB scoring over the arriving batch's CLEANED text (apply_nb)
+    aws AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(clean_text), '\s+'),
+                    x -> x <> '') AS ws FROM lfa),
+    abg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS word
+            FROM aws, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+            WHERE len(ws) >= 2),
+    ads AS (SELECT abg.doc_id, sum(coalesce(wt.w6, 0)) AS sw
+            FROM abg LEFT JOIN wt USING (word) GROUP BY abg.doc_id),
+    anb AS (SELECT aws.doc_id,
+              (coalesce(ads.sw, 0) + pri.p6 > 0) AS g_nb
+            FROM aws LEFT JOIN ads USING (doc_id) CROSS JOIN pri),
+    -- pruned BM25 gate index over the EXISTING corpus (bm25_gate_index)
+    etk AS (SELECT doc_id, word
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                    '\s+')) AS word
+                  FROM documents WHERE doc_id % 10 <> 7)
+            WHERE word <> ''),
+    etf AS (SELECT doc_id, word, count(*) AS tf FROM etk
+            GROUP BY doc_id, word),
+    edl AS (SELECT doc_id, sum(tf) AS dl FROM etf GROUP BY doc_id),
+    est AS (SELECT count(*) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM edl),
+    edf AS (SELECT word, count(*) AS df FROM etf GROUP BY word),
+    eidf AS (SELECT word,
+        CAST(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) * 1e6 + 0.5)
+             AS BIGINT) AS idf6,
+        avgdl FROM edf CROSS JOIN est),
+    epost AS (SELECT etf.word, etf.doc_id, etf.tf,
+        CAST(floor(CAST(eidf.idf6 AS DOUBLE)
+            * (CAST(etf.tf AS DOUBLE) * 2.2
+               / (CAST(etf.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * (CAST(edl.dl AS DOUBLE)
+                                          / eidf.avgdl))))
+            + 0.5) AS BIGINT) AS w6
+      FROM etf JOIN edl USING (doc_id) JOIN eidf USING (word)),
+    ere AS (SELECT greatest(CAST(32 AS BIGINT),
+              CAST(ceil(CAST(count(DISTINCT doc_id) AS DOUBLE) / 5.0)
+                   AS BIGINT)) AS r_eff FROM epost),
+    epn AS (SELECT word, doc_id,
+              row_number() OVER (PARTITION BY word ORDER BY w6 DESC, doc_id)
+                AS rn
+            FROM epost),
+    epr AS (SELECT word, doc_id FROM epn CROSS JOIN ere WHERE rn <= r_eff),
+    -- the arriving batch probes the gate with its cleaned distinct terms
+    aqt AS (SELECT DISTINCT new_id, word FROM
+              (SELECT doc_id AS new_id, unnest(ws) AS word FROM aws)),
+    ahit AS (SELECT aqt.new_id
+             FROM aqt JOIN epr ON epr.word = aqt.word
+             JOIN epost ON epost.word = epr.word
+               AND epost.doc_id = epr.doc_id
+             WHERE epr.doc_id <> aqt.new_id
+             GROUP BY aqt.new_id, epr.doc_id
+             HAVING sum(epost.w6) >= 4500000),
+    adm AS (SELECT DISTINCT new_id AS doc_id FROM ahit),
+    fl AS (SELECT g.doc_id, g.g_gopher,
+             (lfa.n_kept > 0) AS g_line, anb.g_nb,
+             (adm.doc_id IS NULL) AS g_admit
+           FROM gop g JOIN lfa USING (doc_id) JOIN anb USING (doc_id)
+           LEFT JOIN adm USING (doc_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_arrived,
+      CAST(sum(CASE WHEN g_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+      CAST(sum(CASE WHEN g_gopher AND g_line THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_line,
+      CAST(sum(CASE WHEN g_gopher AND g_line AND g_nb THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_nb,
+      CAST(sum(CASE WHEN g_gopher AND g_line AND g_nb AND g_admit
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+    FROM fl"""
+
+
+@query(
+    "ingest_funnel",
+    _ingest_funnel_sql(),
+    "The COMPOSED ingest path as one yield funnel (the pipeline_funnel "
+    "counting shape over the audited gates): an arriving batch "
+    "(doc_id % 10 = 7) flows arrive -> Gopher battery -> boilerplate "
+    "line filter -> NB quality filter (scored on the CLEANED text) -> "
+    "BM25 lexical admission, with every offline artifact (boiler line "
+    "set, NB model, pruned gate index) trained on the EXISTING corpus "
+    "only. Spark side: ONE stateless chained scan for the first three "
+    "gates (gopher threads text through; the _chained forms append "
+    "their columns — zero self-joins, so the identical chain runs on "
+    "the ingest stream, streaming/pipelines.py:streaming_ingest_funnel) "
+    "plus the gate probe and a batch-side admission anti-join. "
+    "Thresholds fixture-adapted and documented (min_words 25, "
+    "min_stopwords 1 — the corpus carries one Gopher stopword; tau "
+    "4.5 sits inside the observed hit-score range so both admission "
+    "edges are exercised). Survivor counts per stage in cascade order "
+    "(operators/text.py:ingest_funnel).",
+)
+def q_ingest_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return TX.ingest_funnel(docs.filter(F.col("doc_id") % 10 == 7),
+                            docs.filter(F.col("doc_id") % 10 != 7),
+                            tau=4.5)
+
+
 @query(
     "corpus_report",
     r"""WITH base AS (SELECT doc_id, lang, source,

@@ -295,3 +295,52 @@ def streaming_line_filter(docs: DataFrame, codec: DataFrame) -> DataFrame:
     from ..operators.text import apply_line_filter
 
     return apply_line_filter(docs, codec)
+
+
+def streaming_ingest_funnel(docs: DataFrame, boiler: DataFrame,
+                            model: DataFrame, index: DataFrame,
+                            tau: float = 4.5, words_per_line: int = 12,
+                            min_words: int = 25,
+                            min_stopwords: int = 1) -> DataFrame:
+    """The FULL ingest path composed as ONE streaming pipeline: arrive
+    -> Gopher battery -> boilerplate line filter -> NB filter (scored
+    on the cleaned text) -> BM25 admission probe -> store. The first
+    three gates are ``operators.text.ingest_chain`` — one stateless
+    chained scan (gopher threads the text through; the ``_chained``
+    line/NB forms append their columns), all artifacts static 1-row
+    broadcasts. The admission stage is the stateless
+    ``operators.retrieval.bm25_gate`` probe over the SAME chained
+    stream's cleaned text (stream-static word join, exactly-once per
+    pair via the first-shared-word trick).
+
+    Output is one append stream with two row kinds: ``kind='doc'`` —
+    exactly one row per arriving document carrying its chain verdicts
+    (g_gopher, g_line, g_nb) — and ``kind='hit'`` — one row per
+    (document, indexed-candidate) lexical hit at score >= tau. The
+    store-side batch consumes docs MINUS hit doc_ids (a stream cannot
+    anti-join its own derived hit stream; the set difference is the
+    sink's job — exactly the shape ``operators.text.ingest_gate_flags``
+    runs in batch, and what the funnel oracle counts).
+    Batch-equality of both row kinds is pinned by
+    tests/test_streaming.py::test_streaming_ingest_funnel_equals_batch.
+    """
+    from ..operators.retrieval import bm25_gate
+    from ..operators.text import ingest_chain
+
+    chain = ingest_chain(docs, boiler, model, words_per_line,
+                         min_words=min_words, min_stopwords=min_stopwords)
+    flags = chain.select(
+        F.col("doc_id"), F.lit("doc").alias("kind"),
+        "g_gopher", (F.col("n_kept") > 0).alias("g_line"),
+        F.col("pred_target").alias("g_nb"),
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("double").alias("score"))
+    hits = (bm25_gate(chain.select("doc_id", "clean_text"), index, tau,
+                      text_col="clean_text")
+            .select(F.col("new_id").alias("doc_id"),
+                    F.lit("hit").alias("kind"),
+                    F.lit(None).cast("boolean").alias("g_gopher"),
+                    F.lit(None).cast("boolean").alias("g_line"),
+                    F.lit(None).cast("boolean").alias("g_nb"),
+                    F.col("c_id"), F.col("score")))
+    return flags.unionByName(hits)

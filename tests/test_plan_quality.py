@@ -126,6 +126,10 @@ BNLJ_BY_DESIGN = {
     "bpe_encode_join",
     "unigram_encode_join",
     "nb_filter_join",
+    # composed ingest path: the boiler/NB 1-row codecs broadcast onto
+    # the arriving scan (the apply_line_filter/apply_nb shapes) plus
+    # bm25_gate's allowlisted stats/r_eff broadcasts
+    "ingest_funnel",
 }
 # semantic_dedup embeds the kmeans assignment step, but its training
 # branch is materialized (localCheckpoint) before the CC loop runs, so

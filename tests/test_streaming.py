@@ -881,3 +881,59 @@ def test_streaming_line_filter_equals_batch(spark, sf_dir):
     q.stop()
     want = {tuple(r) for r in line_dedup(docs).collect()}
     assert got == want and got
+
+
+def test_streaming_ingest_funnel_equals_batch(spark, sf_dir):
+    """The COMPOSED ingest path on the stream must reproduce the batch
+    composition row-for-row on both of its surfaces: the per-document
+    chain verdicts (kind='doc' rows == ingest_gate_flags' first three
+    gates) and the admission hits (kind='hit' rows == the batch
+    bm25_gate probe over the same cleaned text) — and the sink-side
+    set difference must land exactly on ingest_gate_flags.g_admit."""
+    from pyspark.sql import functions as F
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.retrieval import (
+        bm25_gate, bm25_gate_index,
+    )
+    from kafka_streams_examples_spark.operators.text import (
+        boiler_codec, ingest_chain, ingest_gate_flags, nb_model,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_ingest_funnel,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    arriving = docs.filter(F.col("doc_id") % 10 == 7)
+    existing = docs.filter(F.col("doc_id") % 10 != 7)
+    boiler = boiler_codec(existing)
+    model = nb_model(existing)
+    index = bm25_gate_index(existing)
+
+    stream = stream_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 10 == 7)
+    out = streaming_ingest_funnel(stream, boiler, model, index, tau=4.5)
+    name, q = run_to_memory(out, mode="append")
+    rows = spark.table(name).collect()
+    q.stop()
+    got_docs = {(r.doc_id, r.g_gopher, r.g_line, r.g_nb)
+                for r in rows if r.kind == "doc"}
+    got_hits = {(r.doc_id, r.c_id, r.score)
+                for r in rows if r.kind == "hit"}
+
+    flags = {(r.doc_id, r.g_gopher, r.g_line, r.g_nb, r.g_admit)
+             for r in ingest_gate_flags(arriving, existing, tau=4.5)
+                 .collect()}
+    assert got_docs == {(d, g, l, n) for d, g, l, n, _ in flags}
+    chain = ingest_chain(arriving, boiler, model)
+    want_hits = {(r.new_id, r.c_id, r.score)
+                 for r in bm25_gate(chain.select("doc_id", "clean_text"),
+                                    index, 4.5,
+                                    text_col="clean_text").collect()}
+    assert got_hits == want_hits and got_hits
+    # the sink-side set difference IS the admission flag
+    hit_ids = {d for d, _, _ in got_hits}
+    assert {(d, d not in hit_ids) for d, *_ in flags} == \
+        {(d, a) for d, _, _, _, a in flags}

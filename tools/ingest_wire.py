@@ -1,0 +1,99 @@
+"""One-session wire measurement of the COMPOSED ingest funnel vs its
+single gates (VERDICT r11 item 6's done-clause): every pipeline timed
+min-of-2 in the SAME session (stream_ab's warmth rule — isolated
+streaming numbers are only comparable within one session's sweep),
+artifacts built and materialized before timing, work unit = one
+arriving document. Writes INGESTWIRE_r{N}.json.
+
+The claim this artifact grades: composed throughput within ~2x of the
+SLOWEST single gate — i.e. chaining the gates costs about one gate, not
+the sum of all of them, because the first three are one fused scan.
+
+Usage: python tools/ingest_wire.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import bench
+    from pyspark.sql import functions as F
+
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.operators.retrieval import (
+        bm25_gate, bm25_gate_index,
+    )
+    from kafka_streams_examples_spark.operators.text import (
+        boiler_codec, nb_model,
+    )
+    from kafka_streams_examples_spark.session import get_spark
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_gopher_gate, streaming_ingest_funnel,
+        streaming_line_filter, streaming_nb_filter,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    bench.wait_for_idle()
+    spark = get_spark("ingest_wire", cpus=cpus, shuffle_partitions=cpus)
+
+    docs = table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 7)
+    n_arriving = docs.filter(F.col("doc_id") % 10 == 7).count()
+    # offline artifacts materialized BEFORE timing (their build is the
+    # batch pass, not probe throughput — the stream_near_dup rule)
+    boiler = boiler_codec(existing).localCheckpoint()
+    model = nb_model(existing).localCheckpoint()
+    index = bm25_gate_index(existing).localCheckpoint(eager=False)
+    index.count()
+
+    arr = lambda: stream_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") % 10 == 7)  # noqa: E731
+    cases = {
+        "gopher_only": lambda: streaming_gopher_gate(arr()),
+        "line_only": lambda: streaming_line_filter(arr(), boiler),
+        "nb_only": lambda: streaming_nb_filter(arr(), model),
+        "gate_only": lambda: bm25_gate(arr(), index, tau=4.5),
+        "composed_funnel": lambda: streaming_ingest_funnel(
+            arr(), boiler, model, index, tau=4.5),
+    }
+    results = {}
+    for name, build in cases.items():
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            _, q = run_to_memory(build(), mode="append")
+            best = min(best, time.time() - t0)
+            q.stop()
+        results[name] = {"wall_sec": round(best, 3),
+                         "rows_per_sec": round(n_arriving / best, 1),
+                         "rows_in": n_arriving}
+        print(json.dumps({"pipeline": name, **results[name]}))
+
+    slowest = max(v["wall_sec"] for k, v in results.items()
+                  if k != "composed_funnel")
+    payload = {"round": bench.round_number(), "sf_dir": sf_dir,
+               "loadavg": [round(x, 2) for x in os.getloadavg()],
+               "pipelines": results,
+               "composed_over_slowest_gate": round(
+                   results["composed_funnel"]["wall_sec"] / slowest, 2)}
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))),
+        f"INGESTWIRE_r{bench.round_number():02d}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
