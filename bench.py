@@ -140,9 +140,12 @@ HEADLINE = [
     "incremental_dedup",
     "leakage_split",
     "dedup_recall",
-    # r8 addition: the published Gopher heuristic gate (scan-speed rule
-    # battery, the pre-dedup filter of the corpus-build pipeline)
-    "gopher_rules",
+    # r12 rotation: gopher_rules (scan-speed rule battery) rotated out
+    # for ingest_funnel — the composed ingest path TIMES the identical
+    # gopher battery inside its chained scan (plus the line filter, NB
+    # scoring and the BM25 gate probe), and repetition_stats/pii_redact
+    # keep the standalone scan-battery cost shape on the wire
+    "ingest_funnel",
     # r8 addition: cluster-balanced subsampling (learned-strata quota —
     # the diversity-preserving curation shape; k-means + WindowGroupLimit)
     "cluster_sample",

@@ -82,6 +82,15 @@ CURVE = [
     # r11 late addition (KN-smoothed bigram joins, the bigram_surprisal
     # plan with two extra bigram-TYPE-table aggregations)
     "kn_surprisal",
+    # r12 additions: the join-fallback encode/score paths (the same
+    # corpus scans with the memoized word/weight table applied by a
+    # hash-partitioned equi-join instead of a broadcast map — the
+    # open-vocabulary form must scale like its broadcast twin); the
+    # trigram KN tier; maximal dup-span boundaries; the composed
+    # ingest funnel (gopher+line+NB chained scan + gate probe + anti
+    # join)
+    "bpe_encode_join", "unigram_encode_join", "nb_filter_join",
+    "kn3_surprisal", "max_dup_spans", "ingest_funnel",
 ]
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
@@ -112,7 +121,13 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "bm25_topk", "bm25_pruned", "line_dedup",
             # r11 third wave (bigram-model joins under the 10x/decade
             # vocabulary growth; the composed datasheet)
-            "nb_quality_filter", "corpus_report"]
+            "nb_quality_filter", "corpus_report",
+            # r12 additions: the join-path encodes under the new
+            # zipf-bounded fixture vocabulary (the decade where the
+            # broadcast-vs-join crossover matters); trigram KN; the
+            # composed ingest funnel
+            "bpe_encode_join", "unigram_encode_join", "nb_filter_join",
+            "kn3_surprisal", "ingest_funnel"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
