@@ -144,7 +144,7 @@ def bm25_topk(docs: DataFrame, k: int = 5, n_queries: int = 20,
 
 
 def pruned_postings(post: DataFrame, r_floor: int = 32,
-                    keep_denom: int = 5) -> DataFrame:
+                    keep_denom: int | None = 5) -> DataFrame:
     """Static impact-ordered pruning: keep the top-``r_eff`` postings
     per term by (impact desc, doc id), where r_eff comes from
     :func:`adaptive_r` over the same postings table. A vocabulary-keyed
@@ -153,13 +153,25 @@ def pruned_postings(post: DataFrame, r_floor: int = 32,
     at most r_eff * |vocabulary| rows (tiny, persistable). The single
     pruning step shared by :func:`bm25_pruned`,
     :func:`build_bm25_index` and :func:`bm25_gate_index`; all original
-    columns pass through."""
+    columns pass through.
+
+    ``keep_denom=None`` disables the adaptive fraction: the bound is
+    exactly ``r_floor``, a CORPUS-SIZE-INDEPENDENT constant (no
+    count-distinct job, no broadcast). This is the right mode for the
+    ingest ADMISSION gate, where the arriving batch scales with the
+    corpus: a fractional bound makes gate work |batch| * n/denom =
+    O(n^2) (measured: the composed funnel's sf1 step blew up 34x
+    before r12 switched the gate to the fixed bound), while retrieval
+    tiers with a BOUNDED query set keep the recall-graded adaptive
+    fraction."""
     w = Window.partitionBy("word").orderBy(F.col("w6").desc(), F.col("doc_id"))
-    return (post.withColumn("__r", F.row_number().over(w))
-                .join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
-                      F.lit(True), "left")
-                .filter(F.col("__r") <= F.col("r_eff"))
-                .drop("__r", "r_eff"))
+    ranked = post.withColumn("__r", F.row_number().over(w))
+    if keep_denom is None:
+        return ranked.filter(F.col("__r") <= r_floor).drop("__r")
+    return (ranked.join(F.broadcast(adaptive_r(post, r_floor, keep_denom)),
+                        F.lit(True), "left")
+                  .filter(F.col("__r") <= F.col("r_eff"))
+                  .drop("__r", "r_eff"))
 
 
 def adaptive_r(post: DataFrame, r_floor: int = 32,
@@ -332,14 +344,19 @@ def hybrid_rrf(dense: DataFrame, sparse: DataFrame, k: int = 5,
 # --- ingest-time retrieval gate -------------------------------------------
 
 def bm25_gate_index(docs: DataFrame, r_floor: int = 32,
-                    keep_denom: int = 5, text_col: str = "text",
+                    keep_denom: int | None = 5, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """The stream-probe form of the pruned index: (word, c_id, c_map)
     where ``c_map`` is the candidate document's word->impact map over
     its PRUNED postings. Carrying the map on every posting row trades
     index bytes for a stateless one-join probe — exactly the trade
     stream_near_dup makes carrying band/shingle arrays on index rows;
-    the map is bounded by the document's distinct terms."""
+    the map is bounded by the document's distinct terms.
+
+    When the probing batch scales WITH the corpus (the ingest funnel's
+    day-over-day batch), pass ``keep_denom=None`` so the per-term
+    candidate bound is the fixed ``r_floor`` — corpus-size-independent
+    gate work (see :func:`pruned_postings`)."""
     post = postings(docs, text_col, id_col)
     pruned = pruned_postings(post, r_floor, keep_denom) \
         .select("word", "doc_id", "w6")

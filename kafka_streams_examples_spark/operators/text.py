@@ -1348,7 +1348,12 @@ def ingest_gate_flags(arriving: DataFrame, existing: DataFrame,
     model = nb_model(existing, text_col=text_col, id_col=id_col)
     chain = ingest_chain(arriving, boiler, model, words_per_line,
                          text_col, id_col)
-    index = bm25_gate_index(existing, text_col=text_col, id_col=id_col)
+    # keep_denom=None: the arriving batch scales WITH the corpus, so
+    # the gate's per-term candidate bound must be the fixed r_floor —
+    # a fractional bound makes gate work O(n^2) (pruned_postings doc;
+    # measured 34x on the sf1 decade step before this)
+    index = bm25_gate_index(existing, r_floor=128, keep_denom=None,
+                            text_col=text_col, id_col=id_col)
     hits = (bm25_gate(chain.select(F.col(id_col), "clean_text"), index,
                       tau, text_col="clean_text", id_col=id_col)
             .select(F.col("new_id").alias(id_col)).distinct()

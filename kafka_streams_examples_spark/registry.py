@@ -5680,14 +5680,11 @@ def _ingest_funnel_sql() -> str:
                                           / eidf.avgdl))))
             + 0.5) AS BIGINT) AS w6
       FROM etf JOIN edl USING (doc_id) JOIN eidf USING (word)),
-    ere AS (SELECT greatest(CAST(32 AS BIGINT),
-              CAST(ceil(CAST(count(DISTINCT doc_id) AS DOUBLE) / 5.0)
-                   AS BIGINT)) AS r_eff FROM epost),
     epn AS (SELECT word, doc_id,
               row_number() OVER (PARTITION BY word ORDER BY w6 DESC, doc_id)
                 AS rn
             FROM epost),
-    epr AS (SELECT word, doc_id FROM epn CROSS JOIN ere WHERE rn <= r_eff),
+    epr AS (SELECT word, doc_id FROM epn WHERE rn <= 128),
     -- the arriving batch probes the gate with its cleaned distinct terms
     aqt AS (SELECT DISTINCT new_id, word FROM
               (SELECT doc_id AS new_id, unnest(ws) AS word FROM aws)),
@@ -5697,7 +5694,7 @@ def _ingest_funnel_sql() -> str:
                AND epost.doc_id = epr.doc_id
              WHERE epr.doc_id <> aqt.new_id
              GROUP BY aqt.new_id, epr.doc_id
-             HAVING sum(epost.w6) >= 4500000),
+             HAVING sum(epost.w6) >= 5500000),
     adm AS (SELECT DISTINCT new_id AS doc_id FROM ahit),
     fl AS (SELECT g.doc_id, g.g_gopher,
              (lfa.n_kept > 0) AS g_line, anb.g_nb,
@@ -5728,18 +5725,23 @@ def _ingest_funnel_sql() -> str:
     "gates (gopher threads text through; the _chained forms append "
     "their columns — zero self-joins, so the identical chain runs on "
     "the ingest stream, streaming/pipelines.py:streaming_ingest_funnel) "
-    "plus the gate probe and a batch-side admission anti-join. "
-    "Thresholds fixture-adapted and documented (min_words 25, "
-    "min_stopwords 1 — the corpus carries one Gopher stopword; tau "
-    "4.5 sits inside the observed hit-score range so both admission "
-    "edges are exercised). Survivor counts per stage in cascade order "
+    "plus the gate probe and a batch-side admission anti-join. The "
+    "gate index uses the FIXED top-128-per-term bound (keep_denom="
+    "None), not the adaptive fraction: the arriving batch scales WITH "
+    "the corpus, so a fractional bound makes gate work O(n^2) — the "
+    "sf1 decade step measured 34x before the switch, ~linear after "
+    "(operators/retrieval.py:pruned_postings). Thresholds fixture-"
+    "adapted and documented (min_words 25, min_stopwords 1 — the "
+    "corpus carries one Gopher stopword; tau 5.5 sits inside the "
+    "observed hit-score range so both admission edges are exercised). "
+    "Survivor counts per stage in cascade order "
     "(operators/text.py:ingest_funnel).",
 )
 def q_ingest_funnel(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
     return TX.ingest_funnel(docs.filter(F.col("doc_id") % 10 == 7),
                             docs.filter(F.col("doc_id") % 10 != 7),
-                            tau=4.5)
+                            tau=5.5)
 
 
 @query(

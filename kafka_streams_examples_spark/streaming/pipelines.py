@@ -299,7 +299,7 @@ def streaming_line_filter(docs: DataFrame, codec: DataFrame) -> DataFrame:
 
 def streaming_ingest_funnel(docs: DataFrame, boiler: DataFrame,
                             model: DataFrame, index: DataFrame,
-                            tau: float = 4.5, words_per_line: int = 12,
+                            tau: float = 5.5, words_per_line: int = 12,
                             min_words: int = 25,
                             min_stopwords: int = 1) -> DataFrame:
     """The FULL ingest path composed as ONE streaming pipeline: arrive

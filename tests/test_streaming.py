@@ -910,11 +910,11 @@ def test_streaming_ingest_funnel_equals_batch(spark, sf_dir):
     existing = docs.filter(F.col("doc_id") % 10 != 7)
     boiler = boiler_codec(existing)
     model = nb_model(existing)
-    index = bm25_gate_index(existing)
+    index = bm25_gate_index(existing, r_floor=128, keep_denom=None)
 
     stream = stream_table(spark, sf_dir, "documents") \
         .filter(F.col("doc_id") % 10 == 7)
-    out = streaming_ingest_funnel(stream, boiler, model, index, tau=4.5)
+    out = streaming_ingest_funnel(stream, boiler, model, index, tau=5.5)
     name, q = run_to_memory(out, mode="append")
     rows = spark.table(name).collect()
     q.stop()
@@ -924,13 +924,13 @@ def test_streaming_ingest_funnel_equals_batch(spark, sf_dir):
                 for r in rows if r.kind == "hit"}
 
     flags = {(r.doc_id, r.g_gopher, r.g_line, r.g_nb, r.g_admit)
-             for r in ingest_gate_flags(arriving, existing, tau=4.5)
+             for r in ingest_gate_flags(arriving, existing, tau=5.5)
                  .collect()}
     assert got_docs == {(d, g, l, n) for d, g, l, n, _ in flags}
     chain = ingest_chain(arriving, boiler, model)
     want_hits = {(r.new_id, r.c_id, r.score)
                  for r in bm25_gate(chain.select("doc_id", "clean_text"),
-                                    index, 4.5,
+                                    index, 5.5,
                                     text_col="clean_text").collect()}
     assert got_hits == want_hits and got_hits
     # the sink-side set difference IS the admission flag

@@ -54,7 +54,7 @@ def main() -> None:
     # batch pass, not probe throughput — the stream_near_dup rule)
     boiler = boiler_codec(existing).localCheckpoint()
     model = nb_model(existing).localCheckpoint()
-    index = bm25_gate_index(existing).localCheckpoint(eager=False)
+    index = bm25_gate_index(existing, r_floor=128, keep_denom=None).localCheckpoint(eager=False)
     index.count()
 
     arr = lambda: stream_table(spark, sf_dir, "documents") \
@@ -63,9 +63,9 @@ def main() -> None:
         "gopher_only": lambda: streaming_gopher_gate(arr()),
         "line_only": lambda: streaming_line_filter(arr(), boiler),
         "nb_only": lambda: streaming_nb_filter(arr(), model),
-        "gate_only": lambda: bm25_gate(arr(), index, tau=4.5),
+        "gate_only": lambda: bm25_gate(arr(), index, tau=5.5),
         "composed_funnel": lambda: streaming_ingest_funnel(
-            arr(), boiler, model, index, tau=4.5),
+            arr(), boiler, model, index, tau=5.5),
     }
     results = {}
     for name, build in cases.items():
