@@ -65,10 +65,12 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 8 for n in _R08},
 # code moved, so they front the window.
 # gopher_rules grew keep_text/min_stopwords plumbing (defaults
 # unchanged) for the composed ingest chain.
+# kn_surprisal's scoring was restructured (type-table enrichment +
+# single occurrence probe — output byte-identical, parity re-run).
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate",
     "bpe_encode", "pack_sequences_bpe", "unigram_encode",
-    "nb_quality_filter", "gopher_rules")
+    "nb_quality_filter", "gopher_rules", "kn_surprisal")
 
 
 def _ordered_names() -> list[str]:

@@ -1200,15 +1200,21 @@ def kn_surprisal(docs: DataFrame, discount: float = 0.75,
                     F.lit(0.0)) / c1d
          + (F.lit(discount) * F.col("n1f").cast("double") / c1d)
            * (F.col("n1b").cast("double") / F.col("t").cast("double")))
-    sc = (bg.join(c12, ["w1", "w2"]).join(ctx, "w1").join(bk, "w2")
-            .join(F.broadcast(tt), F.lit(True))
-            .select(F.col(id_col),
-                    F.floor(-F.log(p) * 1e6 + F.lit(0.5))
-                     .cast("long").alias("s6")))
-    agg = sc.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_bigrams"),
-        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
-            .alias("surprisal"))
+    # enrich the TYPE table first (all model joins bigram-type-scale),
+    # then probe it ONCE with the occurrence table — the corpus-scale
+    # side shuffles once for the join and once for the doc-keyed mean
+    # instead of once per model table; output and oracle unchanged
+    enr = (c12.join(ctx, "w1").join(bk, "w2")
+              .join(F.broadcast(tt), F.lit(True))
+              .select("w1", "w2",
+                      F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                       .cast("long").alias("s6")))
+    agg = (bg.join(enr, ["w1", "w2"])
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_bigrams"),
+                  stable_round(F.sum("s6").cast("double")
+                               / (F.count("*") * 1e6), 4)
+                   .alias("surprisal")))
     return (docs.select(F.col(id_col)).join(agg, id_col, "left")
                 .select(F.col(id_col),
                         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
@@ -1276,16 +1282,24 @@ def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
             * (F.col("n3b").cast("double") / F.col("t").cast("double")))
     p = (F.greatest(F.col("c123").cast("double") - d, F.lit(0.0)) / c12d
          + (d * F.col("n12f").cast("double") / c12d) * p2)
-    sc = (tg.join(c123, ["w1", "w2", "w3"]).join(ctx12, ["w1", "w2"])
-            .join(cont23, ["w2", "w3"]).join(ctx2, "w2").join(cw3, "w3")
-            .join(F.broadcast(tt), F.lit(True))
-            .select(F.col(id_col),
-                    F.floor(-F.log(p) * 1e6 + F.lit(0.5))
-                     .cast("long").alias("s6")))
-    agg = sc.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_trigrams"),
-        stable_round(F.sum("s6").cast("double") / (F.count("*") * 1e6), 4)
-            .alias("surprisal"))
+    # enrich the trigram TYPE table first (all five model joins run at
+    # type scale), then probe it ONCE with the occurrence table — the
+    # corpus-scale side shuffles once for the join and once for the
+    # doc-keyed mean instead of once per model table (measured: the
+    # sf10 decade row spent its 2x super-linearity re-shuffling 26M
+    # occurrence rows per probe); output and oracle are unchanged
+    enr = (c123.join(ctx12, ["w1", "w2"]).join(cont23, ["w2", "w3"])
+               .join(ctx2, "w2").join(cw3, "w3")
+               .join(F.broadcast(tt), F.lit(True))
+               .select("w1", "w2", "w3",
+                       F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                        .cast("long").alias("s6")))
+    agg = (tg.join(enr, ["w1", "w2", "w3"])
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_trigrams"),
+                  stable_round(F.sum("s6").cast("double")
+                               / (F.count("*") * 1e6), 4)
+                   .alias("surprisal")))
     return (docs.select(F.col(id_col)).join(agg, id_col, "left")
                 .select(F.col(id_col),
                         F.coalesce("n_trigrams", F.lit(0))
