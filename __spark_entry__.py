@@ -40,37 +40,30 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01..r10.json by
-# `tools/update_window.py --emit` (r11 refresh: CORRECTNESS_r10 absorbed,
-# 50/50 green; every registry query remains signed, all r7+).
-_R08 = ("epoch_mixture", "gopher_rules",)
-_R09 = ("approx_distinct", "cluster_sample", "cms_estimate", "corpus_prep", "corrupt_skip", "cube_sales", "daily_1800_nyc", "dedup_clusters", "dedup_clusters_star", "dedup_keep_best", "dedup_recall", "distinct_users", "fingerprint", "frame_sample", "incremental_dedup", "inventory_reservation", "kmeans_train", "knn_graph", "knn_hard_negatives", "knn_ivf_trained", "knn_ivfpq", "knn_multiprobe", "knn_recall", "knn_recall_clustered", "leakage_split", "media_features", "minhash_lsh_pairs", "music_charts", "ngram_jaccard", "ngram_jaccard_capped", "order_validation", "pageview_region", "pq_knn", "rollup_sales", "running_counts_trace", "salted_join_skew", "semantic_dedup", "shard_pack", "simhash", "soft_dedup", "source_overlap", "token_count", "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "vocab_stats", "winnow_fingerprints",)
+# mechanically from CORRECTNESS_r01..r12.json by
+# `tools/update_window.py --emit` (r13 refresh: CORRECTNESS_r12 absorbed,
+# 50/50 green; every registry query remains signed, all r9+ — the r13
+# window fronts the 17 r9-tier queries, VERDICT r12 item 3).
+_R09 = ("cluster_sample", "cube_sales", "daily_1800_nyc", "dedup_clusters_star", "frame_sample", "knn_ivfpq", "knn_recall", "knn_recall_clustered", "media_features", "pq_knn", "source_overlap", "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",)
 _R10 = ("anonymize_props", "asof_join", "bigram_novelty", "curriculum_order", "dedup_ttl", "doc_chunks", "exact_substring_apply", "exact_substring_dedup", "fk_chain", "global_shuffle", "having_count", "json_extract", "knn_cosine", "knn_ivf", "ktable_latest", "ktable_reagg", "merge_union", "pack_sequences", "quality_deciles", "quality_filter_median", "reduce_concat", "reservoir_per_stratum", "retention_cohorts", "semantic_prune", "session_windows", "source_mixture", "stratified_sample", "stream_stream_join", "stream_stream_outer_join", "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",)
-_R11 = ("agg_max", "anomaly_daily", "bigram_surprisal", "bm25_gate", "bm25_pruned", "bm25_recall", "bm25_topk", "bpe_encode", "bpe_fertility", "bpe_train", "branch_counts", "corpus_report", "daily_1800", "decontaminate", "dsir_resample", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup", "exact_dedup", "filter_transform", "fold_letters", "funnel_conversion", "hopping_6h", "hybrid_rrf", "incremental_knn", "kn_surprisal", "label_silhouette", "lang_id", "line_dedup", "minhash_signature", "nb_quality_filter", "pack_sequences_bpe", "pii_redact", "pipeline_funnel", "quality_score", "quantile_sketch", "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly", "unigram_encode", "unigram_lm_train", "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",)
-_SIGNED_ROUND: dict[str, int] = {**{n: 8 for n in _R08},
-                                 **{n: 9 for n in _R09},
+_R11 = ("agg_max", "anomaly_daily", "bigram_surprisal", "bm25_topk", "bpe_fertility", "bpe_train", "branch_counts", "daily_1800", "decontaminate", "dsir_resample", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup", "exact_dedup", "filter_transform", "fold_letters", "funnel_conversion", "hopping_6h", "hybrid_rrf", "incremental_knn", "label_silhouette", "lang_id", "line_dedup", "minhash_signature", "pii_redact", "pipeline_funnel", "quality_score", "quantile_sketch", "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly", "unigram_lm_train", "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",)
+_R12 = ("approx_distinct", "bm25_gate", "bm25_pruned", "bm25_recall", "bpe_encode", "bpe_encode_join", "cms_estimate", "corpus_prep", "corpus_report", "corrupt_skip", "dedup_clusters", "dedup_keep_best", "dedup_recall", "distinct_users", "epoch_mixture", "fingerprint", "gopher_rules", "incremental_dedup", "ingest_funnel", "inventory_reservation", "kmeans_train", "kn3_surprisal", "kn_surprisal", "knn_graph", "knn_hard_negatives", "knn_ivf_trained", "knn_multiprobe", "leakage_split", "max_dup_spans", "minhash_lsh_pairs", "music_charts", "nb_filter_join", "nb_quality_filter", "ngram_jaccard", "ngram_jaccard_capped", "order_validation", "pack_sequences_bpe", "pageview_region", "rollup_sales", "running_counts_trace", "salted_join_skew", "semantic_dedup", "shard_pack", "simhash", "soft_dedup", "token_count", "unigram_encode", "unigram_encode_join", "vocab_stats", "winnow_fingerprints",)
+_SIGNED_ROUND: dict[str, int] = {**{n: 9 for n in _R09},
                                  **{n: 10 for n in _R10},
-                                 **{n: 11 for n in _R11}}
+                                 **{n: 11 for n in _R11},
+                                 **{n: 12 for n in _R12}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-12 diff: corpus_report grew derived per-language rows (was a
-# fixed en/de/fr/es enumeration that silently dropped zh); the shared
-# adaptive-pruning step of the BM25 family was extracted into
-# pruned_postings (bm25_pruned / bm25_gate call through it; bm25_recall
-# sits on bm25_pruned) and bm25_gate's tau now rounds to micro-nats.
-# The join-fallback work (strategy params on apply_bpe/apply_unigram,
-# nb_quality refactor through _nb_base_tk) sits under the four encode/
-# score queries; outputs are crossover-pinned unchanged but the shared
-# code moved, so they front the window.
-# gopher_rules grew keep_text/min_stopwords plumbing (defaults
-# unchanged) for the composed ingest chain.
-# kn_surprisal's scoring was restructured (type-table enrichment +
-# single occurrence probe — output byte-identical, parity re-run).
+# Round-13 diff: bm25_gate's tau quantization moved from Python round()
+# (banker's) to the repo-wide floor(x*1e6+0.5) half-up convention
+# (ADVICE r12 — same value for every tau not landing on an exact .5
+# micro-nat, parity re-run); ingest_chain gained the reserved
+# 'clean_text' source-column guard (ingest_funnel sits on it; behavior
+# unchanged for valid inputs). New r13 queries auto-front via the
+# never-signed rule.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "corpus_report", "bm25_pruned", "bm25_recall", "bm25_gate",
-    "bpe_encode", "pack_sequences_bpe", "unigram_encode",
-    "nb_quality_filter", "gopher_rules", "kn_surprisal")
+    "bm25_gate", "ingest_funnel")
 
 
 def _ordered_names() -> list[str]:

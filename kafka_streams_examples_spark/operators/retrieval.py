@@ -48,6 +48,8 @@ in COVERAGE.md).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -389,7 +391,10 @@ def bm25_gate(new_docs: DataFrame, index: DataFrame, tau: float = 3.0,
     candidate-generation tier's lower-variance floor; admitted
     documents get the exact offline rerank (bm25_pruned's contract).
     """
-    tau6 = round(tau * 1e6)
+    # floor(x*1e6 + 0.5), the repo-wide half-up convention (ADVICE r12:
+    # Python round() is banker's rounding — a tau landing on an exact .5
+    # micro-nat would disagree with an oracle-side floor(+0.5) threshold)
+    tau6 = int(math.floor(tau * 1e6 + 0.5))
     terms = F.array_sort(F.array_distinct(
         F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                  lambda x: x != "")))

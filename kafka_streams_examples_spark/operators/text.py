@@ -1324,6 +1324,13 @@ def ingest_chain(docs: DataFrame, boiler: DataFrame, model: DataFrame,
     self-joins and zero shuffles and the identical chain runs
     unmodified on a streaming DataFrame
     (streaming/pipelines.py:streaming_ingest_funnel)."""
+    if text_col == "clean_text":
+        # the NB stage is hardcoded to score the line filter's
+        # 'clean_text' output; a source column of that name would be
+        # dropped mid-chain and silently mis-scored (ADVICE r12)
+        raise ValueError("ingest_chain reserves 'clean_text' for the "
+                         "line filter's output; rename the source "
+                         "text column before chaining")
     g = (gopher_rules(docs, text_col, id_col, words_per_line,
                       min_words=min_words, keep_text=True,
                       min_stopwords=min_stopwords)

@@ -118,6 +118,19 @@ def main(dest: str = ".scale/sf1", replicas: int = REPLICAS) -> None:
     for name in ["region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"]:
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if name == "documents":
+            # The tagged rename's injectivity ("the suffix parses
+            # uniquely") requires source tokens to carry NO digits —
+            # a digit-bearing token could collide with a differently-
+            # tagged word and silently perturb the within-replica
+            # similarity structure the decade methodology depends on
+            # (ADVICE r12). Fail loudly if a future fixture breaks it.
+            n_digit = src.filter(F.col("text").rlike("[0-9]")).count()
+            if n_digit:
+                raise AssertionError(
+                    f"{n_digit} source documents contain digit-bearing "
+                    "tokens; the replica token rename is no longer "
+                    "injective — revisit the tag scheme before scaling")
         if name in ("region", "nation"):
             scaled = src
         else:
