@@ -58,12 +58,19 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 9 for n in _R09},
 # Round-13 diff: bm25_gate's tau quantization moved from Python round()
 # (banker's) to the repo-wide floor(x*1e6+0.5) half-up convention
 # (ADVICE r12 — same value for every tau not landing on an exact .5
-# micro-nat, parity re-run); ingest_chain gained the reserved
-# 'clean_text' source-column guard (ingest_funnel sits on it; behavior
-# unchanged for valid inputs). New r13 queries auto-front via the
+# micro-nat, parity re-run). kn_surprisal / kn3_surprisal became
+# orders 2/3 of the parameterized kn_ngram_surprisal ladder (outputs
+# byte-identical, parity re-run). The NB family grew the n_buckets
+# bounded-feature hash (_nb_base_tk / apply paths — defaults
+# unchanged, but the shared code moved under nb_quality_filter and
+# nb_filter_join). ingest_funnel was refactored through the shared
+# _gate_flags_with/_funnel_agg composition (persisted-serving work)
+# and ingest_chain gained the reserved 'clean_text' guard. New r13
+# queries (kn5_surprisal, nb_filter_hashed) auto-front via the
 # never-signed rule.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "bm25_gate", "ingest_funnel")
+    "bm25_gate", "ingest_funnel", "kn_surprisal", "kn3_surprisal",
+    "nb_quality_filter", "nb_filter_join")
 
 
 def _ordered_names() -> list[str]:

@@ -772,7 +772,8 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
                    "src0", "src1", "src2", "src3", "src4"),
                holdout_mod: int = 5, text_col: str = "text",
                id_col: str = "doc_id",
-               group_col: str = "source") -> DataFrame:
+               group_col: str = "source",
+               n_buckets: int | None = None) -> DataFrame:
     """Model-based quality filter, the fastText/DCLM classifier tier
     (DCLM, Li et al. 2024; FineWeb-Edu is the same shape): train a
     cheap linear text classifier to separate a curated target domain
@@ -815,7 +816,7 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
     never touches the train corpus).
     """
     base, tk = _nb_base_tk(docs, target_sources, holdout_mod,
-                           text_col, id_col, group_col)
+                           text_col, id_col, group_col, n_buckets)
     weights, pri = _nb_weights(base, tk)
     dsum = (tk.join(weights, "word", "left")
               .groupBy("doc_id")
@@ -832,13 +833,29 @@ def nb_quality(docs: DataFrame, target_sources: Sequence[str] = (
         (F.col("s6") > 0).alias("pred_target"))
 
 
+def nb_bucket(word, n_buckets: int):
+    """The bounded-feature hash: bigram -> one of ``n_buckets`` ids via
+    the shared portable 60-bit md5 hash (the dsir_score convention,
+    VERDICT r12 item 6) — cast to string so the bucketed feature flows
+    through the same map-codec / weight-table plumbing as the raw
+    bigram. Colliding bigrams MERGE their class counts (the standard
+    hashing trick, Weinberger et al. ICML'09): the model artifact has
+    a fixed upper size at ANY corpus, trading a bounded amount of
+    weight blending for it."""
+    return (md5_hash64(word) % F.lit(n_buckets)).cast("string")
+
+
 def _nb_base_tk(docs: DataFrame, target_sources: Sequence[str],
                 holdout_mod: int, text_col: str, id_col: str,
-                group_col: str) -> tuple[DataFrame, DataFrame]:
+                group_col: str,
+                n_buckets: int | None = None) -> tuple[DataFrame,
+                                                       DataFrame]:
     """Shared labeled-corpus prep: (base doc table with is_train /
     is_target flags, exploded train/score bigram-token table) — the
     single source for :func:`nb_quality`, :func:`nb_model` and
-    :func:`nb_weights_table`."""
+    :func:`nb_weights_table`. With ``n_buckets`` the feature column is
+    the :func:`nb_bucket` hash of the bigram instead of the bigram
+    itself (bounded-model form)."""
     tgt = [str(s) for s in target_sources]
     ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
     base = (docs.select(F.col(id_col).alias("doc_id"),
@@ -852,6 +869,8 @@ def _nb_base_tk(docs: DataFrame, target_sources: Sequence[str],
               .select("doc_id", "is_train", "is_target",
                       F.explode(word_shingles(F.col("__ws"), 2))
                        .alias("word")))
+    if n_buckets is not None:
+        tk = tk.withColumn("word", nb_bucket(F.col("word"), n_buckets))
     return base, tk
 
 
@@ -893,7 +912,8 @@ def nb_model(docs: DataFrame, target_sources: Sequence[str] = (
                  "src0", "src1", "src2", "src3", "src4"),
              holdout_mod: int = 5, text_col: str = "text",
              id_col: str = "doc_id",
-             group_col: str = "source") -> DataFrame:
+             group_col: str = "source",
+             n_buckets: int | None = None) -> DataFrame:
     """Train :func:`nb_quality`'s model and fold it into the 1-row
     broadcastable codec (__w: map<bigram, w6>, p6) — the bpe_codec /
     unigram_codec shape. This is the artifact a 100 TB deployment
@@ -906,7 +926,7 @@ def nb_model(docs: DataFrame, target_sources: Sequence[str] = (
     through :func:`apply_nb_table`'s feature-keyed join; :func:`score_nb`
     picks per measured model size."""
     weights, pri = nb_weights_table(docs, target_sources, holdout_mod,
-                                    text_col, id_col, group_col)
+                                    text_col, id_col, group_col, n_buckets)
     return fold_nb_codec(weights, pri)
 
 
@@ -914,8 +934,9 @@ def nb_weights_table(docs: DataFrame, target_sources: Sequence[str] = (
                          "src0", "src1", "src2", "src3", "src4"),
                      holdout_mod: int = 5, text_col: str = "text",
                      id_col: str = "doc_id",
-                     group_col: str = "source") -> tuple[DataFrame,
-                                                         DataFrame]:
+                     group_col: str = "source",
+                     n_buckets: int | None = None) -> tuple[DataFrame,
+                                                            DataFrame]:
     """Train :func:`nb_quality`'s model and return it in TABLE form:
     (weights (word, w6), prior (p6) — genuinely scalar, one row). The
     persistable artifact when the feature table is NOT broadcast-sized
@@ -923,7 +944,7 @@ def nb_weights_table(docs: DataFrame, target_sources: Sequence[str] = (
     table and score through :func:`apply_nb_table`'s feature-keyed
     join instead of folding into :func:`nb_model`'s 1-row map."""
     base, tk = _nb_base_tk(docs, target_sources, holdout_mod,
-                           text_col, id_col, group_col)
+                           text_col, id_col, group_col, n_buckets)
     return _nb_weights(base, tk)
 
 
@@ -937,7 +958,8 @@ def fold_nb_codec(weights: DataFrame, pri: DataFrame) -> DataFrame:
 
 
 def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             n_buckets: int | None = None) -> DataFrame:
     """Score documents under a trained :func:`nb_model`: per document
     (id, score, pred_target) — identical arithmetic to
     :func:`nb_quality`'s scoring half (pinned by
@@ -947,13 +969,14 @@ def apply_nb(docs: DataFrame, model: DataFrame, text_col: str = "text",
     Out-of-model bigrams contribute 0, <2-token documents score the
     prior — the nb_quality contracts."""
     return (apply_nb_chained(docs.select(F.col(id_col), F.col(text_col)),
-                             model, text_col, id_col)
+                             model, text_col, id_col, n_buckets)
             .select(F.col(id_col), "score", "pred_target"))
 
 
 def apply_nb_chained(docs: DataFrame, model: DataFrame,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     n_buckets: int | None = None) -> DataFrame:
     """:func:`apply_nb` as a CHAINABLE transform: same scoring columns
     (score, pred_target) APPENDED to the input row instead of selected
     out — so a multi-gate ingest pipeline can thread upstream flags
@@ -966,6 +989,8 @@ def apply_nb_chained(docs: DataFrame, model: DataFrame,
              .withColumn("__ws", ws))
     grams = F.when(F.size("__ws") >= 2, word_shingles(F.col("__ws"), 2)) \
              .otherwise(F.array().cast("array<string>"))
+    if n_buckets is not None:
+        grams = F.transform(grams, lambda g: nb_bucket(g, n_buckets))
     s6 = (F.col("p6")
           + F.aggregate(grams, F.lit(0).cast("long"),
                         lambda acc, g: acc + F.coalesce(
@@ -980,7 +1005,8 @@ def apply_nb_chained(docs: DataFrame, model: DataFrame,
 
 def apply_nb_table(docs: DataFrame, weights: DataFrame, pri: DataFrame,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   n_buckets: int | None = None) -> DataFrame:
     """Score documents under a TABLE-form model
     (:func:`nb_weights_table`): byte-identical output to
     :func:`apply_nb` (crossover-tested), but the feature weights never
@@ -1001,6 +1027,8 @@ def apply_nb_table(docs: DataFrame, weights: DataFrame, pri: DataFrame,
               .select(F.col(id_col),
                       F.explode(word_shingles(F.col("__ws"), 2))
                        .alias("word")))
+    if n_buckets is not None:
+        tk = tk.withColumn("word", nb_bucket(F.col("word"), n_buckets))
     dsum = (tk.join(weights.hint("shuffle_hash"), "word", "left")
               .groupBy(id_col)
               .agg(F.sum(F.coalesce(F.col("w6"), F.lit(0))).alias("__sw")))
@@ -1015,7 +1043,8 @@ def apply_nb_table(docs: DataFrame, weights: DataFrame, pri: DataFrame,
 def score_nb(docs: DataFrame, weights: DataFrame, pri: DataFrame,
              text_col: str = "text", id_col: str = "doc_id",
              strategy: str = "auto",
-             feature_limit: int | None = None) -> DataFrame:
+             feature_limit: int | None = None,
+             n_buckets: int | None = None) -> DataFrame:
     """Size-thresholded NB scoring dispatcher over a TABLE-form model:
     "broadcast" folds ``weights`` into the 1-row codec and scores
     scan-side (:func:`apply_nb` — zero joins, the streaming-compatible
@@ -1030,10 +1059,12 @@ def score_nb(docs: DataFrame, weights: DataFrame, pri: DataFrame,
             else feature_limit
         strategy = "broadcast" if weights.count() <= limit else "join"
     if strategy == "join":
-        return apply_nb_table(docs, weights, pri, text_col, id_col)
+        return apply_nb_table(docs, weights, pri, text_col, id_col,
+                              n_buckets)
     if strategy != "broadcast":
         raise ValueError(f"score_nb: unknown strategy {strategy!r}")
-    return apply_nb(docs, fold_nb_codec(weights, pri), text_col, id_col)
+    return apply_nb(docs, fold_nb_codec(weights, pri), text_col, id_col,
+                    n_buckets)
 
 
 def boiler_codec(docs: DataFrame, min_docs: int = 2,
@@ -1153,6 +1184,102 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
     return fixed.unionAll(langs)
 
 
+def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
+                       discount: float = 0.75, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       count_alias: str | None = None) -> DataFrame:
+    """Interpolated Kneser-Ney surprisal per document at ANY n-gram
+    ``order`` — the generalized production perplexity-filter tier
+    (CCNet's filter is a 5-gram KN-smoothed KenLM). One parameterized
+    derivation (VERDICT r12 item 7): :func:`kn_surprisal` is order 2,
+    :func:`kn3_surprisal` order 3, and orders 4/5 are a parameter, not
+    new code. Per n-gram position, recursively (Chen & Goodman 1998):
+
+        p_m(w|ctx_m) = max(c_m(gram) - d, 0) / c_m(ctx_m·)
+                       + (d * N1+(ctx_m,·) / c_m(ctx_m·)) * p_{m-1}
+        p_1(w)       = N1+(·,w) / T
+
+    where the TOP order m=n uses raw n-gram counts and every lower
+    order m<n uses CONTINUATION counts — level m's table counts the
+    distinct extensions one word to the left in the level-(m+1) table,
+    so each is an aggregation OF the table above it (bounded by
+    observed n-gram TYPES — corpus-linear, never vocabulary^n); the
+    base distribution and T come from the level-2 table. score =
+    order-exact mean of micro-nat -ln p over the document (the
+    bigram_surprisal closing contract; <n-token documents report
+    (0, 0.0)).
+
+    Plan: the linear kn shape at any order — n-gram counts shuffle on
+    (w1..wn); 2(n-1) aggregations of/within the TYPE-table ladder;
+    the type table is enriched FIRST (all model joins run at type
+    scale) and the corpus-scale occurrence table probes it ONCE; T is
+    a 1-row broadcast. The nested smoothing expression is built with
+    the identical association order at every level and mirrored in the
+    oracle (registry._kn_sql emits the matching SQL for any order), so
+    both engines evaluate the same IEEE expression before the one ln()
+    quantizes to micro-nats.
+    """
+    if order < 2:
+        raise ValueError("kn_ngram_surprisal needs order >= 2")
+    n = order
+    cols = [f"w{i}" for i in range(1, n + 1)]
+    if count_alias is None:
+        count_alias = {2: "n_bigrams", 3: "n_trigrams"}.get(
+            n, f"n_{n}grams")
+    toks = F.filter(tokens(text_col), lambda x: x != "")
+    tk = docs.select(F.col(id_col), toks.alias("ws"))
+    tg = (tk.filter(F.size("ws") >= n)
+            .select(F.col(id_col),
+                    F.explode(F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - n),
+                        lambda i: F.struct(*[
+                            F.get("ws", i + j).alias(cols[j])
+                            for j in range(n)]))).alias("g"))
+            .select(id_col, *[F.col(f"g.{c}").alias(c) for c in cols]))
+    # the count-table ladder: level n = raw n-gram types; level m<n =
+    # continuation counts (distinct one-left extensions of level m+1)
+    level = {n: tg.groupBy(*cols).agg(F.count("*").alias(f"c{n}"))}
+    for m in range(n - 1, 1, -1):
+        gcols = cols[n - m:]            # the last m words
+        level[m] = (level[m + 1].groupBy(*gcols)
+                                .agg(F.count("*").alias(f"c{m}")))
+    # per-level context tables: row-sum + distinct-continuation count
+    # over the level's first m-1 gram words
+    ctx = {m: (level[m].groupBy(*cols[n - m:-1])
+                       .agg(F.sum(f"c{m}").alias(f"cdot{m}"),
+                            F.count("*").alias(f"nf{m}")))
+           for m in range(n, 1, -1)}
+    bk = level[2].groupBy(cols[-1]).agg(F.count("*").alias("n1b"))
+    tt = level[2].agg(F.count("*").alias("t"))
+    # enrich the raw TYPE table with every model table, then probe once
+    enr = level[n].join(ctx[n], cols[:-1])
+    for m in range(n - 1, 1, -1):
+        gcols = cols[n - m:]
+        enr = enr.join(level[m], gcols).join(ctx[m], gcols[:-1])
+    enr = enr.join(bk, cols[-1]).join(F.broadcast(tt), F.lit(True))
+    d = F.lit(discount)
+    p = F.col("n1b").cast("double") / F.col("t").cast("double")
+    for m in range(2, n + 1):
+        cdot = F.col(f"cdot{m}").cast("double")
+        p = (F.greatest(F.col(f"c{m}").cast("double") - d, F.lit(0.0))
+             / cdot
+             + (d * F.col(f"nf{m}").cast("double") / cdot) * p)
+    enr = enr.select(*cols, F.floor(-F.log(p) * 1e6 + F.lit(0.5))
+                            .cast("long").alias("s6"))
+    agg = (tg.join(enr, cols)
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias(count_alias),
+                  stable_round(F.sum("s6").cast("double")
+                               / (F.count("*") * 1e6), 4)
+                   .alias("surprisal")))
+    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce(count_alias, F.lit(0))
+                         .alias(count_alias),
+                        F.coalesce("surprisal", F.lit(0.0))
+                         .alias("surprisal")))
+
+
 def kn_surprisal(docs: DataFrame, discount: float = 0.75,
                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Interpolated Kneser-Ney bigram surprisal per document — the
@@ -1168,57 +1295,10 @@ def kn_surprisal(docs: DataFrame, discount: float = 0.75,
     distinct-history counts, and T the distinct bigram types — the
     continuation-probability backoff that makes KN rank "frequent word
     in a novel context" (high N1+ backoff mass, low evidence) above
-    raw-frequency smoothing. score = order-exact mean of micro-nat
-    -ln p over the document (the bigram_surprisal closing contract;
-    <2-token documents report (0, 0.0)).
-
-    Plan: identical linear shape to bigram_surprisal — bigram counts
-    shuffle on (w1, w2); context/continuation tables are two more
-    aggregations OF THE BIGRAM-TYPE TABLE (vocabulary-squared scale at
-    worst, never corpus scale); scoring probes them by word-keyed
-    equi-joins; T is a 1-row broadcast. Association order of the two
-    smoothing terms is explicit and shared with the oracle.
-    """
-    toks = F.filter(tokens(text_col), lambda x: x != "")
-    tk = docs.select(F.col(id_col), toks.alias("ws"))
-    bg = (tk.filter(F.size("ws") >= 2)
-            .select(F.col(id_col),
-                    F.explode(F.transform(
-                        F.sequence(F.lit(0), F.size("ws") - 2),
-                        lambda i: F.struct(F.get("ws", i).alias("w1"),
-                                           F.get("ws", i + 1).alias("w2"))))
-                     .alias("b"))
-            .select(id_col, F.col("b.w1").alias("w1"),
-                    F.col("b.w2").alias("w2")))
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    ctx = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
-                                F.count("*").alias("n1f"))
-    bk = c12.groupBy("w2").agg(F.count("*").alias("n1b"))
-    tt = c12.agg(F.count("*").alias("t"))
-    c1d = F.col("c1").cast("double")
-    p = (F.greatest(F.col("c12").cast("double") - F.lit(discount),
-                    F.lit(0.0)) / c1d
-         + (F.lit(discount) * F.col("n1f").cast("double") / c1d)
-           * (F.col("n1b").cast("double") / F.col("t").cast("double")))
-    # enrich the TYPE table first (all model joins bigram-type-scale),
-    # then probe it ONCE with the occurrence table — the corpus-scale
-    # side shuffles once for the join and once for the doc-keyed mean
-    # instead of once per model table; output and oracle unchanged
-    enr = (c12.join(ctx, "w1").join(bk, "w2")
-              .join(F.broadcast(tt), F.lit(True))
-              .select("w1", "w2",
-                      F.floor(-F.log(p) * 1e6 + F.lit(0.5))
-                       .cast("long").alias("s6")))
-    agg = (bg.join(enr, ["w1", "w2"])
-             .groupBy(id_col)
-             .agg(F.count("*").cast("long").alias("n_bigrams"),
-                  stable_round(F.sum("s6").cast("double")
-                               / (F.count("*") * 1e6), 4)
-                   .alias("surprisal")))
-    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
-                .select(F.col(id_col),
-                        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-                        F.coalesce("surprisal", F.lit(0.0)).alias("surprisal")))
+    raw-frequency smoothing. Order 2 of
+    :func:`kn_ngram_surprisal` (r13: the per-order derivation is one
+    parameterized step; output byte-identical, parity re-run)."""
+    return kn_ngram_surprisal(docs, 2, discount, text_col, id_col)
 
 
 def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
@@ -1247,65 +1327,12 @@ def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
     order-exact mean of micro-nat -ln p over the document (the
     kn_surprisal closing contract; <3-token documents report (0, 0.0)).
 
-    Plan: the linear kn_surprisal shape one order up — trigram counts
-    shuffle on (w1,w2,w3); four more aggregations of the TYPE table;
-    scoring probes them by keyed equi-joins; T is a 1-row broadcast.
-    Association order of the nested smoothing terms is explicit and
-    mirrored in the oracle, so both engines evaluate the identical
-    IEEE expression before the one ln() quantizes to micro-nats.
+    Order 3 of :func:`kn_ngram_surprisal` (r13: the per-order
+    continuation-table derivation is one parameterized step — the
+    measured enrich-first probe-once plan note lives there; output
+    byte-identical, parity re-run).
     """
-    toks = F.filter(tokens(text_col), lambda x: x != "")
-    tk = docs.select(F.col(id_col), toks.alias("ws"))
-    tg = (tk.filter(F.size("ws") >= 3)
-            .select(F.col(id_col),
-                    F.explode(F.transform(
-                        F.sequence(F.lit(0), F.size("ws") - 3),
-                        lambda i: F.struct(
-                            F.get("ws", i).alias("w1"),
-                            F.get("ws", i + 1).alias("w2"),
-                            F.get("ws", i + 2).alias("w3")))).alias("t"))
-            .select(id_col, F.col("t.w1").alias("w1"),
-                    F.col("t.w2").alias("w2"), F.col("t.w3").alias("w3")))
-    c123 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c123"))
-    ctx12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"),
-                                         F.count("*").alias("n12f"))
-    cont23 = c123.groupBy("w2", "w3").agg(F.count("*").alias("c23c"))
-    ctx2 = cont23.groupBy("w2").agg(F.sum("c23c").alias("c2dot"),
-                                    F.count("*").alias("n2f"))
-    cw3 = cont23.groupBy("w3").agg(F.count("*").alias("n3b"))
-    tt = cont23.agg(F.count("*").alias("t"))
-    d = F.lit(discount)
-    c12d = F.col("c12").cast("double")
-    c2dotd = F.col("c2dot").cast("double")
-    p2 = (F.greatest(F.col("c23c").cast("double") - d, F.lit(0.0)) / c2dotd
-          + (d * F.col("n2f").cast("double") / c2dotd)
-            * (F.col("n3b").cast("double") / F.col("t").cast("double")))
-    p = (F.greatest(F.col("c123").cast("double") - d, F.lit(0.0)) / c12d
-         + (d * F.col("n12f").cast("double") / c12d) * p2)
-    # enrich the trigram TYPE table first (all five model joins run at
-    # type scale), then probe it ONCE with the occurrence table — the
-    # corpus-scale side shuffles once for the join and once for the
-    # doc-keyed mean instead of once per model table (measured: the
-    # sf10 decade row spent its 2x super-linearity re-shuffling 26M
-    # occurrence rows per probe); output and oracle are unchanged
-    enr = (c123.join(ctx12, ["w1", "w2"]).join(cont23, ["w2", "w3"])
-               .join(ctx2, "w2").join(cw3, "w3")
-               .join(F.broadcast(tt), F.lit(True))
-               .select("w1", "w2", "w3",
-                       F.floor(-F.log(p) * 1e6 + F.lit(0.5))
-                        .cast("long").alias("s6")))
-    agg = (tg.join(enr, ["w1", "w2", "w3"])
-             .groupBy(id_col)
-             .agg(F.count("*").cast("long").alias("n_trigrams"),
-                  stable_round(F.sum("s6").cast("double")
-                               / (F.count("*") * 1e6), 4)
-                   .alias("surprisal")))
-    return (docs.select(F.col(id_col)).join(agg, id_col, "left")
-                .select(F.col(id_col),
-                        F.coalesce("n_trigrams", F.lit(0))
-                         .alias("n_trigrams"),
-                        F.coalesce("surprisal", F.lit(0.0))
-                         .alias("surprisal")))
+    return kn_ngram_surprisal(docs, 3, discount, text_col, id_col)
 
 
 def ingest_chain(docs: DataFrame, boiler: DataFrame, model: DataFrame,
@@ -1363,18 +1390,33 @@ def ingest_gate_flags(arriving: DataFrame, existing: DataFrame,
     its own derived hit stream, so the streaming form emits hit events
     alongside the chain (streaming_ingest_funnel) and the store-side
     batch does this set difference — exactly this function's shape."""
-    from .retrieval import bm25_gate, bm25_gate_index
     boiler = boiler_codec(existing, words_per_line=words_per_line,
                           text_col=text_col, id_col=id_col)
     model = nb_model(existing, text_col=text_col, id_col=id_col)
-    chain = ingest_chain(arriving, boiler, model, words_per_line,
-                         text_col, id_col)
     # keep_denom=None: the arriving batch scales WITH the corpus, so
     # the gate's per-term candidate bound must be the fixed r_floor —
     # a fractional bound makes gate work O(n^2) (pruned_postings doc;
     # measured 34x on the sf1 decade step before this)
+    from .retrieval import bm25_gate_index
     index = bm25_gate_index(existing, r_floor=128, keep_denom=None,
                             text_col=text_col, id_col=id_col)
+    return _gate_flags_with(arriving, boiler, model, index, tau,
+                            words_per_line, text_col, id_col)
+
+
+def _gate_flags_with(arriving: DataFrame, boiler: DataFrame,
+                     model: DataFrame, index: DataFrame,
+                     tau: float = 3.0, words_per_line: int = 12,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The gate composition shared by the inline (train-then-gate,
+    :func:`ingest_gate_flags`) and persisted (serve-from-disk,
+    :func:`ingest_gate_flags_from`) forms: chain the stateless gates,
+    probe the gate index with the CLEANED text, left-join the distinct
+    hit set back as the admission flag."""
+    from .retrieval import bm25_gate
+    chain = ingest_chain(arriving, boiler, model, words_per_line,
+                         text_col, id_col)
     hits = (bm25_gate(chain.select(F.col(id_col), "clean_text"), index,
                       tau, text_col="clean_text", id_col=id_col)
             .select(F.col("new_id").alias(id_col)).distinct()
@@ -1387,6 +1429,91 @@ def ingest_gate_flags(arriving: DataFrame, existing: DataFrame,
                          F.col("__hit").isNull().alias("g_admit")))
 
 
+def build_ingest_artifacts(existing: DataFrame, path: str,
+                           words_per_line: int = 12, r_floor: int = 128,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int | None = None) -> None:
+    """Train and PERSIST the ingest path's three offline artifacts
+    (the :func:`retrieval.build_bm25_index` write-once precedent,
+    VERDICT r12 item 4): ``{path}/boiler`` (the 1-row boilerplate
+    line-hash codec), ``{path}/nb_weights`` + ``{path}/nb_prior`` (the
+    NB model in TABLE form — the scale-honest artifact; pass
+    ``n_buckets`` for the bounded-size hashed model), and
+    ``{path}/gate_index`` (the stream-probe pruned BM25 index,
+    parquet-partitioned by the word-hash bucket ``wb`` — the
+    build_bm25_index directory layout). A 100 TB deployment trains
+    these once per corpus window and serves MANY arriving batches
+    through :func:`ingest_funnel_from` — the inline
+    :func:`ingest_funnel` re-trains all three on every invocation,
+    which is the right oracle shape and the wrong serving shape."""
+    from .retrieval import _wb, bm25_gate_index
+    boiler_codec(existing, words_per_line=words_per_line,
+                 text_col=text_col, id_col=id_col)         .write.mode("overwrite").parquet(f"{path}/boiler")
+    weights, pri = nb_weights_table(existing, text_col=text_col,
+                                    id_col=id_col, n_buckets=n_buckets)
+    weights.write.mode("overwrite").parquet(f"{path}/nb_weights")
+    pri.write.mode("overwrite").parquet(f"{path}/nb_prior")
+    (bm25_gate_index(existing, r_floor=r_floor, keep_denom=None,
+                     text_col=text_col, id_col=id_col)
+        .withColumn("wb", _wb(F.col("word")))
+        .write.mode("overwrite").partitionBy("wb")
+        .parquet(f"{path}/gate_index"))
+
+
+def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
+                           tau: float = 3.0, words_per_line: int = 12,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_buckets: int | None = None) -> DataFrame:
+    """:func:`ingest_gate_flags` served from a persisted
+    :func:`build_ingest_artifacts` directory: identical verdicts
+    row-for-row (pinned by test_ingest_persisted_equals_inline) with
+    ZERO training jobs per batch — the plan reads only artifact bytes
+    plus the arriving batch (inputFiles-tested, the
+    query_bm25_index contract). The NB weight table folds into the
+    1-row scan-side codec here (the fixture model is broadcast-sized;
+    a web-scale deployment builds with ``n_buckets`` so the fold is
+    bounded by construction, or scores through score_nb's join path)."""
+    boiler = spark.read.parquet(f"{path}/boiler")
+    weights = spark.read.parquet(f"{path}/nb_weights")
+    pri = spark.read.parquet(f"{path}/nb_prior")
+    index = spark.read.parquet(f"{path}/gate_index").drop("wb")
+    if n_buckets is not None:
+        raise NotImplementedError(
+            "hashed-model serving needs the bucket hash in the chain's "
+            "NB stage; build without n_buckets for the chained form")
+    model = fold_nb_codec(weights, pri)
+    return _gate_flags_with(arriving, boiler, model, index, tau,
+                            words_per_line, text_col, id_col)
+
+
+def _funnel_agg(flags: DataFrame) -> DataFrame:
+    """The yield-report aggregate over per-doc gate verdicts — shared
+    by the inline and persisted funnel forms."""
+    c = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)) \
+        .cast("long").alias(name)
+    g, l = F.col("g_gopher"), F.col("g_line")
+    n, a = F.col("g_nb"), F.col("g_admit")
+    return flags.agg(F.count("*").cast("long").alias("n_arrived"),
+                     c(g, "n_gopher"),
+                     c(g & l, "n_line"),
+                     c(g & l & n, "n_nb"),
+                     c(g & l & n & a, "n_admitted"))
+
+
+def ingest_funnel_from(spark, path: str, arriving: DataFrame,
+                       tau: float = 3.0, words_per_line: int = 12,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """:func:`ingest_funnel` served from persisted artifacts — the
+    per-batch production form (train once per corpus window, serve
+    many batches); row-for-row equal to the inline funnel over the
+    same corpus snapshot."""
+    return _funnel_agg(ingest_gate_flags_from(
+        spark, path, arriving, tau, words_per_line, text_col, id_col))
+
+
 def ingest_funnel(arriving: DataFrame, existing: DataFrame,
                   tau: float = 3.0, words_per_line: int = 12,
                   text_col: str = "text",
@@ -1397,14 +1524,6 @@ def ingest_funnel(arriving: DataFrame, existing: DataFrame,
     filter -> BM25 admission, as one conditional aggregate over
     :func:`ingest_gate_flags`. The first row a 100 TB ingest
     deployment reads after every batch window."""
-    f = ingest_gate_flags(arriving, existing, tau, words_per_line,
-                          text_col, id_col)
-    c = lambda cond, name: F.sum(F.when(cond, 1).otherwise(0)) \
-        .cast("long").alias(name)
-    g, l = F.col("g_gopher"), F.col("g_line")
-    n, a = F.col("g_nb"), F.col("g_admit")
-    return f.agg(F.count("*").cast("long").alias("n_arrived"),
-                 c(g, "n_gopher"),
-                 c(g & l, "n_line"),
-                 c(g & l & n, "n_nb"),
-                 c(g & l & n & a, "n_admitted"))
+    return _funnel_agg(ingest_gate_flags(arriving, existing, tau,
+                                         words_per_line, text_col,
+                                         id_col))

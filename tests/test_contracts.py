@@ -82,9 +82,16 @@ def test_scale_curve_list_is_subset_of_registry():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import scale_curve
     from kafka_streams_examples_spark.registry import QUERIES
-    missing = [n for n in scale_curve.CURVE if n not in QUERIES]
+    # OVERRIDES rows are deliberate non-registry compositions (r13:
+    # incremental_knn_auto measures the operator DEFAULT the oracle
+    # can't pin); each must carry an inline note explaining itself
+    missing = [n for n in scale_curve.CURVE
+               if n not in QUERIES and n not in scale_curve.OVERRIDES]
     assert missing == []
     assert len(set(scale_curve.CURVE)) == len(scale_curve.CURVE)
+    for name, row in scale_curve.OVERRIDES.items():
+        assert row.get("note"), f"override {name} must self-explain"
+        assert callable(row.get("fn"))
 
 
 def test_scale_artifacts_show_no_superlinear_step():

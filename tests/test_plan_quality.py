@@ -103,6 +103,8 @@ BNLJ_BY_DESIGN = {
     # broadcasts attach to the vocabulary-sized weight table and the
     # per-doc sums — the dsir_score 1-row totals shape
     "nb_quality_filter",
+    # the same shape over the bucket-hashed (bounded) feature table
+    "nb_filter_hashed",
     # fuses knn_cosine (allowlisted broadcast query set) with bm25_topk
     # (allowlisted 1-row stats broadcast); the fusion join itself is a
     # (q_id, c_id) equi-join of two k-row-per-query lists
@@ -118,6 +120,8 @@ BNLJ_BY_DESIGN = {
     "kn_surprisal",
     # the same 1-row type-count broadcast, one order up
     "kn3_surprisal",
+    # and at the production order (the parameterized kn_ngram step)
+    "kn5_surprisal",
     # join-fallback encode paths: the BOUNDED 1-row codec (merge array /
     # piece map / scalar prior) still attaches by broadcast onto the
     # vocabulary-scale word table — the unbounded per-word/weight table

@@ -600,3 +600,200 @@ def test_kn3_continuation_ranks_burst_above_diverse(spark):
     scored = {r.doc_id: r.surprisal
               for r in kn3_surprisal(docs.union(probes)).collect()}
     assert scored[10] > scored[11]
+
+
+def _kn_replica(rows, order, d_=0.75):
+    """Order-n interpolated-KN python replica (the kn_surprisal /
+    kn3_surprisal replicas generalized): raw counts at the top order,
+    Chen-Goodman continuation TYPE counts derived level by level."""
+    import math
+    from collections import Counter
+    n = order
+    grams = {}
+    lvl = {n: Counter()}
+    for d, t in rows:
+        ws = t.split()
+        grams[d] = list(zip(*[ws[i:] for i in range(n)]))
+        lvl[n].update(grams[d])
+    for m in range(n - 1, 1, -1):
+        lvl[m] = Counter(k[1:] for k in lvl[m + 1])
+    cdot, nf = {}, {}
+    for m in range(n, 1, -1):
+        cdot[m], nf[m] = Counter(), Counter()
+        for k, c in lvl[m].items():
+            cdot[m][k[:-1]] += c
+            nf[m][k[:-1]] += 1
+    n1b = Counter(k[-1] for k in lvl[2])
+    t = len(lvl[2])
+    out = {}
+    for d, _ in rows:
+        if not grams[d]:
+            out[d] = (0, 0.0)
+            continue
+        s6 = 0
+        for g in grams[d]:
+            p = n1b[g[-1]] / t
+            for m in range(2, n + 1):
+                key = g[n - m:]
+                p = (max(lvl[m][key] - d_, 0.0) / cdot[m][key[:-1]]
+                     + (d_ * nf[m][key[:-1]] / cdot[m][key[:-1]]) * p)
+            s6 += math.floor(-math.log(p) * 1e6 + 0.5)
+        out[d] = (len(grams[d]),
+                  math.floor(s6 / (len(grams[d]) * 1e6) * 1e4 + 0.5) / 1e4)
+    return out
+
+
+def test_kn_ngram_orders_4_and_5_match_python_replica(spark):
+    """The parameterized derivation at orders the hand-written code
+    never had: order 4 (two continuation levels) and order 5 (the
+    registry query / CCNet's production order). Also pins the replica
+    against the existing code at orders 2/3 so one generalized replica
+    covers the family."""
+    from kafka_streams_examples_spark.operators.text import (
+        kn3_surprisal, kn_ngram_surprisal, kn_surprisal,
+    )
+    rows = [(0, "aa bb cc dd aa bb cc dd ee"), (1, "aa bb cc dd"),
+            (2, "xx yy zz ww xx yy zz"), (3, "one two three"),
+            (4, ""), (5, "cc dd ee ff cc dd ee ff gg hh")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for order in (4, 5):
+        col = f"n_{order}grams"
+        got = {r.doc_id: (r[col], r.surprisal)
+               for r in kn_ngram_surprisal(docs, order).collect()}
+        assert got == _kn_replica(rows, order), order
+    # delegation sanity: orders 2/3 through the generalized step equal
+    # the wrappers (same Column tree, but pin it)
+    a2 = sorted(map(tuple, kn_surprisal(docs).collect()))
+    g2 = sorted(map(tuple, kn_ngram_surprisal(docs, 2).collect()))
+    assert a2 == g2
+    a3 = sorted(map(tuple, kn3_surprisal(docs).collect()))
+    g3 = sorted(map(tuple, kn_ngram_surprisal(docs, 3).collect()))
+    assert a3 == g3
+
+
+def test_kn_sql_generator_matches_handwritten_oracles():
+    """registry._kn_sql(order) is the oracle for ANY order; at orders
+    2/3 it must agree with the hand-written kn_surprisal /
+    kn3_surprisal oracles row-for-row (DuckDB vs DuckDB, no Spark)."""
+    import duckdb
+
+    from kafka_streams_examples_spark.registry import QUERIES, _kn_sql
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS SELECT * FROM (VALUES
+        (0, 'aa bb cc aa bb cc dd ee aa bb'),
+        (1, 'aa bb cc dd ee ff'),
+        (2, 'xx yy'), (3, 'one'), (4, ''),
+        (5, 'cc dd ee cc dd ee ff gg'))
+        AS t(doc_id, text)""")
+    for name, order in [("kn_surprisal", 2), ("kn3_surprisal", 3)]:
+        a = con.execute(QUERIES[name].oracle + " ORDER BY doc_id").fetchall()
+        b = con.execute(_kn_sql(order) + " ORDER BY doc_id").fetchall()
+        assert a == b, name
+
+
+def test_nb_hashed_collision_tolerance_matches_python_replica(spark):
+    """The bounded-feature NB (nb_bucket hashing trick): with a TINY
+    bucket count (4 — guaranteed collisions on any real vocabulary)
+    the Spark model must still EXACTLY match a python replica of the
+    bucketed math — collisions merge class counts identically in both,
+    which is the whole correctness claim of the hashing trick. Also
+    pins the artifact-size bound (weights rows <= n_buckets at any
+    corpus) and the broadcast/join crossover under hashing."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from kafka_streams_examples_spark.operators import text as T
+
+    nb = 4
+    rows = [(i, t, "src0" if i % 2 else "other")
+            for i, t in enumerate(
+                ["aa bb aa bb cc", "bb cc dd", "one", "", "dd ee dd aa",
+                 "aa bb cc dd ee ff", "zz yy xx ww", "bb aa bb aa cc"])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r.doc_id: (r.is_train, r.is_target, r.score, r.pred_target)
+           for r in T.nb_quality(docs, target_sources=("src0",),
+                                 n_buckets=nb).collect()}
+
+    def bucket(bigram: str) -> int:
+        return int(hashlib.md5(bigram.encode()).hexdigest()[:15], 16) % nb
+
+    feats = {d: [bucket(f"{a} {b}")
+                 for a, b in zip(t.split(), t.split()[1:])]
+             for d, t, _ in rows}
+    is_train = {d: d % 5 != 0 for d, _, _ in rows}
+    is_tgt = {d: srel == "src0" for d, _, srel in rows}
+    c1, c0 = Counter(), Counter()
+    for d, _, _ in rows:
+        if is_train[d]:
+            (c1 if is_tgt[d] else c0).update(feats[d])
+    vocab = set(c1) | set(c0)
+    v, tot1, tot0 = len(vocab), sum(c1.values()), sum(c0.values())
+    n1 = sum(1 for d in is_train if is_train[d] and is_tgt[d])
+    n0 = sum(1 for d in is_train if is_train[d] and not is_tgt[d])
+    both = n1 > 0 and n0 > 0
+    w6 = {f: (math.floor(math.log(((c1[f] + 1) * (tot0 + v))
+                                  / ((c0[f] + 1) * (tot1 + v)))
+                         * 1e6 + 0.5) if both else 0)
+          for f in vocab}
+    p6 = (math.floor(math.log(n1 / n0) * 1e6 + 0.5) if both else 0)
+    for d, _, _ in rows:
+        s6 = p6 + sum(w6.get(f, 0) for f in feats[d])
+        exp = (is_train[d], is_tgt[d],
+               math.floor(s6 / 1e6 * 1e4 + 0.5) / 1e4, s6 > 0)
+        assert got[d] == exp, d
+
+    # artifact-size bound: the weight table can never exceed n_buckets
+    w, p = T.nb_weights_table(docs, target_sources=("src0",), n_buckets=nb)
+    assert w.count() <= nb
+    # crossover under hashing: folded-codec scan == table-form join
+    b = sorted(map(tuple, T.apply_nb(
+        docs, T.fold_nb_codec(w, p), n_buckets=nb).collect()))
+    j = sorted(map(tuple, T.apply_nb_table(
+        docs, w, p, n_buckets=nb).collect()))
+    assert b == j
+
+
+def test_ingest_persisted_equals_inline(spark, tmp_path):
+    """build_ingest_artifacts + ingest_gate_flags_from/_funnel_from
+    (the train-once serve-many production form) must equal the inline
+    train-per-invocation forms row-for-row over the same corpus
+    snapshot — the test_bm25_index_persisted_equals_inline pattern."""
+    from kafka_streams_examples_spark.operators import text as T
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    existing = docs.filter("doc_id % 10 != 7")
+    arriving = docs.filter("doc_id % 10 = 7")
+    T.build_ingest_artifacts(existing, str(tmp_path / "ing"))
+    got = sorted(map(tuple, T.ingest_gate_flags_from(
+        spark, str(tmp_path / "ing"), arriving, tau=5.5).collect()))
+    want = sorted(map(tuple, T.ingest_gate_flags(
+        arriving, existing, tau=5.5).collect()))
+    assert got == want
+    f_got = T.ingest_funnel_from(spark, str(tmp_path / "ing"),
+                                 arriving, tau=5.5).collect()
+    f_want = T.ingest_funnel(arriving, existing, tau=5.5).collect()
+    assert f_got == f_want
+
+
+def test_ingest_persisted_serving_reads_zero_training_bytes(spark, tmp_path):
+    """Per-batch serving from a build_ingest_artifacts directory must
+    read ONLY artifact bytes plus the arriving batch: zero corpus text,
+    zero training jobs (the query_bm25_index inputFiles contract)."""
+    from kafka_streams_examples_spark.operators import text as T
+    existing = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id % 10 != 7")
+    T.build_ingest_artifacts(existing, str(tmp_path / "ing"))
+    arriving = spark.createDataFrame(
+        [(9001, "the spark join window aggregate " * 8),
+         (9002, "zz yy")], ["doc_id", "text"])
+    res = T.ingest_gate_flags_from(spark, str(tmp_path / "ing"), arriving)
+    files = res.inputFiles()
+    assert files, "plan should read the persisted artifacts"
+    assert all("/ing/" in f for f in files)   # never documents.parquet
+    assert res.count() == 2
+    # the on-disk gate index keeps the bm25 word-bucket layout
+    import os
+    parts = [d for d in os.listdir(str(tmp_path / "ing" / "gate_index"))
+             if d.startswith("wb=")]
+    assert parts, "gate index must be partitioned by the word-hash bucket"

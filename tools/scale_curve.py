@@ -67,8 +67,13 @@ CURVE = [
     "label_silhouette", "exact_substring_apply", "curriculum_order",
     # r11 additions (vocabulary-scale Viterbi-EM trainer; word-memoized
     # corpus encode over a 1-row broadcast; stored-codebook route +
-    # bucket-confined rerank on a corpus-trained index)
-    "unigram_lm_train", "unigram_encode", "incremental_knn",
+    # bucket-confined rerank on a corpus-trained index). r13: the
+    # incremental_knn row measures the DEFAULT auto-k composition
+    # (OVERRIDES below) — the registry query pins k=8 for its oracle,
+    # and a pinned codebook under 10x data growth re-measures the
+    # fixture, not the plan (SCALE10_r12's 31x row vs DECADECTRL_r12's
+    # 6.8x default; VERDICT r12 item 5)
+    "unigram_lm_train", "unigram_encode", "incremental_knn_auto",
     # r11 second wave (inverted-index BM25 on the worst-case uniform
     # vocabulary — postings volume is linear in corpus size, so the
     # exact tier must scale ~10x per decade while the pruned tier's
@@ -91,7 +96,42 @@ CURVE = [
     # join)
     "bpe_encode_join", "unigram_encode_join", "nb_filter_join",
     "kn3_surprisal", "max_dup_spans", "ingest_funnel",
+    # r13 additions: the production KN order through the parameterized
+    # ladder (8 type-scale joins, one occurrence probe); the bounded
+    # (bucket-hashed) NB model — same plan as nb_quality_filter with
+    # the hash folded into the tokenize scan
+    "kn5_surprisal", "nb_filter_hashed",
 ]
+
+def _incremental_knn_auto(spark, sf_dir):
+    """The incremental-ANN DEFAULT composition: kclusters=None ->
+    auto_kclusters ~ sqrt(n) (operators/similarity.py) — the form a
+    deployment actually runs, and the only form whose decade step
+    measures the PLAN (a pinned k=8 codebook under 10x data growth
+    makes buckets 10x bigger by construction)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_examples_spark.catalog import table
+    from kafka_streams_examples_spark.operators import similarity as SIM
+    emb = table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    corpus = emb.filter(F.col("vec_id") % 10 != 7)
+    return SIM.incremental_knn(new, corpus, k=5, nprobe=2, iters=2)
+
+
+# rows measured through a non-registry composition; each carries an
+# inline note so the committed table is self-explaining
+OVERRIDES = {
+    "incremental_knn_auto": {
+        "fn": _incremental_knn_auto,
+        "note": "registry query incremental_knn with kclusters=None "
+                "(auto ~ sqrt(n), the operator default) instead of the "
+                "oracle-pinned k=8; DECADECTRL_r12 graded this "
+                "composition at 6.82x/decade while the pinned-k row "
+                "read 31x from fixture growth",
+    },
+}
+
 
 SFS = [("0.01", "/root/testdata/sf0.01"),
        ("0.1", "/root/testdata/sf0.1"),
@@ -112,8 +152,9 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             # confinement; the CC loop adds round-count-bound work)
             "semantic_prune",
             # r11 additions (word-memoized encode: corpus scan + the
-            # vocabulary-scale EM; stored-codebook route + bucket rerank)
-            "unigram_encode", "incremental_knn",
+            # vocabulary-scale EM; stored-codebook route + bucket
+            # rerank — graded as the auto-k default, see CURVE note)
+            "unigram_encode", "incremental_knn_auto",
             # r11 second wave (exact inverted-index BM25 on the
             # worst-case uniform vocabulary — postings scored per query
             # grow linearly with the corpus; the pruned tier's serving
@@ -127,7 +168,10 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             # broadcast-vs-join crossover matters); trigram KN; the
             # composed ingest funnel
             "bpe_encode_join", "unigram_encode_join", "nb_filter_join",
-            "kn3_surprisal", "ingest_funnel"]
+            "kn3_surprisal", "ingest_funnel",
+            # r13 additions (the 5-gram type ladder under decade
+            # growth; the fixed-size hashed NB model)
+            "kn5_surprisal", "nb_filter_hashed"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
@@ -184,12 +228,14 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
                                        "idle_wait_sec", "canary",
                                        "queries")}
     for name in (only or CURVE):
-        row: dict[str, float] = {}
+        row: dict = {}
+        fn = OVERRIDES[name]["fn"] if name in OVERRIDES \
+            else QUERIES[name].spark
         for sf, sf_dir in sfs:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                QUERIES[name].spark(spark, sf_dir) \
+                fn(spark, sf_dir) \
                     .write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             row[f"sec_sf{sf}"] = round(best, 3)
@@ -200,6 +246,8 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
         else:            # sf10 decade: each key names its 10x step
             row["r_1_to_10"] = round(row["sec_sf1"] / row["sec_sf0.1"], 2)
             row["r_10_to_100"] = round(row["sec_sf10"] / row["sec_sf1"], 2)
+        if name in OVERRIDES:
+            row["note"] = OVERRIDES[name]["note"]
         report[name] = row
 
     canary_last = canary()
