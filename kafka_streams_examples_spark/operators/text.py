@@ -1338,7 +1338,8 @@ def kn3_surprisal(docs: DataFrame, discount: float = 0.75,
 def ingest_chain(docs: DataFrame, boiler: DataFrame, model: DataFrame,
                  words_per_line: int = 12, text_col: str = "text",
                  id_col: str = "doc_id", min_words: int = 25,
-                 min_stopwords: int = 1) -> DataFrame:
+                 min_stopwords: int = 1,
+                 n_buckets: int | None = None) -> DataFrame:
     """The composed stateless half of the ingest path — arrive ->
     Gopher gate -> boilerplate line filter -> NB quality filter — as
     ONE chained scan over each document: per doc (id, g_gopher,
@@ -1366,7 +1367,8 @@ def ingest_chain(docs: DataFrame, boiler: DataFrame, model: DataFrame,
     lf = apply_line_filter_chained(g, boiler, words_per_line,
                                    text_col, id_col)
     nb = apply_nb_chained(lf.drop(text_col), model,
-                          text_col="clean_text", id_col=id_col)
+                          text_col="clean_text", id_col=id_col,
+                          n_buckets=n_buckets)
     return nb.select(F.col(id_col), "g_gopher", "n_lines", "n_kept",
                      "clean_text", "score", "pred_target")
 
@@ -1408,7 +1410,8 @@ def _gate_flags_with(arriving: DataFrame, boiler: DataFrame,
                      model: DataFrame, index: DataFrame,
                      tau: float = 3.0, words_per_line: int = 12,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     n_buckets: int | None = None) -> DataFrame:
     """The gate composition shared by the inline (train-then-gate,
     :func:`ingest_gate_flags`) and persisted (serve-from-disk,
     :func:`ingest_gate_flags_from`) forms: chain the stateless gates,
@@ -1416,7 +1419,7 @@ def _gate_flags_with(arriving: DataFrame, boiler: DataFrame,
     hit set back as the admission flag."""
     from .retrieval import bm25_gate
     chain = ingest_chain(arriving, boiler, model, words_per_line,
-                         text_col, id_col)
+                         text_col, id_col, n_buckets=n_buckets)
     hits = (bm25_gate(chain.select(F.col(id_col), "clean_text"), index,
                       tau, text_col="clean_text", id_col=id_col)
             .select(F.col("new_id").alias(id_col)).distinct()
@@ -1473,19 +1476,17 @@ def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
     plus the arriving batch (inputFiles-tested, the
     query_bm25_index contract). The NB weight table folds into the
     1-row scan-side codec here (the fixture model is broadcast-sized;
-    a web-scale deployment builds with ``n_buckets`` so the fold is
-    bounded by construction, or scores through score_nb's join path)."""
+    a web-scale deployment builds AND serves with the same
+    ``n_buckets`` so the fold is bounded by construction — the scoring
+    stage hashes arriving bigrams with the identical nb_bucket)."""
     boiler = spark.read.parquet(f"{path}/boiler")
     weights = spark.read.parquet(f"{path}/nb_weights")
     pri = spark.read.parquet(f"{path}/nb_prior")
     index = spark.read.parquet(f"{path}/gate_index").drop("wb")
-    if n_buckets is not None:
-        raise NotImplementedError(
-            "hashed-model serving needs the bucket hash in the chain's "
-            "NB stage; build without n_buckets for the chained form")
     model = fold_nb_codec(weights, pri)
     return _gate_flags_with(arriving, boiler, model, index, tau,
-                            words_per_line, text_col, id_col)
+                            words_per_line, text_col, id_col,
+                            n_buckets=n_buckets)
 
 
 def _funnel_agg(flags: DataFrame) -> DataFrame:

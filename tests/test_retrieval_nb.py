@@ -774,6 +774,23 @@ def test_ingest_persisted_equals_inline(spark, tmp_path):
                                  arriving, tau=5.5).collect()
     f_want = T.ingest_funnel(arriving, existing, tau=5.5).collect()
     assert f_got == f_want
+    # hashed-model form: build AND serve with the same n_buckets (the
+    # bounded persisted codec); inline twin composed from the same
+    # hashed model through the shared composition
+    from kafka_streams_examples_spark.operators.retrieval import (
+        bm25_gate_index,
+    )
+    T.build_ingest_artifacts(existing, str(tmp_path / "ing_h"),
+                             n_buckets=256)
+    h_got = sorted(map(tuple, T.ingest_gate_flags_from(
+        spark, str(tmp_path / "ing_h"), arriving, tau=5.5,
+        n_buckets=256).collect()))
+    h_want = sorted(map(tuple, T._gate_flags_with(
+        arriving, T.boiler_codec(existing),
+        T.nb_model(existing, n_buckets=256),
+        bm25_gate_index(existing, r_floor=128, keep_denom=None),
+        tau=5.5, n_buckets=256).collect()))
+    assert h_got == h_want
 
 
 def test_ingest_persisted_serving_reads_zero_training_bytes(spark, tmp_path):
