@@ -67,10 +67,16 @@ _SIGNED_ROUND: dict[str, int] = {**{n: 9 for n in _R09},
 # _gate_flags_with/_funnel_agg composition (persisted-serving work)
 # and ingest_chain gained the reserved 'clean_text' guard. New r13
 # queries (kn5_surprisal, nb_filter_hashed) auto-front via the
-# never-signed rule.
+# never-signed rule. incremental_knn / build_ivf_index gained the
+# shared ROUTED_FOLD_GATE on their training passes (the semantic_dedup
+# predicate, now single-sourced as use_routed_assign) — at every
+# oracle SF the gate is far from crossing, so the pinned query's
+# assign stays the exact bit-identical path (parity re-run), but the
+# operator code moved under both queries.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
     "bm25_gate", "ingest_funnel", "kn_surprisal", "kn3_surprisal",
-    "nb_quality_filter", "nb_filter_join")
+    "nb_quality_filter", "nb_filter_join", "incremental_knn",
+    "semantic_dedup")
 
 
 def _ordered_names() -> list[str]:

@@ -1069,6 +1069,27 @@ def _rerank_in_buckets(routed: DataFrame, vectors: DataFrame, k: int,
                                   stable_round(sim, 6).alias("__sim")), k)
 
 
+#: Assign-pass cost gate shared by every corpus-scaled k-means caller
+#: (the semantic_dedup convention): below ~50M n*k distance folds the
+#: routed path's fixed overhead (mini-trainer jobs + collects +
+#: checkpoints, ~8s measured at sf1) outweighs the saved folds —
+#: measured exact 15.3s vs routed 23.6s at n*k=1.6M, and exact 452s vs
+#: routed ~41-88s at n*k=160M (SCALE10_r08). Every oracle-verified SF
+#: sits far below the gate, so hash parity always runs the exact
+#: bit-identical assign.
+ROUTED_FOLD_GATE = 50_000_000
+
+
+def use_routed_assign(n: int, k: int) -> bool:
+    """True when the exact assign's n*k distance folds cross
+    :data:`ROUTED_FOLD_GATE` — the pure decision both the IVF builders
+    and semantic_dedup share (unit-tested; r13: build_ivf_index /
+    incremental_knn had auto-scaling k ~ sqrt(n) without this gate, so
+    their training term silently grew n^1.5 — SCALE10 measured the
+    auto-k decade step at 24x before, ~linear after)."""
+    return n * k > ROUTED_FOLD_GATE
+
+
 def auto_kclusters(corpus: DataFrame, floor: int = 8) -> int:
     """Corpus-scaled codebook size: ``max(floor, round(sqrt(n)))`` —
     the FAISS sizing convention (k ≈ √n keeps both the codebook scan
@@ -1098,11 +1119,17 @@ def build_ivf_index(corpus: DataFrame, path: str,
     At 100 TB the vectors write is the one full-corpus pass; the
     codebook is k*dim doubles. ``kclusters`` defaults to
     :func:`auto_kclusters` (≈√n) so the persisted index's bucket size
-    stays bounded as the corpus grows; pass an explicit k to pin it."""
+    stays bounded as the corpus grows; pass an explicit k to pin it.
+    Above :data:`ROUTED_FOLD_GATE` assign folds the training passes
+    switch to coarse-cell routing (n*2*sqrt(2k) per pass instead of
+    n*k — with k ~ sqrt(n) the exact assign is n^1.5, so the gate is
+    what keeps the auto-k build linear per decade)."""
+    n = corpus.count()
     if kclusters is None:
-        kclusters = auto_kclusters(corpus)
+        kclusters = max(8, int(round(n ** 0.5)))
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
-                             ckpt_each_iter=True)
+                             ckpt_each_iter=True,
+                             routed=use_routed_assign(n, kclusters))
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     (asg.select(F.col("vec_id").alias(id_col),
                 F.col("e").alias(vec_col), "cid")
@@ -1143,11 +1170,16 @@ def incremental_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     of the index is touched by the new batch. ``kclusters`` defaults to
     :func:`auto_kclusters` (≈√n of the existing corpus) so the default
     composition keeps bucket size bounded as the corpus grows; the
-    registry query pins k=8 to match its oracle."""
+    registry query pins k=8 to match its oracle. Above
+    :data:`ROUTED_FOLD_GATE` assign folds the training passes switch
+    to coarse-cell routing (the build_ivf_index note: with k ~ sqrt(n)
+    the exact assign is n^1.5; the gate keeps the default linear)."""
+    n = corpus.count()
     if kclusters is None:
-        kclusters = auto_kclusters(corpus)
+        kclusters = max(8, int(round(n ** 0.5)))
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
-                             ckpt_each_iter=True)
+                             ckpt_each_iter=True,
+                             routed=use_routed_assign(n, kclusters))
     index = (asg.select(F.col("vec_id").alias(id_col),
                         F.col("e").alias(vec_col), "cid")
                 .localCheckpoint(eager=False))

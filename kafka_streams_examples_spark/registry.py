@@ -1938,15 +1938,13 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     n = emb.count()
     k = max(8, n // 250)
     # routing gates on the assign pass's actual cost (n*k distance
-    # folds): below ~50M the routed path's fixed overhead (mini-trainer
-    # jobs + collects + checkpoints, ~8s measured at sf1) outweighs the
-    # saved folds — sf1 (n=20k, k=80 -> 1.6M) measured exact 15.3s vs
-    # routed 23.6s; sf10 (n=200k, k=800 -> 160M) exact 452s vs routed
-    # ~41s warm / 52-88s across cold runs. Every oracle-verified SF
-    # (sf0.1: n=2000, k=8 -> 16k) is far below the gate, so hash
-    # parity always runs the exact bit-identical assign.
+    # folds, SIM.ROUTED_FOLD_GATE — the shared predicate the IVF
+    # builders also use since r13): every oracle-verified SF (sf0.1:
+    # n=2000, k=8 -> 16k folds) is far below the gate, so hash parity
+    # always runs the exact bit-identical assign; measured crossover
+    # numbers live on the constant's docstring.
     asg = (SIM.kmeans_train(emb, k=k, iters=2,
-                            routed=n * k > 50_000_000)
+                            routed=SIM.use_routed_assign(n, k))
               .localCheckpoint(eager=False))      # (vec_id, cluster, dist)
     lab = emb.select("vec_id", "embedding").join(
         asg.select("vec_id", F.col("cluster").alias("label")), "vec_id")

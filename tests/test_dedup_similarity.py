@@ -1603,3 +1603,48 @@ def test_max_dup_spans_boundaries_and_threshold(spark):
     got4 = sorted((r.doc_id, r.span_start, r.span_end, r.span_len)
                   for r in max_dup_spans(docs, l=4, min_len=4).collect())
     assert got4 == [(1, 2, 8, 6), (1, 10, 14, 4)]
+
+
+def test_use_routed_assign_gate_boundary():
+    """The shared assign-cost predicate (semantic_dedup + the IVF
+    builders): exact at or below 50M n*k folds, routed above."""
+    from kafka_streams_examples_spark.operators.similarity import (
+        ROUTED_FOLD_GATE, use_routed_assign,
+    )
+    assert not use_routed_assign(2000, 8)              # oracle SFs
+    assert not use_routed_assign(ROUTED_FOLD_GATE, 1)  # boundary: exact
+    assert use_routed_assign(ROUTED_FOLD_GATE + 1, 1)
+    assert use_routed_assign(200_000, 800)             # the sf10 shape
+
+
+def test_incremental_knn_default_routes_above_gate(spark, sf_dir,
+                                                   monkeypatch):
+    """incremental_knn's auto-k default must switch its training
+    passes to coarse-cell routing above the fold gate (r13: without
+    this the k ~ sqrt(n) default trains in n^1.5 — SCALE10 measured
+    the auto-k decade step at 24x). Forcing the gate to 0 exercises
+    the routed path on the fixture: same output contract (<= k rows
+    per query, valid buckets) and majority top-k agreement with the
+    exact default — routing only perturbs training-time bucket
+    membership, and the sf0.001 fixture is the ADVERSARIAL setting
+    (isotropic data, probing 2 of ~sqrt(2k)=6 cells; measured 0.576,
+    the test_routed_kmeans_agreement_on_corpus calibration one k-tier
+    up; production k-tiers route over cells that ARE the cluster
+    structure)."""
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators import similarity as SIM
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    new = emb.filter("vec_id % 10 = 7")
+    corpus = emb.filter("vec_id % 10 != 7")
+    exact = SIM.incremental_knn(new, corpus, k=5, nprobe=2).collect()
+    monkeypatch.setattr(SIM, "ROUTED_FOLD_GATE", 0)
+    routed = SIM.incremental_knn(new, corpus, k=5, nprobe=2).collect()
+    from collections import Counter
+    per_q = Counter(r["q_id"] for r in routed)
+    assert per_q and max(per_q.values()) <= 5
+    assert {r["q_id"] for r in routed} == {r["q_id"] for r in exact}
+    e = {(r["q_id"], r["c_id"]) for r in exact}
+    r_ = {(r["q_id"], r["c_id"]) for r in routed}
+    agree = len(e & r_) / len(e)
+    assert agree >= 0.5, agree
