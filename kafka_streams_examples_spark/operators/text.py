@@ -1236,6 +1236,20 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
                             F.get("ws", i + j).alias(cols[j])
                             for j in range(n)]))).alias("g"))
             .select(id_col, *[F.col(f"g.{c}").alias(c) for c in cols]))
+    # At orders >= 4 the type tables are CORPUS-scale by construction
+    # (V^n far exceeds observed n-grams, so |types| ~ |occurrences|)
+    # and must never be broadcast — Catalyst's post-aggregate size
+    # estimates under-guess them (measured: the sf10 decade cell died
+    # broadcasting a ~1 GiB enrichment table that slipped under the
+    # 64 MiB threshold, driver maxResultSize abort). shuffle_hash on
+    # every ladder/probe join pins the scale-safe plan, the
+    # join-fallback principle (operators/bpe.py:encode_with_word_table).
+    # Orders 2/3 keep Catalyst's choice: their tables are vocabulary-
+    # polynomial-bounded and their committed decade rows (SCALE10
+    # kn3 9.0x) hold with broadcasts.
+    def _scale_side(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if n >= 4 else df
+
     # the count-table ladder: level n = raw n-gram types; level m<n =
     # continuation counts (distinct one-left extensions of level m+1)
     level = {n: tg.groupBy(*cols).agg(F.count("*").alias(f"c{n}"))}
@@ -1252,11 +1266,13 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
     bk = level[2].groupBy(cols[-1]).agg(F.count("*").alias("n1b"))
     tt = level[2].agg(F.count("*").alias("t"))
     # enrich the raw TYPE table with every model table, then probe once
-    enr = level[n].join(ctx[n], cols[:-1])
+    enr = level[n].join(_scale_side(ctx[n]), cols[:-1])
     for m in range(n - 1, 1, -1):
         gcols = cols[n - m:]
-        enr = enr.join(level[m], gcols).join(ctx[m], gcols[:-1])
-    enr = enr.join(bk, cols[-1]).join(F.broadcast(tt), F.lit(True))
+        enr = (enr.join(_scale_side(level[m]), gcols)
+                  .join(_scale_side(ctx[m]), gcols[:-1]))
+    enr = enr.join(_scale_side(bk), cols[-1]) \
+             .join(F.broadcast(tt), F.lit(True))
     d = F.lit(discount)
     p = F.col("n1b").cast("double") / F.col("t").cast("double")
     for m in range(2, n + 1):
@@ -1266,7 +1282,7 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
              + (d * F.col(f"nf{m}").cast("double") / cdot) * p)
     enr = enr.select(*cols, F.floor(-F.log(p) * 1e6 + F.lit(0.5))
                             .cast("long").alias("s6"))
-    agg = (tg.join(enr, cols)
+    agg = (tg.join(_scale_side(enr), cols)
              .groupBy(id_col)
              .agg(F.count("*").cast("long").alias(count_alias),
                   stable_round(F.sum("s6").cast("double")
