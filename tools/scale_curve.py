@@ -126,9 +126,12 @@ OVERRIDES = {
         "fn": _incremental_knn_auto,
         "note": "registry query incremental_knn with kclusters=None "
                 "(auto ~ sqrt(n), the operator default) instead of the "
-                "oracle-pinned k=8; DECADECTRL_r12 graded this "
-                "composition at 6.82x/decade while the pinned-k row "
-                "read 31x from fixture growth",
+                "oracle-pinned k=8 — the pinned-k SCALE10_r12 row read "
+                "31x/decade from fixture bucket growth; since r13 the "
+                "default also gates its training passes on "
+                "use_routed_assign (n*k > 50M folds -> coarse-cell "
+                "routed assign), which took the sf10 cell from 333s "
+                "exact to 39s routed (3.5x/decade)",
     },
 }
 
