@@ -40,43 +40,35 @@ from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_examples_spark.registry import QUERIES
 
 # Latest round with a driver hash signature, per query — derived
-# mechanically from CORRECTNESS_r01..r12.json by
-# `tools/update_window.py --emit` (r13 refresh: CORRECTNESS_r12 absorbed,
-# 50/50 green; every registry query remains signed, all r9+ — the r13
-# window fronts the 17 r9-tier queries, VERDICT r12 item 3).
-_R09 = ("cluster_sample", "cube_sales", "daily_1800_nyc", "dedup_clusters_star", "frame_sample", "knn_ivfpq", "knn_recall", "knn_recall_clustered", "media_features", "pq_knn", "source_overlap", "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",)
-_R10 = ("anonymize_props", "asof_join", "bigram_novelty", "curriculum_order", "dedup_ttl", "doc_chunks", "exact_substring_apply", "exact_substring_dedup", "fk_chain", "global_shuffle", "having_count", "json_extract", "knn_cosine", "knn_ivf", "ktable_latest", "ktable_reagg", "merge_union", "pack_sequences", "quality_deciles", "quality_filter_median", "reduce_concat", "reservoir_per_stratum", "retention_cohorts", "semantic_prune", "session_windows", "source_mixture", "stratified_sample", "stream_stream_join", "stream_stream_outer_join", "stream_table_join", "table_table_join", "tfidf_top_terms", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",)
-_R11 = ("agg_max", "anomaly_daily", "bigram_surprisal", "bm25_topk", "bpe_fertility", "bpe_train", "branch_counts", "daily_1800", "decontaminate", "dsir_resample", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup", "exact_dedup", "filter_transform", "fold_letters", "funnel_conversion", "hopping_6h", "hybrid_rrf", "incremental_knn", "label_silhouette", "lang_id", "line_dedup", "minhash_signature", "pii_redact", "pipeline_funnel", "quality_score", "quantile_sketch", "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly", "unigram_lm_train", "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",)
-_R12 = ("approx_distinct", "bm25_gate", "bm25_pruned", "bm25_recall", "bpe_encode", "bpe_encode_join", "cms_estimate", "corpus_prep", "corpus_report", "corrupt_skip", "dedup_clusters", "dedup_keep_best", "dedup_recall", "distinct_users", "epoch_mixture", "fingerprint", "gopher_rules", "incremental_dedup", "ingest_funnel", "inventory_reservation", "kmeans_train", "kn3_surprisal", "kn_surprisal", "knn_graph", "knn_hard_negatives", "knn_ivf_trained", "knn_multiprobe", "leakage_split", "max_dup_spans", "minhash_lsh_pairs", "music_charts", "nb_filter_join", "nb_quality_filter", "ngram_jaccard", "ngram_jaccard_capped", "order_validation", "pack_sequences_bpe", "pageview_region", "rollup_sales", "running_counts_trace", "salted_join_skew", "semantic_dedup", "shard_pack", "simhash", "soft_dedup", "token_count", "unigram_encode", "unigram_encode_join", "vocab_stats", "winnow_fingerprints",)
-_SIGNED_ROUND: dict[str, int] = {**{n: 9 for n in _R09},
-                                 **{n: 10 for n in _R10},
+# mechanically from CORRECTNESS_r01..r13.json by
+# `tools/update_window.py --emit` (r14 refresh: CORRECTNESS_r13 absorbed,
+# 50/50 green; every registry query remains signed, all r10+ — the r14
+# window fronts the full 24-query r10 tier, the only staleness left
+# (VERDICT r13 item 1: the 22 outstanding TPC-H shapes + bigram_novelty,
+# curriculum_order, doc_chunks, exact_substring_apply/dedup,
+# global_shuffle, quality_deciles, retention_cohorts, source_mixture).
+_R10 = ("bigram_novelty", "curriculum_order", "doc_chunks", "exact_substring_apply", "exact_substring_dedup", "global_shuffle", "quality_deciles", "retention_cohorts", "source_mixture", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q22", "tpch_q7", "tpch_q8", "tpch_q9",)
+_R11 = ("agg_max", "anomaly_daily", "bigram_surprisal", "bm25_topk", "bpe_fertility", "bpe_train", "branch_counts", "daily_1800", "decontaminate", "dsir_resample", "dsir_score", "embedding_lsh_pairs", "embedding_near_dup", "exact_dedup", "filter_transform", "fold_letters", "funnel_conversion", "hopping_6h", "hybrid_rrf", "label_silhouette", "lang_id", "line_dedup", "minhash_signature", "pii_redact", "pipeline_funnel", "quality_score", "quantile_sketch", "reduce_keep_first", "repetition_stats", "simhash_hamming_pairs", "sum_odd", "topk_revenue", "tpch_q1", "tpch_q17", "tumbling_hourly", "unigram_lm_train", "unigram_surprisal", "value_percentiles", "windowed_max", "wordcount",)
+_R12 = ("approx_distinct", "bm25_pruned", "bm25_recall", "bpe_encode", "bpe_encode_join", "cms_estimate", "corpus_prep", "corpus_report", "corrupt_skip", "dedup_clusters", "dedup_keep_best", "dedup_recall", "distinct_users", "epoch_mixture", "fingerprint", "gopher_rules", "incremental_dedup", "inventory_reservation", "kmeans_train", "knn_graph", "knn_hard_negatives", "knn_ivf_trained", "knn_multiprobe", "leakage_split", "max_dup_spans", "minhash_lsh_pairs", "music_charts", "ngram_jaccard", "ngram_jaccard_capped", "order_validation", "pack_sequences_bpe", "pageview_region", "rollup_sales", "running_counts_trace", "salted_join_skew", "shard_pack", "simhash", "soft_dedup", "token_count", "unigram_encode", "unigram_encode_join", "vocab_stats", "winnow_fingerprints",)
+_R13 = ("anonymize_props", "asof_join", "bm25_gate", "cluster_sample", "cube_sales", "daily_1800_nyc", "dedup_clusters_star", "dedup_ttl", "fk_chain", "frame_sample", "having_count", "incremental_knn", "ingest_funnel", "json_extract", "kn3_surprisal", "kn5_surprisal", "kn_surprisal", "knn_cosine", "knn_ivf", "knn_ivfpq", "knn_recall", "knn_recall_clustered", "ktable_latest", "ktable_reagg", "media_features", "merge_union", "nb_filter_hashed", "nb_filter_join", "nb_quality_filter", "pack_sequences", "pq_knn", "quality_filter_median", "reduce_concat", "reservoir_per_stratum", "semantic_dedup", "semantic_prune", "session_windows", "source_overlap", "stratified_sample", "stream_stream_join", "stream_stream_outer_join", "stream_table_join", "table_table_join", "tfidf_top_terms", "top_articles_windowed", "tpch_q10", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",)
+_SIGNED_ROUND: dict[str, int] = {**{n: 10 for n in _R10},
                                  **{n: 11 for n in _R11},
-                                 **{n: 12 for n in _R12}}
+                                 **{n: 12 for n in _R12},
+                                 **{n: 13 for n in _R13}}
 
 # Queries whose code (or a shared operator/catalog path specific to them)
 # changed after their latest driver signature — front of the window.
-# Round-13 diff: bm25_gate's tau quantization moved from Python round()
-# (banker's) to the repo-wide floor(x*1e6+0.5) half-up convention
-# (ADVICE r12 — same value for every tau not landing on an exact .5
-# micro-nat, parity re-run). kn_surprisal / kn3_surprisal became
-# orders 2/3 of the parameterized kn_ngram_surprisal ladder (outputs
-# byte-identical, parity re-run). The NB family grew the n_buckets
-# bounded-feature hash (_nb_base_tk / apply paths — defaults
-# unchanged, but the shared code moved under nb_quality_filter and
-# nb_filter_join). ingest_funnel was refactored through the shared
-# _gate_flags_with/_funnel_agg composition (persisted-serving work)
-# and ingest_chain gained the reserved 'clean_text' guard. New r13
-# queries (kn5_surprisal, nb_filter_hashed) auto-front via the
-# never-signed rule. incremental_knn / build_ivf_index gained the
-# shared ROUTED_FOLD_GATE on their training passes (the semantic_dedup
-# predicate, now single-sourced as use_routed_assign) — at every
-# oracle SF the gate is far from crossing, so the pinned query's
-# assign stays the exact bit-identical path (parity re-run), but the
-# operator code moved under both queries.
+# Round-14 diff (ADVICE r13): incremental_knn's routed-training gate now
+# evaluates ONLY on the auto-k path — the registry query pins k=8, so its
+# plan is byte-identical (the pinned path always took the exact assign at
+# oracle SFs), but the operator code moved under it; the √n sizing
+# formula was single-sourced as auto_kclusters_from_count. ingest_funnel's
+# artifact build/serve path gained the {path}/meta n_buckets row (the
+# registry query runs the inline form — untouched composition — but the
+# shared module changed). New r14 queries auto-front via the
+# never-signed rule.
 _CODE_CHANGED_SINCE_SIGNATURE: tuple[str, ...] = (
-    "bm25_gate", "ingest_funnel", "kn_surprisal", "kn3_surprisal",
-    "nb_quality_filter", "nb_filter_join", "incremental_knn",
-    "semantic_dedup")
+    "incremental_knn", "ingest_funnel")
 
 
 def _ordered_names() -> list[str]:

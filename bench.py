@@ -355,6 +355,53 @@ def _run_once(name, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def disk_probe(size_mb: int = 256, passes: int = 2,
+               dir: str | None = None) -> dict:
+    """Direct fsync'd sequential-write throughput probe (VERDICT r13
+    item 2, ROUND13_NOTES forensics §5): the container's block volume
+    has VARIABLE write throughput — 512 MiB fsync'd probes measured
+    121-628 MB/s across consecutive minutes — and loadavg/steal/iowait
+    cannot see it, yet shuffle spill, localCheckpoint blocks and
+    streaming state checkpoints all live on that volume, so
+    disk-heavy queries swing 1.4-2x round-over-round while scan-bound
+    rows hold steady. Recording this number at both ends of every
+    BENCH/BENCH_SELF run gives the reader the mechanical normalizer
+    the r13 dip forensics had to re-derive by hand: compare totals
+    only between runs whose probes read the same regime, and lean on
+    disk-light rows otherwise.
+
+    Writes `passes` files of `size_mb` MiB of incompressible bytes
+    (ext4 here doesn't compress, but a probe should not depend on
+    that) with one fsync each, on the same volume as the Spark local/
+    checkpoint dirs (everything is /dev/vda in this container);
+    reports per-pass MB/s plus best. ~1-5s total at the measured
+    regimes. Override size with $SPARK_GRAFT_DISK_PROBE_MB (0 skips —
+    returns None — for tests/CI that must not burn I/O)."""
+    env = os.environ.get("SPARK_GRAFT_DISK_PROBE_MB")
+    if env is not None:
+        size_mb = int(env)
+    if size_mb <= 0:
+        return None
+    import tempfile
+    blk_mb = min(8, size_mb)
+    block = os.urandom(blk_mb << 20)
+    rates = []
+    for _ in range(passes):
+        fd, p = tempfile.mkstemp(suffix=".diskprobe", dir=dir)
+        try:
+            t0 = time.time()
+            with os.fdopen(fd, "wb") as f:
+                for _ in range(max(1, size_mb // blk_mb)):
+                    f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+            rates.append(round(size_mb / (time.time() - t0), 1))
+        finally:
+            os.unlink(p)
+    return {"size_mb": size_mb, "passes_mb_s": rates,
+            "best_mb_s": max(rates)}
+
+
 def wait_for_idle(threshold: float = 2.0, timeout: float = 900.0,
                   poll: float = 10.0) -> float:
     """Block until the 1-min loadavg drops below `threshold` (or timeout).
@@ -383,6 +430,10 @@ def main() -> None:
     # Idle-gate BEFORE the session spins up: the gate reads host load, and
     # a JVM launch itself perturbs the 1-min average.
     idle_wait = wait_for_idle()
+
+    # storage regime at run start, before the JVM can contend for the
+    # volume (and again at run end, below) — see disk_probe
+    disk_start = disk_probe()
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 
@@ -449,13 +500,15 @@ def main() -> None:
     canary_last = min(_run_once("tpch_q1", spark, sf_dir) for _ in range(2))
     streaming = stream_bench(spark, sf_dir)
     load_end = os.getloadavg()
+    disk_end = disk_probe()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     full = payload(
         timings, streaming,
         float(sf) if sf.replace(".", "").isdigit() else sf,
         load_start, load_end, canary_first, canary_last,
-        idle_wait_sec=idle_wait)
+        idle_wait_sec=idle_wait,
+        disk={"start": disk_start, "end": disk_end})
     full["batch_retries"] = batch_retries
     if first_pass is not None:
         full["first_pass_queries"] = first_pass
@@ -527,6 +580,16 @@ def printed_line(full: dict) -> dict:
         out["noise"] = gauge["median_ratio"]
     if isinstance(out.get("canary"), dict):
         out["canary"] = out["canary"]["spread"]
+    # the storage probe collapses to ONE int MB/s on the wire — the
+    # MIN of the start/end bests, i.e. the binding regime for the
+    # run's disk-heavy rows (start/end/per-pass detail stays in the
+    # self artifact); dropped entirely when the probe was skipped.
+    # r14 wire budget: the two-number form pushed the worst case 14
+    # chars over, so metric also sheds its redundant "_total" below.
+    dp = out.pop("disk_mb_s", None)
+    if isinstance(dp, dict) and dp.get("start") and dp.get("end"):
+        out["disk"] = int(min(dp["start"]["best_mb_s"],
+                              dp["end"]["best_mb_s"]))
     # first-pass detail (retried rounds) lives only in the self
     # artifact — r9: the 57-query HEADLINE pushed the worst case past
     # the budget with both scalars on the wire, so the total moved to
@@ -541,10 +604,13 @@ def printed_line(full: dict) -> dict:
     # there); scalars print at 2dp. Net: worst case back under budget.
     out.pop("round", None)
     out.pop("batch_retries", None)
-    out["metric"] = "headline_total_wall"
-    for k in ("noise", "canary", "load1", "value"):
+    out["metric"] = "headline"
+    for k in ("noise", "canary", "value"):
         if isinstance(out.get(k), float):
             out[k] = round(out[k], 2)
+    # loadavg below 0.1 resolution is scheduler noise — 1dp on the wire
+    if isinstance(out.get("load1"), float):
+        out["load1"] = round(out["load1"], 1)
     return out
 
 
@@ -582,16 +648,20 @@ def noise_gauge(timings: dict) -> dict | None:
 
 def payload(timings, streaming, sf, load_start, load_end,
             canary_first: float, canary_last: float,
-            idle_wait_sec: float = 0.0) -> dict:
+            idle_wait_sec: float = 0.0, disk: dict | None = None) -> dict:
     """Assemble the one-line BENCH JSON. The load-honesty fields
-    (loadavg, canary.spread, idle_wait_sec, noise_gauge) are
-    contract-tested — a judge reading BENCH_r{N}.json with no Spark
+    (loadavg, canary.spread, idle_wait_sec, noise_gauge, disk_mb_s)
+    are contract-tested — a judge reading BENCH_r{N}.json with no Spark
     session must be able to distinguish machine load from plan
-    regression. `round` is embedded so a mis-globbed filename can never
-    again mislabel a payload's provenance (ADVICE r7: the r7 self-bench
-    landed as BENCH_SELF_r08)."""
+    regression, and (r14) storage-volume regime from both. `round` is
+    embedded so a mis-globbed filename can never again mislabel a
+    payload's provenance (ADVICE r7: the r7 self-bench landed as
+    BENCH_SELF_r08)."""
     cs = max(canary_first, canary_last) / min(canary_first, canary_last)
     return {
+        # fsync'd-write probe at both ends (disk_probe): the volume's
+        # regime for this run's disk-heavy rows — None when skipped
+        "disk_mb_s": disk,
         # gauge rows are keyed sec_sf0.1, so only comparable at sf 0.1
         "noise_gauge": noise_gauge(timings) if sf == 0.1 else None,
         "metric": "headline_queries_total_wall",

@@ -1090,6 +1090,15 @@ def use_routed_assign(n: int, k: int) -> bool:
     return n * k > ROUTED_FOLD_GATE
 
 
+def auto_kclusters_from_count(n: int, floor: int = 8) -> int:
+    """The √n codebook-sizing formula shared by every auto-k caller
+    (:func:`auto_kclusters`, :func:`build_ivf_index`,
+    :func:`incremental_knn`) — single-sourced so a revision of the
+    k ≈ √n convention cannot drift between the builders (ADVICE r13)."""
+    import math
+    return max(floor, int(round(math.sqrt(n))))
+
+
 def auto_kclusters(corpus: DataFrame, floor: int = 8) -> int:
     """Corpus-scaled codebook size: ``max(floor, round(sqrt(n)))`` —
     the FAISS sizing convention (k ≈ √n keeps both the codebook scan
@@ -1099,9 +1108,7 @@ def auto_kclusters(corpus: DataFrame, floor: int = 8) -> int:
     that is never re-sized as the corpus grows 10x/decade silently
     degrades to linear bucket scans — the default must be the
     scale-safe composition."""
-    import math
-    n = corpus.count()
-    return max(floor, int(round(math.sqrt(n))))
+    return auto_kclusters_from_count(corpus.count(), floor)
 
 
 def build_ivf_index(corpus: DataFrame, path: str,
@@ -1119,17 +1126,21 @@ def build_ivf_index(corpus: DataFrame, path: str,
     At 100 TB the vectors write is the one full-corpus pass; the
     codebook is k*dim doubles. ``kclusters`` defaults to
     :func:`auto_kclusters` (≈√n) so the persisted index's bucket size
-    stays bounded as the corpus grows; pass an explicit k to pin it.
-    Above :data:`ROUTED_FOLD_GATE` assign folds the training passes
-    switch to coarse-cell routing (n*2*sqrt(2k) per pass instead of
-    n*k — with k ~ sqrt(n) the exact assign is n^1.5, so the gate is
-    what keeps the auto-k build linear per decade)."""
-    n = corpus.count()
+    stays bounded as the corpus grows; pass an explicit k to pin it —
+    the pinned path is fully deterministic (always the exact
+    bit-identical assign, no counting job; ADVICE r13). On the auto-k
+    path, above :data:`ROUTED_FOLD_GATE` assign folds the training
+    passes switch to coarse-cell routing (n*2*sqrt(2k) per pass
+    instead of n*k — with k ~ sqrt(n) the exact assign is n^1.5, so
+    the gate is what keeps the auto-k build linear per decade; an
+    explicit k has no n^1.5 exposure, its assign is n*k by choice)."""
+    routed = False
     if kclusters is None:
-        kclusters = max(8, int(round(n ** 0.5)))
+        n = corpus.count()
+        kclusters = auto_kclusters_from_count(n)
+        routed = use_routed_assign(n, kclusters)
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
-                             ckpt_each_iter=True,
-                             routed=use_routed_assign(n, kclusters))
+                             ckpt_each_iter=True, routed=routed)
     cents.write.mode("overwrite").parquet(f"{path}/codebook")
     (asg.select(F.col("vec_id").alias(id_col),
                 F.col("e").alias(vec_col), "cid")
@@ -1170,16 +1181,19 @@ def incremental_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     of the index is touched by the new batch. ``kclusters`` defaults to
     :func:`auto_kclusters` (≈√n of the existing corpus) so the default
     composition keeps bucket size bounded as the corpus grows; the
-    registry query pins k=8 to match its oracle. Above
+    registry query pins k=8 to match its oracle, and a pinned k is
+    fully deterministic — always the exact bit-identical assign, no
+    counting job (ADVICE r13). On the auto-k path, above
     :data:`ROUTED_FOLD_GATE` assign folds the training passes switch
     to coarse-cell routing (the build_ivf_index note: with k ~ sqrt(n)
     the exact assign is n^1.5; the gate keeps the default linear)."""
-    n = corpus.count()
+    routed = False
     if kclusters is None:
-        kclusters = max(8, int(round(n ** 0.5)))
+        n = corpus.count()
+        kclusters = auto_kclusters_from_count(n)
+        routed = use_routed_assign(n, kclusters)
     cents, asg = _kmeans_fit(corpus, kclusters, iters, id_col, vec_col,
-                             ckpt_each_iter=True,
-                             routed=use_routed_assign(n, kclusters))
+                             ckpt_each_iter=True, routed=routed)
     index = (asg.select(F.col("vec_id").alias(id_col),
                         F.col("e").alias(vec_col), "cid")
                 .localCheckpoint(eager=False))

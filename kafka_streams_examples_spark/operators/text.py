@@ -1467,6 +1467,14 @@ def build_ingest_artifacts(existing: DataFrame, path: str,
     :func:`ingest_funnel` re-trains all three on every invocation,
     which is the right oracle shape and the wrong serving shape."""
     from .retrieval import _wb, bm25_gate_index
+    # Persist the model's feature-space geometry WITH the model: a
+    # serve call that hashed arriving bigrams differently from the
+    # build (or not at all) would coalesce every weight lookup to 0
+    # and silently collapse scores to the prior (ADVICE r13) — the
+    # meta row makes the mismatch structurally impossible.
+    existing.sparkSession.createDataFrame(
+        [(n_buckets,)], "n_buckets int") \
+        .write.mode("overwrite").parquet(f"{path}/meta")
     boiler_codec(existing, words_per_line=words_per_line,
                  text_col=text_col, id_col=id_col)         .write.mode("overwrite").parquet(f"{path}/boiler")
     weights, pri = nb_weights_table(existing, text_col=text_col,
@@ -1494,7 +1502,23 @@ def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
     1-row scan-side codec here (the fixture model is broadcast-sized;
     a web-scale deployment builds AND serves with the same
     ``n_buckets`` so the fold is bounded by construction — the scoring
-    stage hashes arriving bigrams with the identical nb_bucket)."""
+    stage hashes arriving bigrams with the identical nb_bucket).
+
+    The build-time ``n_buckets`` is read back from ``{path}/meta`` and
+    applied automatically — a caller cannot score raw bigrams against
+    a bucket-keyed weight table (every lookup would coalesce to 0 and
+    the score would collapse to the prior, silently — ADVICE r13).
+    Passing ``n_buckets`` explicitly is only accepted when it matches
+    the persisted value (or for pre-meta artifact directories)."""
+    persisted = _read_ingest_meta(spark, path)
+    if persisted is not _NO_META:
+        if n_buckets is not None and n_buckets != persisted:
+            raise ValueError(
+                f"artifact directory {path!r} was built with "
+                f"n_buckets={persisted}; serving with n_buckets="
+                f"{n_buckets} would hash features differently than "
+                f"the persisted model")
+        n_buckets = persisted
     boiler = spark.read.parquet(f"{path}/boiler")
     weights = spark.read.parquet(f"{path}/nb_weights")
     pri = spark.read.parquet(f"{path}/nb_prior")
@@ -1503,6 +1527,23 @@ def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
     return _gate_flags_with(arriving, boiler, model, index, tau,
                             words_per_line, text_col, id_col,
                             n_buckets=n_buckets)
+
+
+#: Sentinel for "artifact directory predates the meta row" — distinct
+#: from a meta row whose n_buckets is NULL (an unhashed build).
+_NO_META = object()
+
+
+def _read_ingest_meta(spark, path: str):
+    """The build-time ``n_buckets`` from ``{path}/meta``, ``None`` for
+    an unhashed build, or :data:`_NO_META` when the directory predates
+    the meta row (pre-r14 artifacts — the caller's explicit value then
+    stands, the old contract)."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").head()
+    except Exception:
+        return _NO_META
+    return row["n_buckets"] if row is not None else _NO_META
 
 
 def _funnel_agg(flags: DataFrame) -> DataFrame:
@@ -1526,7 +1567,10 @@ def ingest_funnel_from(spark, path: str, arriving: DataFrame,
     """:func:`ingest_funnel` served from persisted artifacts — the
     per-batch production form (train once per corpus window, serve
     many batches); row-for-row equal to the inline funnel over the
-    same corpus snapshot."""
+    same corpus snapshot. The artifact's build-time ``n_buckets`` is
+    applied automatically via ``{path}/meta`` (ADVICE r13 — a hashed
+    artifact served unhashed would silently report wrong n_nb /
+    n_admitted counts)."""
     return _funnel_agg(ingest_gate_flags_from(
         spark, path, arriving, tau, words_per_line, text_col, id_col))
 

@@ -144,6 +144,31 @@ def test_bench_payload_carries_load_honesty_fields():
     # report < 1.0
     assert bench.payload({}, {}, 0.1, (0,) * 3, (0,) * 3,
                          0.45, 0.30)["canary"]["spread"] == 1.5
+    # r14 (VERDICT r13 item 2): the storage regime rides the payload —
+    # the block volume's fsync'd write throughput swings 121-628 MB/s
+    # invisibly to loadavg, and disk-heavy rows swing with it
+    probe = {"size_mb": 256, "passes_mb_s": [400.0, 500.0],
+             "best_mb_s": 500.0}
+    p2 = bench.payload({"q": 1.0}, {}, 0.1, (0,) * 3, (0,) * 3, 1, 1,
+                       disk={"start": probe, "end": probe})
+    assert p2["disk_mb_s"]["start"]["best_mb_s"] == 500.0
+    assert p["disk_mb_s"] is None          # skipped probe stays honest
+
+
+def test_disk_probe_measures_and_skips():
+    # the probe itself: returns per-pass MB/s + best at a tiny size
+    # (1 MiB here — the test must not burn real I/O), and the env
+    # override 0 skips it entirely (returns None).
+    import bench
+    got = bench.disk_probe(size_mb=1, passes=2)
+    assert got["size_mb"] == 1 and len(got["passes_mb_s"]) == 2
+    assert got["best_mb_s"] == max(got["passes_mb_s"]) > 0
+    import os
+    os.environ["SPARK_GRAFT_DISK_PROBE_MB"] = "0"
+    try:
+        assert bench.disk_probe() is None
+    finally:
+        del os.environ["SPARK_GRAFT_DISK_PROBE_MB"]
 
 
 def test_headline_cap():
@@ -179,8 +204,11 @@ def test_bench_printed_line_fits_capture_budget():
     streaming = {n: {"wall_sec": 99.999, "rows_per_sec": 999999.9,
                      "rows_in": 99999999} for n in bench.STREAMING_PIPELINES}
     timings = {n: 99.999 for n in bench.HEADLINE}  # worst-case widths
+    worst_probe = {"size_mb": 256, "passes_mb_s": [9999.9, 9999.9],
+                   "best_mb_s": 9999.9}
     full = bench.payload(timings, streaming, 0.1,
-                         (99.99,) * 3, (99.99,) * 3, 9.999, 9.999)
+                         (99.99,) * 3, (99.99,) * 3, 9.999, 9.999,
+                         disk={"start": worst_probe, "end": worst_probe})
     full["batch_retries"] = 1   # main() adds it; worst-case width
     # retried rounds also carry the first pass (ADVICE r8) — per-query
     # detail must stay OFF the wire, the scalar total on it

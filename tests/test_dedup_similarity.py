@@ -1648,3 +1648,42 @@ def test_incremental_knn_default_routes_above_gate(spark, sf_dir,
     r_ = {(r["q_id"], r["c_id"]) for r in routed}
     agree = len(e & r_) / len(e)
     assert agree >= 0.5, agree
+
+
+def test_pinned_k_never_routes_and_shares_sizing_formula(spark, sf_dir,
+                                                         monkeypatch,
+                                                         tmp_path):
+    """ADVICE r13: (a) the routed-training gate belongs to the auto-k
+    n^1.5 exposure only — an EXPLICIT kclusters is deterministic (the
+    exact bit-identical assign, no gate evaluation, no extra counting
+    job) even when the fold gate would fire; (b) the √n sizing formula
+    is single-sourced in auto_kclusters_from_count, shared by
+    auto_kclusters and both builders."""
+    import math
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators import similarity as SIM
+
+    # (b) one formula, all callers
+    for n in (3, 64, 2_000, 123_457):
+        assert SIM.auto_kclusters_from_count(n) == \
+            max(8, int(round(math.sqrt(n))))
+
+    emb = cat_table(spark, sf_dir, "embeddings")
+    new = emb.filter("vec_id % 10 = 7")
+    corpus = emb.filter("vec_id % 10 != 7")
+    baseline = sorted(map(tuple, SIM.incremental_knn(
+        new, corpus, k=5, nprobe=2, kclusters=8).collect()))
+
+    # (a) with the gate forced wide open AND the predicate booby-trapped,
+    # the pinned-k paths must neither consult it nor change output
+    monkeypatch.setattr(SIM, "ROUTED_FOLD_GATE", 0)
+
+    def _boom(n, k):
+        raise AssertionError("routed gate evaluated on a pinned-k path")
+    monkeypatch.setattr(SIM, "use_routed_assign", _boom)
+    pinned = sorted(map(tuple, SIM.incremental_knn(
+        new, corpus, k=5, nprobe=2, kclusters=8).collect()))
+    assert pinned == baseline
+    SIM.build_ivf_index(corpus, str(tmp_path / "ivf_pin"), kclusters=8)
+    assert spark.read.parquet(
+        str(tmp_path / "ivf_pin/codebook")).count() == 8

@@ -785,12 +785,33 @@ def test_ingest_persisted_equals_inline(spark, tmp_path):
     h_got = sorted(map(tuple, T.ingest_gate_flags_from(
         spark, str(tmp_path / "ing_h"), arriving, tau=5.5,
         n_buckets=256).collect()))
-    h_want = sorted(map(tuple, T._gate_flags_with(
+    h_want_df = T._gate_flags_with(
         arriving, T.boiler_codec(existing),
         T.nb_model(existing, n_buckets=256),
         bm25_gate_index(existing, r_floor=128, keep_denom=None),
-        tau=5.5, n_buckets=256).collect()))
+        tau=5.5, n_buckets=256)
+    h_want = sorted(map(tuple, h_want_df.collect()))
     assert h_got == h_want
+    # the build-time n_buckets travels IN the artifact dir ({path}/meta,
+    # ADVICE r13): serving with no explicit n_buckets auto-applies it...
+    h_auto = sorted(map(tuple, T.ingest_gate_flags_from(
+        spark, str(tmp_path / "ing_h"), arriving, tau=5.5).collect()))
+    assert h_auto == h_want
+    # ...the funnel form (which exposes no n_buckets knob) therefore
+    # cannot score raw bigrams against the bucket-keyed weights
+    hf_got = T.ingest_funnel_from(spark, str(tmp_path / "ing_h"),
+                                  arriving, tau=5.5).collect()
+    hf_want = T._funnel_agg(h_want_df).collect()
+    assert hf_got == hf_want
+    # ...and a conflicting explicit value is rejected loudly instead of
+    # silently collapsing every NB score to the prior
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_buckets=256"):
+        T.ingest_gate_flags_from(spark, str(tmp_path / "ing_h"),
+                                 arriving, tau=5.5, n_buckets=64)
+    with _pytest.raises(ValueError, match="n_buckets=None"):
+        T.ingest_gate_flags_from(spark, str(tmp_path / "ing"),
+                                 arriving, tau=5.5, n_buckets=64)
 
 
 def test_ingest_persisted_serving_reads_zero_training_bytes(spark, tmp_path):
