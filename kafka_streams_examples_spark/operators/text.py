@@ -1187,7 +1187,8 @@ def corpus_report(docs: DataFrame, min_words: int = 50,
 def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
                        discount: float = 0.75, text_col: str = "text",
                        id_col: str = "doc_id",
-                       count_alias: str | None = None) -> DataFrame:
+                       count_alias: str | None = None,
+                       prune: int = 0) -> DataFrame:
     """Interpolated Kneser-Ney surprisal per document at ANY n-gram
     ``order`` — the generalized production perplexity-filter tier
     (CCNet's filter is a 5-gram KN-smoothed KenLM). One parameterized
@@ -1218,9 +1219,45 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
     oracle (registry._kn_sql emits the matching SQL for any order), so
     both engines evaluate the same IEEE expression before the one ln()
     quantizes to micro-nats.
+
+    ``prune`` (VERDICT r13 item 6 — production KenLM/SRILM prune
+    low-count n-grams; CCNet ships pruned models): with ``prune=t>0``
+    the TOP-order raw-count table keeps only rows with count > t, and
+    every level below (the levels > 2 of the backoff structure) is
+    derived FROM the pruned table above it — so all model levels
+    shrink together and the whole ladder is the exact KN model of the
+    pruned count table. The threshold deliberately applies to raw
+    counts only, never to the derived continuation counts: those are
+    TYPE counts (distinct one-left extensions), overwhelmingly 1 by
+    construction, and thresholding them empties the ladder — measured
+    on the sf0.001/sf0.01 fixtures, c>1 on continuation levels left 1
+    row at level 4 and ZERO at levels 3/2 (t=0, the degenerate
+    model). The level-2 base never prunes (KenLM's
+    no-unigram-pruning rule). Renormalization is exact by
+    construction: the per-level context tables (cdot, nf) are
+    recomputed FROM the pruned level tables, so sum over kept grams
+    of max(c-d,0)/cdot + (d*nf/cdot)*1 = 1 at every surviving
+    context — pruned grams score through the redistributed backoff
+    mass. Probing: the type table keeps ALL observed grams (already
+    counted in the first aggregation) but LEFT-joins the pruned model
+    tables; a level whose context row is missing passes through
+    (p_m = p_{m-1}, the unseen-context backoff convention) and a word
+    pruned out of the base distribution scores the uniform type floor
+    1/T (the <unk> convention; T is floored at 1 so an all-hapax
+    corpus degenerates to surprisal 0, not a divide-by-zero). Scale
+    shape: the 2(n-1) enrichment joins' BUILD sides shrink from
+    all-observed-types to the count>t subset and its derivations — on
+    natural text hapax n-grams dominate the order-5 table, and those
+    joins dominate the unpruned plan's cost (SCALE evidence: the
+    kn5_pruned row). Oracle: registry._kn_sql(order, prune=t) shares
+    the threshold arithmetic.
     """
     if order < 2:
         raise ValueError("kn_ngram_surprisal needs order >= 2")
+    if prune > 0 and order < 3:
+        raise ValueError("prune applies to levels > 2 — needs order >= 3")
+    pruned = prune > 0
+    jt = "left" if pruned else "inner"
     n = order
     cols = [f"w{i}" for i in range(1, n + 1)]
     if count_alias is None:
@@ -1251,8 +1288,13 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
         return df.hint("shuffle_hash") if n >= 4 else df
 
     # the count-table ladder: level n = raw n-gram types; level m<n =
-    # continuation counts (distinct one-left extensions of level m+1)
-    level = {n: tg.groupBy(*cols).agg(F.count("*").alias(f"c{n}"))}
+    # continuation counts (distinct one-left extensions of level m+1).
+    # With pruning, the TOP table drops count<=prune rows and every
+    # level below derives from the pruned table above it (see the
+    # docstring for why continuation counts are never thresholded).
+    raw_top = tg.groupBy(*cols).agg(F.count("*").alias(f"c{n}"))
+    level = {n: raw_top.filter(F.col(f"c{n}") > prune)
+             if pruned else raw_top}
     for m in range(n - 1, 1, -1):
         gcols = cols[n - m:]            # the last m words
         level[m] = (level[m + 1].groupBy(*gcols)
@@ -1265,21 +1307,39 @@ def kn_ngram_surprisal(docs: DataFrame, order: int = 2,
            for m in range(n, 1, -1)}
     bk = level[2].groupBy(cols[-1]).agg(F.count("*").alias("n1b"))
     tt = level[2].agg(F.count("*").alias("t"))
-    # enrich the raw TYPE table with every model table, then probe once
-    enr = level[n].join(_scale_side(ctx[n]), cols[:-1])
+    # enrich the TYPE table with every model table, then probe once —
+    # pruned: ALL observed types (raw_top) left-join the pruned model
+    # tables (the shrunken build sides); unpruned: the bit-identical
+    # r13 inner-join plan
+    enr = (raw_top if pruned else level[n]) \
+        .join(_scale_side(ctx[n]), cols[:-1], jt)
     for m in range(n - 1, 1, -1):
         gcols = cols[n - m:]
-        enr = (enr.join(_scale_side(level[m]), gcols)
-                  .join(_scale_side(ctx[m]), gcols[:-1]))
-    enr = enr.join(_scale_side(bk), cols[-1]) \
+        enr = (enr.join(_scale_side(level[m]), gcols, jt)
+                  .join(_scale_side(ctx[m]), gcols[:-1], jt))
+    enr = enr.join(_scale_side(bk), cols[-1], jt) \
              .join(F.broadcast(tt), F.lit(True))
     d = F.lit(discount)
-    p = F.col("n1b").cast("double") / F.col("t").cast("double")
+    if pruned:
+        p = (F.coalesce(F.col("n1b"), F.lit(1)).cast("double")
+             / F.greatest(F.col("t"), F.lit(1)).cast("double"))
+    else:
+        p = F.col("n1b").cast("double") / F.col("t").cast("double")
     for m in range(2, n + 1):
         cdot = F.col(f"cdot{m}").cast("double")
-        p = (F.greatest(F.col(f"c{m}").cast("double") - d, F.lit(0.0))
-             / cdot
-             + (d * F.col(f"nf{m}").cast("double") / cdot) * p)
+        if pruned:
+            cm = (F.when(F.col(f"c{n}") > prune, F.col(f"c{n}"))
+                   .otherwise(F.lit(0)) if m == n
+                  else F.coalesce(F.col(f"c{m}"), F.lit(0)))
+            interp = (F.greatest(cm.cast("double") - d, F.lit(0.0))
+                      / cdot
+                      + (d * F.col(f"nf{m}").cast("double") / cdot) * p)
+            p = F.when(cdot.isNull(), p).otherwise(interp)
+        else:
+            p = (F.greatest(F.col(f"c{m}").cast("double") - d,
+                            F.lit(0.0))
+                 / cdot
+                 + (d * F.col(f"nf{m}").cast("double") / cdot) * p)
     enr = enr.select(*cols, F.floor(-F.log(p) * 1e6 + F.lit(0.5))
                             .cast("long").alias("s6"))
     agg = (tg.join(_scale_side(enr), cols)
@@ -1510,6 +1570,21 @@ def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
     the score would collapse to the prior, silently — ADVICE r13).
     Passing ``n_buckets`` explicitly is only accepted when it matches
     the persisted value (or for pre-meta artifact directories)."""
+    boiler, model, index, n_buckets = load_ingest_artifacts(
+        spark, path, n_buckets=n_buckets)
+    return _gate_flags_with(arriving, boiler, model, index, tau,
+                            words_per_line, text_col, id_col,
+                            n_buckets=n_buckets)
+
+
+def load_ingest_artifacts(spark, path: str, n_buckets: int | None = None):
+    """Open a :func:`build_ingest_artifacts` directory: returns
+    ``(boiler, folded_nb_model, gate_index, n_buckets)`` with the
+    build-time ``n_buckets`` read back from ``{path}/meta`` (a caller
+    value is validated against it — the ADVICE r13 guard). Shared by
+    the batch serve path (:func:`ingest_gate_flags_from`) and the
+    streaming one (streaming/pipelines.py:streaming_ingest_funnel_from)
+    so the two cannot drift on artifact layout or hash geometry."""
     persisted = _read_ingest_meta(spark, path)
     if persisted is not _NO_META:
         if n_buckets is not None and n_buckets != persisted:
@@ -1523,10 +1598,7 @@ def ingest_gate_flags_from(spark, path: str, arriving: DataFrame,
     weights = spark.read.parquet(f"{path}/nb_weights")
     pri = spark.read.parquet(f"{path}/nb_prior")
     index = spark.read.parquet(f"{path}/gate_index").drop("wb")
-    model = fold_nb_codec(weights, pri)
-    return _gate_flags_with(arriving, boiler, model, index, tau,
-                            words_per_line, text_col, id_col,
-                            n_buckets=n_buckets)
+    return boiler, fold_nb_codec(weights, pri), index, n_buckets
 
 
 #: Sentinel for "artifact directory predates the meta row" — distinct

@@ -5942,7 +5942,7 @@ def q_kn3_surprisal(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _kn_sql(order: int, discount: float = 0.75,
-            count_alias: str | None = None) -> str:
+            count_alias: str | None = None, prune: int = 0) -> str:
     """Oracle generator for kn_ngram_surprisal at ANY order — emits the
     generalized CTE ladder (raw n-gram type table, the per-order
     continuation/context tables, base distribution from the level-2
@@ -5956,13 +5956,28 @@ def _kn_sql(order: int, discount: float = 0.75,
     (the Spark enrich-first shape) instead of one flat n-way join:
     past ~8 relations DuckDB's join-order search degrades to plans
     with CROSS_PRODUCTs (measured: 130s vs 0.3s on the sf0.001
-    fixture at order 5)."""
+    fixture at order 5).
+
+    ``prune`` mirrors kn_ngram_surprisal's count-threshold pruning
+    with the SAME arithmetic (VERDICT r13 item 6): the TOP-order
+    raw-count table drops count<=prune rows; every level below
+    derives from the pruned table above (continuation counts are
+    never thresholded — they are type counts, see the operator
+    docstring); the enrichment starts from the RAW type table and
+    LEFT-joins the pruned model tables; a NULL context passes p
+    through unchanged (CASE WHEN cdot IS NULL), a NULL gram count
+    coalesces to 0, and a word missing from the base scores the
+    1/greatest(T,1) <unk> floor (coalesce(n1b, 1))."""
     n = order
     cols = [f"w{i}" for i in range(1, n + 1)]
     if count_alias is None:
         count_alias = {2: "n_bigrams", 3: "n_trigrams"}.get(
             n, f"n_{n}grams")
     d = repr(float(discount))
+    pruned = prune > 0
+    if pruned and n < 3:
+        raise ValueError("prune applies to levels > 2 — needs order >= 3")
+    jk = "LEFT JOIN" if pruned else "JOIN"
     gram_sel = ", ".join(
         (f"ws[i+{j}] AS {cols[j]}" if j else f"ws[i] AS {cols[0]}")
         for j in range(n))
@@ -5973,10 +5988,22 @@ def _kn_sql(order: int, discount: float = 0.75,
         f"""tg AS MATERIALIZED (SELECT doc_id, {gram_sel}
            FROM tk, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)
            WHERE len(ws) >= {n})""",
-        f"""lvl{n} AS MATERIALIZED (SELECT {", ".join(cols)},
-           count(*) AS c{n} FROM tg
-           GROUP BY {", ".join(str(i + 1) for i in range(n))})""",
     ]
+    if pruned:
+        # raw type table stays (the probe surface); the model top is
+        # its count>prune subset
+        ctes.append(
+            f"""raw{n} AS MATERIALIZED (SELECT {", ".join(cols)},
+           count(*) AS c{n} FROM tg
+           GROUP BY {", ".join(str(i + 1) for i in range(n))})""")
+        ctes.append(
+            f"""lvl{n} AS MATERIALIZED (SELECT * FROM raw{n}
+           WHERE c{n} > {prune})""")
+    else:
+        ctes.append(
+            f"""lvl{n} AS MATERIALIZED (SELECT {", ".join(cols)},
+           count(*) AS c{n} FROM tg
+           GROUP BY {", ".join(str(i + 1) for i in range(n))})""")
     for m in range(n, 1, -1):
         gcols = cols[n - m:]
         if m < n:
@@ -5993,7 +6020,7 @@ def _kn_sql(order: int, discount: float = 0.75,
                 f"FROM lvl2 GROUP BY 1)")
     ctes.append("tt AS (SELECT count(*) AS t FROM lvl2)")
     # progressive enrichment of the type table, two joins per CTE
-    prev = f"lvl{n}"
+    prev = f"raw{n}" if pruned else f"lvl{n}"
     for m in range(n, 1, -1):
         gcols = cols[n - m:]
         on_ctx = " AND ".join(f"ctx{m}.{c} = {prev}.{c}"
@@ -6002,23 +6029,34 @@ def _kn_sql(order: int, discount: float = 0.75,
         if m < n:
             on_lvl = " AND ".join(f"lvl{m}.{c} = {prev}.{c}"
                                   for c in gcols)
-            extra = f"\n      JOIN lvl{m} ON {on_lvl}"
+            extra = f"\n      {jk} lvl{m} ON {on_lvl}"
         ctes.append(
             f"""e{m} AS MATERIALIZED (SELECT {prev}.*,
            {f"lvl{m}.c{m}, " if m < n else ""}ctx{m}.cdot{m}, ctx{m}.nf{m}
       FROM {prev}{extra}
-      JOIN ctx{m} ON {on_ctx})""")
+      {jk} ctx{m} ON {on_ctx})""")
         prev = f"e{m}"
-    p = "CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE)"
+    if pruned:
+        p = ("CAST(coalesce(n1b, 1) AS DOUBLE) / "
+             "CAST(greatest(t, 1) AS DOUBLE)")
+    else:
+        p = "CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE)"
     for m in range(2, n + 1):
         cdot = f"CAST(cdot{m} AS DOUBLE)"
-        p = (f"greatest(CAST(c{m} AS DOUBLE) - {d}, 0.0) / {cdot}"
-             f" + ({d} * CAST(nf{m} AS DOUBLE) / {cdot}) * ({p})")
+        if pruned:
+            cm = (f"CASE WHEN c{n} > {prune} THEN c{n} ELSE 0 END"
+                  if m == n else f"coalesce(c{m}, 0)")
+            p = (f"CASE WHEN cdot{m} IS NULL THEN ({p}) ELSE "
+                 f"greatest(CAST({cm} AS DOUBLE) - {d}, 0.0) / {cdot}"
+                 f" + ({d} * CAST(nf{m} AS DOUBLE) / {cdot}) * ({p}) END")
+        else:
+            p = (f"greatest(CAST(c{m} AS DOUBLE) - {d}, 0.0) / {cdot}"
+                 f" + ({d} * CAST(nf{m} AS DOUBLE) / {cdot}) * ({p})")
     ctes.append(
         f"""enr AS MATERIALIZED (SELECT {", ".join(
             f"{prev}.{c}" for c in cols)},
         CAST(floor(-ln({p}) * 1e6 + 0.5) AS BIGINT) AS s6
-      FROM {prev} JOIN bk ON bk.{cols[-1]} = {prev}.{cols[-1]}
+      FROM {prev} {jk} bk ON bk.{cols[-1]} = {prev}.{cols[-1]}
       CROSS JOIN tt)""")
     ctes.append(
         f"""agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS {count_alias},
@@ -6053,3 +6091,33 @@ def _kn_sql(order: int, discount: float = 0.75,
 )
 def q_kn5_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     return TX.kn_ngram_surprisal(table(spark, sf, "documents"), order=5)
+
+
+@query(
+    "kn5_pruned",
+    _kn_sql(5, prune=1),
+    "Count-threshold-PRUNED 5-gram Kneser-Ney surprisal (VERDICT r13 "
+    "item 6 — production KenLM/SRILM ship pruned models; CCNet's "
+    "filter model is pruned): kn_ngram_surprisal(order=5, prune=1) "
+    "(operators/text.py). The top-order raw table keeps only "
+    "count>1 rows and every backoff level derives from the pruned "
+    "table above it, so all model levels shrink together; the "
+    "threshold never touches the derived continuation counts (type "
+    "counts, ~all 1 — thresholding them empties the ladder, "
+    "measured) and the level-2 base never prunes (KenLM's "
+    "no-unigram-pruning rule). Renormalization is "
+    "exact by construction — context tables recompute from the "
+    "pruned levels, so every surviving context's conditional still "
+    "sums to 1 and pruned grams score through the redistributed "
+    "backoff mass; a missing context passes p through (unseen-"
+    "context backoff), a base-pruned word scores the 1/T <unk> "
+    "floor. Scale point: on natural text hapax 5-grams dominate the "
+    "type table, so the 8 enrichment joins' build sides collapse to "
+    "the count>1 subset — the type-table reduction the unpruned "
+    "kn5_surprisal plan cannot have. Oracle: the same "
+    "registry._kn_sql generator with prune=1 — threshold arithmetic "
+    "shared, association order mirrored level by level.",
+)
+def q_kn5_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.kn_ngram_surprisal(table(spark, sf, "documents"), order=5,
+                                 prune=1)

@@ -155,6 +155,33 @@ def test_bench_payload_carries_load_honesty_fields():
     assert p["disk_mb_s"] is None          # skipped probe stays honest
 
 
+def test_bench_self_artifact_snapshot_policy(tmp_path):
+    # VERDICT r13 what's-wrong 1: a post-commit re-run (driver or
+    # otherwise) must never dirty the round's committed canonical
+    # BENCH_SELF in place — it diverts to the _post slot. Uncommitted
+    # files keep the overwrite-freely iterate loop.
+    import os
+    import subprocess
+
+    import bench
+    d = str(tmp_path)
+    subprocess.run(["git", "init", "-q"], cwd=d, check=True)
+    assert bench.self_artifact_path(d, 14).endswith("BENCH_SELF_r14.json")
+    f = os.path.join(d, "BENCH_SELF_r14.json")
+    open(f, "w").write("{}")
+    # untracked: same slot (iterate loop)
+    assert bench.self_artifact_path(d, 14) == f
+    subprocess.run(["git", "add", "BENCH_SELF_r14.json"], cwd=d, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-qm", "snap"], cwd=d, check=True)
+    # committed canonical: divert
+    assert bench.self_artifact_path(d, 14).endswith(
+        "BENCH_SELF_r14_post.json")
+    # locally modified again: the canonical is already dirty, overwrite
+    open(f, "a").write(" ")
+    assert bench.self_artifact_path(d, 14) == f
+
+
 def test_disk_probe_measures_and_skips():
     # the probe itself: returns per-pass MB/s + best at a tiny size
     # (1 MiB here — the test must not burn real I/O), and the env

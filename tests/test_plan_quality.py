@@ -122,6 +122,8 @@ BNLJ_BY_DESIGN = {
     "kn3_surprisal",
     # and at the production order (the parameterized kn_ngram step)
     "kn5_surprisal",
+    # the pruned ladder keeps the same 1-row type-count broadcast
+    "kn5_pruned",
     # join-fallback encode paths: the BOUNDED 1-row codec (merge array /
     # piece map / scalar prior) still attaches by broadcast onto the
     # vocabulary-scale word table — the unbounded per-word/weight table

@@ -671,6 +671,109 @@ def test_kn_ngram_orders_4_and_5_match_python_replica(spark):
     assert a3 == g3
 
 
+def _kn_pruned_replica(rows, order, prune, d_=0.75):
+    """Pruned-ladder replica (VERDICT r13 item 6): the TOP raw-count
+    table drops count<=prune rows, lower levels derive from the pruned
+    table above (no threshold on continuation counts), contexts
+    recompute from the pruned tables (exact renormalization), missing
+    context passes p through, base-pruned words take the
+    1/greatest(T,1) <unk> floor."""
+    import math
+    from collections import Counter
+    n = order
+    grams, raw = {}, Counter()
+    for d, t in rows:
+        ws = t.split()
+        grams[d] = list(zip(*[ws[i:] for i in range(n)]))
+        raw.update(grams[d])
+    lvl = {n: Counter({k: c for k, c in raw.items() if c > prune})}
+    for m in range(n - 1, 1, -1):
+        lvl[m] = Counter(k[1:] for k in lvl[m + 1])
+    cdot, nf = {}, {}
+    for m in range(n, 1, -1):
+        cdot[m], nf[m] = Counter(), Counter()
+        for k, c in lvl[m].items():
+            cdot[m][k[:-1]] += c
+            nf[m][k[:-1]] += 1
+    n1b = Counter(k[-1] for k in lvl[2])
+    t = len(lvl[2])
+    out = {}
+    for d, _ in rows:
+        if not grams[d]:
+            out[d] = (0, 0.0)
+            continue
+        s6 = 0
+        for g in grams[d]:
+            p = (n1b[g[-1]] if g[-1] in n1b else 1) / max(t, 1)
+            for m in range(2, n + 1):
+                key = g[n - m:]
+                if key[:-1] not in cdot[m]:
+                    continue                      # unseen context: pass
+                c = lvl[m].get(key, 0)
+                p = (max(c - d_, 0.0) / cdot[m][key[:-1]]
+                     + (d_ * nf[m][key[:-1]] / cdot[m][key[:-1]]) * p)
+            s6 += math.floor(-math.log(p) * 1e6 + 0.5)
+        out[d] = (len(grams[d]),
+                  math.floor(s6 / (len(grams[d]) * 1e6) * 1e4 + 0.5) / 1e4)
+    return out
+
+
+def test_kn_pruned_matches_python_replica(spark):
+    """kn_ngram_surprisal(prune=t) against the pruned replica at
+    orders 3/4/5 and thresholds 1/2 — the fixture is built so pruning
+    BITES (repeated runs survive, hapax runs fall to backoff) and so
+    some words vanish from the base (the <unk> floor path runs)."""
+    from kafka_streams_examples_spark.operators.text import (
+        kn_ngram_surprisal,
+    )
+    import pytest as _pytest
+    rows = [(0, "aa bb cc dd aa bb cc dd ee aa bb cc dd"),
+            (1, "aa bb cc dd qq"),
+            (2, "xx yy zz ww xx yy zz ww vv"),
+            (3, "one two three four"),
+            (4, ""), (5, "cc dd ee ff cc dd ee ff gg hh")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for order in (3, 4, 5):
+        for prune in (1, 2):
+            col = f"n_{order}grams" if order > 3 else "n_trigrams"
+            got = {r.doc_id: (r[col], r.surprisal)
+                   for r in kn_ngram_surprisal(
+                       docs, order, prune=prune).collect()}
+            want = _kn_pruned_replica(rows, order, prune)
+            assert got == want, (order, prune)
+    with _pytest.raises(ValueError, match="order >= 3"):
+        kn_ngram_surprisal(docs, 2, prune=1)
+
+
+def test_kn_pruned_sql_matches_replica_and_guards():
+    """The generated pruned oracle (registry._kn_sql(order, prune))
+    evaluates to the same replica outputs on DuckDB alone — the same
+    tiny corpus, so both engines and the replica agree three ways."""
+    import duckdb
+    import pytest as _pytest
+
+    from kafka_streams_examples_spark.registry import _kn_sql
+    rows = [(0, "aa bb cc dd aa bb cc dd ee aa bb cc dd"),
+            (1, "aa bb cc dd qq"),
+            (2, "xx yy zz ww xx yy zz ww vv"),
+            (3, "one two three four"),
+            (4, ""), (5, "cc dd ee ff cc dd ee ff gg hh")]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") AS t(doc_id, text)")
+    for order in (3, 5):
+        for prune in (1, 2):
+            alias = "n_trigrams" if order == 3 else f"n_{order}grams"
+            got = {r[0]: (r[1], r[2]) for r in con.execute(
+                _kn_sql(order, prune=prune)
+                + " ORDER BY doc_id").fetchall()}
+            assert got == _kn_pruned_replica(rows, order, prune), \
+                (order, prune, alias)
+    with _pytest.raises(ValueError, match="order >= 3"):
+        _kn_sql(2, prune=1)
+
+
 def test_kn_sql_generator_matches_handwritten_oracles():
     """registry._kn_sql(order) is the oracle for ANY order; at orders
     2/3 it must agree with the hand-written kn_surprisal /

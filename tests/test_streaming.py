@@ -937,3 +937,60 @@ def test_streaming_ingest_funnel_equals_batch(spark, sf_dir):
     hit_ids = {d for d, _, _ in got_hits}
     assert {(d, d not in hit_ids) for d, *_ in flags} == \
         {(d, a) for d, _, _, _, a in flags}
+
+
+def test_streaming_ingest_funnel_from_persisted_artifacts(spark, sf_dir,
+                                                          tmp_path):
+    """VERDICT r13 item 4 — the production streaming wiring: the
+    funnel's artifacts come from a build_ingest_artifacts directory on
+    disk, every micro-batch gates with ZERO training jobs (the static
+    legs read only artifact bytes — the inputFiles pattern from
+    test_ingest_persisted_serving_reads_zero_training_bytes), and the
+    stream's verdicts equal the batch funnel's row-for-row, including
+    through a HASHED (n_buckets) artifact whose geometry must ride
+    {path}/meta onto the stream's scoring expression."""
+    from pyspark.sql import functions as F
+    from kafka_streams_examples_spark.catalog import table as cat_table
+    from kafka_streams_examples_spark.operators.text import (
+        build_ingest_artifacts, ingest_gate_flags_from,
+        load_ingest_artifacts,
+    )
+    from kafka_streams_examples_spark.streaming.core import (
+        run_to_memory, stream_table,
+    )
+    from kafka_streams_examples_spark.streaming.pipelines import (
+        streaming_ingest_funnel_from,
+    )
+
+    docs = cat_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 7)
+    arriving = docs.filter(F.col("doc_id") % 10 == 7)
+    for sub, nb in (("ing", None), ("ing_h", 256)):
+        path = str(tmp_path / sub)
+        build_ingest_artifacts(existing, path, n_buckets=nb)
+
+        # zero-training-bytes: every static leg reads only {path}/*
+        for leg in load_ingest_artifacts(spark, path)[:3]:
+            files = leg.inputFiles()
+            assert files and all(f"/{sub}/" in f for f in files)
+
+        stream = stream_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") % 10 == 7)
+        out = streaming_ingest_funnel_from(spark, path, stream, tau=5.5)
+        name, q = run_to_memory(out, mode="append")
+        rows = spark.table(name).collect()
+        q.stop()
+        got_docs = {(r.doc_id, r.g_gopher, r.g_line, r.g_nb)
+                    for r in rows if r.kind == "doc"}
+        hit_ids = {r.doc_id for r in rows if r.kind == "hit"}
+
+        # batch twin over the SAME artifact directory (itself pinned
+        # equal to the inline funnel by test_ingest_persisted_equals_
+        # inline) — note tau/words_per_line defaults differ between
+        # the two surfaces, so pass tau explicitly on both
+        flags = {tuple(r) for r in ingest_gate_flags_from(
+            spark, path, arriving, tau=5.5).collect()}
+        assert got_docs == {(d, g, l, n) for d, g, l, n, _ in flags}
+        assert {(d, d not in hit_ids) for d, *_ in flags} == \
+            {(d, a) for d, _, _, _, a in flags}
+        assert got_docs and hit_ids

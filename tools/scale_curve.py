@@ -101,6 +101,11 @@ CURVE = [
     # (bucket-hashed) NB model — same plan as nb_quality_filter with
     # the hash folded into the tokenize scan
     "kn5_surprisal", "nb_filter_hashed",
+    # r14 addition: the PRUNED 5-gram ladder (count>1 at the top
+    # order, lower levels derived from the pruned table) — its row vs
+    # kn5_surprisal's is the measured type-table reduction the
+    # verdict asked to evidence (VERDICT r13 item 6)
+    "kn5_pruned",
 ]
 
 def _incremental_knn_auto(spark, sf_dir):
@@ -174,7 +179,10 @@ CURVE_10 = ["dedup_clusters", "dedup_clusters_star", "minhash_lsh_pairs",
             "kn3_surprisal", "ingest_funnel",
             # r13 additions (the 5-gram type ladder under decade
             # growth; the fixed-size hashed NB model)
-            "kn5_surprisal", "nb_filter_hashed"]
+            "kn5_surprisal", "nb_filter_hashed",
+            # r14 addition (the pruned ladder one decade up — the
+            # enrichment joins' build sides are the count>1 subset)
+            "kn5_pruned"]
 
 
 def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
