@@ -193,6 +193,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     import bench
     idle_wait = bench.wait_for_idle()   # same gate as bench.py (r8)
+    disk_start = bench.disk_probe()     # storage regime (r14, same as bench.py)
     spark = get_spark("scale-curve", cpus=cpus, shuffle_partitions=cpus)
     QUERIES["tpch_q1"].spark(spark, sfs[0][1]).count()          # warmup
     # warm the canary's own noop-write path too: r10's canaries read
@@ -237,7 +238,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
         extra_sections = {k: v for k, v in prior.items()
                           if k not in ("method", "cpus", "loadavg",
                                        "idle_wait_sec", "canary",
-                                       "queries")}
+                                       "disk_mb_s", "queries")}
     for name in (only or CURVE):
         row: dict = {}
         fn = OVERRIDES[name]["fn"] if name in OVERRIDES \
@@ -263,6 +264,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
 
     canary_last = canary()
     load_end = os.getloadavg()
+    disk_end = bench.disk_probe()
     payload = {
         "method": "min-of-2 noop-sink wall per SF; sf1 = density-preserving "
                   "10x of sf0.1 (tools/scale_data.py); 10x data per step, "
@@ -271,6 +273,7 @@ def main(out_path: str = "SCALE_r05.json", only: list[str] | None = None,
         "loadavg": {"start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in load_end]},
         "idle_wait_sec": idle_wait,
+        "disk_mb_s": {"start": disk_start, "end": disk_end},
         "canary": {"query": "tpch_q1", "sf": "0.1",
                    "first_sec": round(canary_first, 3),
                    "last_sec": round(canary_last, 3),

@@ -69,6 +69,8 @@ def main():
                      f"`python tools/scale_data.py {SF10} 100` first")
         rest = [a for a in sys.argv[1:] if a != "--scale10"]
         names = rest[1:] or SCALE10_PIPELINES
+        import bench
+        disk_start = bench.disk_probe()
         spark = get_spark("stream-bench")
         report = scale_report(spark, lo_dir=SF1, hi_dir=SF10,
                               lo_key="sf1", hi_key="sf10",
@@ -86,6 +88,8 @@ def main():
                           "falls one decade up",
                 "pipelines": {}})
             sect["pipelines"].update(report)
+            sect["disk_mb_s"] = {"start": disk_start,
+                                 "end": bench.disk_probe()}
             with open(rest[0], "w") as f:
                 json.dump(payload, f, indent=1)
             print(f"merged streaming_sf10 section into {rest[0]}")
@@ -96,6 +100,8 @@ def main():
     if "--scale" in sys.argv[1:]:
         if not os.path.isdir(SF1):
             sys.exit(f"{SF1} missing — run `python tools/scale_data.py` first")
+        import bench
+        disk_start = bench.disk_probe()
         spark = get_spark("stream-bench")
         report = scale_report(spark)
         # optional merge target: `--scale SCALE_r06.json` embeds the
@@ -116,6 +122,8 @@ def main():
                           "(fixed cost amortized), <0.1 would be "
                           "super-linear state machinery",
                 "pipelines": report,
+                "disk_mb_s": {"start": disk_start,
+                              "end": bench.disk_probe()},
             }
             with open(rest[0], "w") as f:
                 json.dump(payload, f, indent=1)
