@@ -69,6 +69,11 @@ def main():
                      f"`python tools/scale_data.py {SF10} 100` first")
         rest = [a for a in sys.argv[1:] if a != "--scale10"]
         names = rest[1:] or SCALE10_PIPELINES
+        # The sf10 replay pushes 10M events through complete-mode /
+        # mapGroupsWithState state stores in ONE local[32] JVM; the
+        # session default (8g) OOM'd the driver heap mid-replay (r14).
+        # Same convention as tools/scale_curve.py's --sf10 branch.
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
         import bench
         disk_start = bench.disk_probe()
         spark = get_spark("stream-bench")
