@@ -2034,6 +2034,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return D.winnow_fingerprints(table(spark, sf, "documents"), w=4, n=3)
 
 
+def _benchmark_frags(docs: DataFrame) -> DataFrame:
+    """The deterministic stand-in benchmark set shared by both
+    decontamination queries: a 30-token slice of every 97th document."""
+    tk = F.filter(tokens(F.col("text")), lambda x: x != "")
+    return (docs.select(F.col("doc_id").alias("src_id"), tk.alias("ws"))
+                .filter(((F.col("src_id") % 97) == 0) & (F.size("ws") >= 40))
+                .select("src_id",
+                        F.concat_ws(" ", F.slice("ws", 11, 30)).alias("frag")))
+
+
 @query(
     "decontaminate",
     r"""WITH tk AS (SELECT doc_id,
@@ -2057,12 +2067,39 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    tk = F.filter(tokens(F.col("text")), lambda x: x != "")
-    cont = (docs.select(F.col("doc_id").alias("src_id"), tk.alias("ws"))
-                .filter(((F.col("src_id") % 97) == 0) & (F.size("ws") >= 40))
-                .select("src_id",
-                        F.concat_ws(" ", F.slice("ws", 11, 30)).alias("frag")))
-    return TX.decontaminate(docs, cont)
+    return TX.decontaminate(docs, _benchmark_frags(docs))
+
+
+@query(
+    "decontaminate_bloom",
+    r"""WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+         FROM documents),
+    norm AS (SELECT doc_id, array_to_string(ws, ' ') AS ntext FROM tk),
+    cont AS (SELECT doc_id AS src_id, array_to_string(list_slice(ws, 11, 40), ' ') AS frag
+             FROM tk WHERE doc_id % 97 = 0 AND len(ws) >= 40)
+    SELECT n.doc_id, c.src_id
+    FROM norm n, cont c
+    WHERE contains(' ' || n.ntext || ' ', ' ' || c.frag || ' ')""",
+    "Bloom-prefiltered decontamination — row-identical to `decontaminate` "
+    "(Bloom filters have no false negatives and the exact fingerprint "
+    "join kills the false positives, so the SAME oracle covers both; the "
+    "driver verifies that identity every round). The variant exists for "
+    "the 100 TB case the plain form cannot broadcast: a full eval-suite "
+    "benchmark set whose fingerprint table is GBs. Its fragment "
+    "fingerprints collapse to a fixed m-bit bitmap (m=2^16 here; sized "
+    "by target false-positive rate, NOT benchmark size) that attaches as "
+    "a ONE-ROW broadcast array<long>, and corpus fingerprints probe it "
+    "with shiftright/AND arithmetic inside whole-stage codegen — the "
+    "non-candidate bulk of the corpus is discarded at scan time, before "
+    "any shuffle. The bitmap build itself aggregates map-side (bit_or "
+    "over int64 words) and ships <= m/64 rows to the driver — bounded "
+    "by the constant m, never by data.",
+)
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return TX.decontaminate_bloom(docs, _benchmark_frags(docs),
+                                  m_bits=1 << 16, probes=2)
 
 
 @query(
