@@ -43,6 +43,10 @@ CURVE = [
     # codes-not-vectors ADC serving; composed coarse-route + ADC)
     "bpe_train", "bpe_fertility", "source_mixture", "pq_knn", "knn_ivfpq",
     "exact_substring_dedup", "dsir_score",
+    # r14 addition (Bloom-bitmap prefilter twin of decontaminate: the
+    # scan-side probe must keep the row at-most-linear while the
+    # fragment side stays a constant-size one-row broadcast)
+    "decontaminate_bloom",
     # r6 additions (composed recall gauge over all ANN tiers; composed
     # score -> threshold -> manifest pipeline)
     "knn_recall", "dsir_resample",
