@@ -417,3 +417,49 @@ def bm25_gate(new_docs: DataFrame, index: DataFrame, tau: float = 3.0,
                           (F.floor(F.col("__s6").cast("double") / F.lit(1e6)
                                    * F.lit(1e4) + F.lit(0.5))
                            / F.lit(1e4)).alias("score")))
+
+
+def bm25_gate_batch(new_docs: DataFrame, index: DataFrame,
+                    tau: float = 3.0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """:func:`bm25_gate` for BATCH callers — row-identical output
+    (pinned by test_bm25_gate_batch_equals_stream), different physical
+    plan. The stream form is shaped by append-mode statelessness: it
+    carries the candidate's whole word->impact map on every index row
+    and folds the arriving document's term array over that map per
+    joined row (two O(|terms|) folds per (term, candidate) row, plus
+    map-width rows through the join). A batch caller doesn't need
+    statelessness, and the same score is a plain aggregation: the
+    (distinct-term x pruned-posting) equi-join already enumerates
+    exactly the shared words whose impacts the fold sums — the fold's
+    misses coalesce to 0, so
+
+        s6(new, c) = sum over __terms of c_map[t]
+                   = sum of w6 over joined (word, c_id) rows.
+
+    groupBy(new_id, c_id).sum(w6) computes that with map-side partial
+    aggregation over (long, long, long) rows — the joined relation
+    collapses before the exchange instead of shipping per-row maps and
+    re-folding (r14 measured on the ingest funnel at sf0.1: the probe
+    stage fell 11.7s -> sub-second; guide §2.3 "aggregate before you
+    shuffle"). ``w6`` is read back from the row's own c_map entry, so
+    ANY :func:`bm25_gate_index`-shaped input (inline or persisted
+    ``gate_index`` parquet) serves both forms unchanged."""
+    tau6 = int(math.floor(tau * 1e6 + 0.5))
+    terms = F.array_distinct(
+        F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                 lambda x: x != ""))
+    newx = (new_docs.select(F.col(id_col).alias("new_id"),
+                            F.explode(terms).alias("word")))
+    narrow = index.select(
+        "word", "c_id",
+        F.element_at(F.col("c_map"), F.col("word")).alias("w6"))
+    joined = newx.join(narrow, "word") \
+                 .filter(F.col("c_id") != F.col("new_id"))
+    return (joined.groupBy("new_id", "c_id")
+                  .agg(F.sum("w6").alias("__s6"))
+                  .filter(F.col("__s6") >= tau6)
+                  .select("new_id", "c_id",
+                          (F.floor(F.col("__s6").cast("double") / F.lit(1e6)
+                                   * F.lit(1e4) + F.lit(0.5))
+                           / F.lit(1e4)).alias("score")))

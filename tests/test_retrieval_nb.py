@@ -389,6 +389,24 @@ def test_bm25_gate_score_matches_pruned_map_sum(spark):
     assert got == want
 
 
+def test_bm25_gate_batch_equals_stream(spark, sf_dir):
+    """r14: the aggregation-form batch probe (bm25_gate_batch — what the
+    batch ingest funnel now runs) must emit row-identical
+    (new_id, c_id, score) to the stateless stream-probe form, over the
+    real fixture corpus and at a tau low enough to keep plenty of rows
+    on both sides of the threshold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = RET.bm25_gate_index(docs.filter("doc_id % 10 != 7"),
+                                r_floor=128, keep_denom=None) \
+               .localCheckpoint(eager=True)
+    new = docs.filter("doc_id % 10 = 7")
+    for tau in (0.1, 3.0):
+        got = sorted(map(tuple,
+                         RET.bm25_gate_batch(new, index, tau).collect()))
+        want = sorted(map(tuple, RET.bm25_gate(new, index, tau).collect()))
+        assert got == want and got
+
+
 def test_bm25_gate_runs_on_stream_equals_batch(spark, sf_dir, tmp_path):
     from kafka_streams_examples_spark.streaming.core import run_to_memory
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
