@@ -22,21 +22,49 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-def _normalize_ntz(df: DataFrame) -> DataFrame:
+def _normalize_ntz(df: DataFrame, schema) -> DataFrame:
     # The driver's vanilla session keeps Spark 4's default
     # spark.sql.parquet.inferTimestampNTZ.enabled=true, so parquet
     # timestamps (written without UTC adjustment) surface as TIMESTAMP_NTZ,
     # which time functions like unix_micros() reject. The engine's contract
     # is instant semantics in a UTC session, so the cast is value-exact.
-    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    # The NTZ column set comes from the (cached) schema object — reading
+    # df.dtypes here would be another per-call JVM round trip.
+    ntz = [f.name for f in schema.fields
+           if f.dataType.typeName() == "timestamp_ntz"]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
+#: (applicationId, sf_dir, name) -> the normalized scan DataFrame. This
+#: memo holds table METADATA — an unresolved parquet scan plan (file
+#: index + schema) — never rows, never results, never a `.persist()`.
+#: Every action on the returned DataFrame still reads all data from the
+#: parquet files; re-running a query re-scans parquet from disk (the
+#: bench/oracle no-result-caching contract is untouched).
+#:
+#: Why (r14 optimization round): each `spark.read.parquet` call pays
+#: schema inference + DataSource relation resolution on the driver —
+#: measured ~0.15-0.6s PER table() CALL on this box — and the bench
+#: constructs every query fresh 2-3 times, several tables each, so
+#: catalog construction alone cost 15-30s of a 129s bench pass. A
+#: production deployment resolves tables through a metastore/manifest
+#: catalog exactly once (guide §6: manifest metadata over per-query
+#: listing); this memo is that catalog, scoped per Spark application so
+#: a fresh session (e.g. the driver's vanilla one) resolves its own
+#: first read under its own confs. DataFrames are immutable, so sharing
+#: the object across queries (including self-joins) is safe.
+_TABLE_CACHE: dict = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Depending on session confs
         # Spark reads it either as int64 nanos (legacy.parquet.nanosAsLong,
@@ -47,10 +75,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 — a double cast would lose precision above 2^53.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        sch = df.schema
+        if any(f.name == "ts" and f.dataType.typeName() == "long"
+               for f in sch.fields):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _normalize_ntz(df)
-    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        out = _normalize_ntz(df, sch)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out = _normalize_ntz(df, df.schema)
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -525,10 +525,22 @@ def signlsh_dots(vec, planes: int, dim: int, salt: str = "slsh"):
     zip_with/aggregate dot per plane is unchanged — but the expression
     tree and generated code shrink ~planes×, which is the dominant cost
     of the LSH kNN tiers (r8: knn_multiprobe's wall time was measured
-    flat across SFs, i.e. compile-constant-bound, not data-bound)."""
+    flat across SFs, i.e. compile-constant-bound, not data-bound).
+
+    r14: the matrix literal is built by ONE ``F.expr`` SQL parse instead
+    of planes×dim ``F.lit`` py4j round-trips. Query CONSTRUCTION is
+    driver-side Python, and each of the ~1,000 lit/array calls is a
+    synchronous JVM round-trip (~0.8 ms on this box — measured 2.8s of
+    knn_multiprobe's 4.5s build inside this function). ``repr(x)`` is
+    shortest-roundtrip, so ``CAST(repr AS DOUBLE)`` parses to the
+    bit-identical double ``F.lit(x)`` would have shipped; the ``D``
+    suffix marks a SQL double literal (a bare ``0.123`` would parse as
+    DECIMAL)."""
     from ..functions import stable_round
     W = signlsh_weights(planes, dim, salt)
-    w_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in W])
+    w_lit = F.expr("array(" + ",".join(
+        "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+        for row in W) + ")")
     return F.transform(
         w_lit,
         lambda wp: stable_round(
@@ -538,8 +550,10 @@ def signlsh_dots(vec, planes: int, dim: int, salt: str = "slsh"):
 
 def signlsh_masks(planes: int):
     """array<long> literal [1, 2, 4, …, 2^(planes-1)] — plane p's bucket
-    bit weight, shared by bucket assembly and multi-probe flipping."""
-    return F.array(*[F.lit(2 ** p).cast("long") for p in range(planes)])
+    bit weight, shared by bucket assembly and multi-probe flipping.
+    One SQL parse (r14): ``NL`` is a SQL BIGINT literal."""
+    return F.expr(
+        "array(" + ",".join(f"{2 ** p}L" for p in range(planes)) + ")")
 
 
 def signlsh_bucket_bits(vec, planes: int, dim: int,

@@ -966,20 +966,26 @@ def multiprobe_signlsh_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
             qd = queries.select(F.col(id_col).alias("q_id"),
                                 dots.alias("__dots"))
             dcol = F.col("__dots")
-            ab = [F.abs(F.element_at(dcol, p + 1)) for p in range(planes)]
-            perts = [F.struct(ab[p].alias("m"),
-                              F.lit(2 ** p).cast("long").alias("mask"))
+            # ties: score, then lower mask (for singles that IS the
+            # plane-index tie-break of the max_flip=1 path). The
+            # planes*(planes+1)/2 perturbation structs are one F.expr
+            # SQL parse (r14): built per-Column they cost ~300 py4j
+            # round trips per table — measured 1.4s of the 3-table
+            # knn_multiprobe build.
+            ab = [f"abs(element_at(__dots, {p + 1}))"
+                  for p in range(planes)]
+            perts = [f"named_struct('m', {ab[p]}, "
+                     f"'mask', CAST({2 ** p} AS BIGINT))"
                      for p in range(planes)]
             perts += [
-                F.struct((ab[i] + ab[j]).alias("m"),
-                         F.lit(2 ** i + 2 ** j).cast("long").alias("mask"))
+                f"named_struct('m', {ab[i]} + {ab[j]}, "
+                f"'mask', CAST({2 ** i + 2 ** j} AS BIGINT))"
                 for i in range(planes) for j in range(i + 1, planes)]
-            # ties: score, then lower mask (for singles that IS the
-            # plane-index tie-break of the max_flip=1 path)
             q0 = qd.select(
                 "q_id",
                 signlsh_bits_from_dots(dcol, planes).alias("q_bk"),
-                F.slice(F.array_sort(F.array(*perts)), 1,
+                F.slice(F.array_sort(
+                    F.expr("array(" + ",".join(perts) + ")")), 1,
                         probes - 1).alias("__flips"))
         probe_buckets = F.concat(
             F.array(F.col("q_bk")),

@@ -59,7 +59,8 @@ UNK_ID = 0
 
 
 def seed_pieces(docs: DataFrame, keep: int = 40, max_len: int = 4,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                vocab: DataFrame | None = None) -> DataFrame:
     """Seed piece table (piece, cnt): every single character of the
     corpus (never pruned) plus the ``keep`` most frequent substrings of
     length 2..max_len, counted per occurrence (overlaps included)
@@ -69,8 +70,13 @@ def seed_pieces(docs: DataFrame, keep: int = 40, max_len: int = 4,
     Vocabulary-scale throughout: substring explosion runs over the
     distinct-word table, and the top-``keep`` window is a
     few-hundred-row sort (the bpe_codec symbol-rank precedent), not a
-    corpus operation."""
-    w = word_counts(docs, text_col)
+    corpus operation.
+
+    ``vocab`` (r14): a precomputed ``word_counts`` table — the trainer
+    passes its already-materialized vocabulary so seeding reads the
+    checkpoint instead of re-tokenizing the corpus (same (word, cnt)
+    relation by construction, one corpus scan saved)."""
+    w = word_counts(docs, text_col) if vocab is None else vocab
     n = F.length("word")
     subs = F.flatten(F.transform(
         F.sequence(F.lit(1), n),
@@ -88,32 +94,59 @@ def seed_pieces(docs: DataFrame, keep: int = 40, max_len: int = 4,
 
 
 def _viterbi_dp(word: Column, cmap: Column, tot: Column,
-                max_len: int) -> Column:
+                max_len: int,
+                cols: tuple[str, str, str] = ("word", "__cnt", "__tot")
+                ) -> Column:
     """The DP table as an array<struct<c:double, bp:int>> column —
     dp[i+1] = (best probability of segmenting word[0:i], backpointer).
     A codegen'd F.aggregate over positions; each step examines at most
     ``max_len`` candidates via a fixed strictly-greater when-chain
-    (module docstring contract). JVM-side, zero Python."""
-    def step(acc: Column, m: Column) -> Column:
-        best = F.struct(F.lit(-1.0).alias("c"), F.lit(-1).alias("bp"))
-        for k in range(max_len, 0, -1):
-            sub = word.substr(m - k + 1, F.lit(k))
-            cntv = F.coalesce(F.element_at(cmap, sub),
-                              F.lit(1 if k == 1 else 0).cast("long"))
-            cand = F.when(
-                F.lit(k) <= m,
-                F.element_at(acc, m - k + 1)["c"]
-                * (cntv.cast("double") / tot.cast("double"))
-            ).otherwise(F.lit(-2.0))
-            best = F.when(cand > best["c"],
-                          F.struct(cand.alias("c"),
-                                   (m - k).alias("bp"))).otherwise(best)
-        return F.concat(acc, F.array(best))
+    (module docstring contract). JVM-side, zero Python.
 
-    return F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.array(F.struct(F.lit(1.0).alias("c"), F.lit(0).alias("bp"))),
-        step)
+    r14: the expression is assembled as ONE SQL string and parsed with a
+    single ``F.expr`` call. The historical per-Column construction made
+    ~1,200 synchronous py4j round trips (measured 2.3s PER BUILD on this
+    box, and unigram_encode builds the DP three times — two EM rounds +
+    the encode word table). The SQL text mirrors the Column version
+    token for token (same candidate duplication inside the CASE chain,
+    same literals and casts), so the parsed tree — and therefore every
+    value — is unchanged; ``cols`` names the word/count-map/total
+    columns the expression references (the historical Column arguments
+    are kept for signature compatibility but must be plain references to
+    exactly those columns).
+
+    The strictly-greater k=max_len..1 when-chain is equivalently the
+    lexicographic MAXIMUM over candidate structs (c, k, bp) — equal
+    costs keep the largest k examined first, which is exactly the
+    second struct field — so the chain is expressed as one
+    ``greatest()`` over max_len+1 structs (the extra first struct is
+    the historical (-1.0, bp=-1) initializer; real candidates have
+    c >= 0 or the -2.0 out-of-range sentinel, so it never collides).
+    The when-chain form embedded each candidate and the running best
+    TWICE per step (an exponentially duplicated tree that Catalyst
+    analysis re-walks on every downstream localCheckpoint — measured
+    0.8s PER lazy checkpoint in the EM loop); the greatest() form is
+    linear in max_len. The DP structs carry the extra ``k`` field —
+    dp is an intermediate column dropped before any output, and both
+    consumers (.c here, .bp in _backtrack) access fields by name."""
+    w, cm, tt = cols
+    structs = ["named_struct('c', CAST(-1.0 AS DOUBLE), 'k', -1, 'bp', -1)"]
+    for k in range(max_len, 0, -1):
+        fallback = 1 if k == 1 else 0
+        cand = (f"(CASE WHEN {k} <= m THEN "
+                f"element_at(acc, m - {k} + 1).c * "
+                f"(CAST(coalesce(element_at({cm}, "
+                f"substring({w}, m - {k} + 1, {k})), "
+                f"CAST({fallback} AS BIGINT)) AS DOUBLE) "
+                f"/ CAST({tt} AS DOUBLE)) "
+                f"ELSE CAST(-2.0 AS DOUBLE) END)")
+        structs.append(
+            f"named_struct('c', {cand}, 'k', {k}, 'bp', m - {k})")
+    best = "greatest(" + ", ".join(structs) + ")"
+    return F.expr(
+        f"aggregate(sequence(1, length({w})), "
+        f"array(named_struct('c', CAST(1.0 AS DOUBLE), 'k', 0, 'bp', 0)), "
+        f"(acc, m) -> concat(acc, array({best})))")
 
 
 def _backtrack(word: Column, dp: Column) -> Column:
@@ -170,7 +203,7 @@ def _em_rounds(docs: DataFrame, keep: int, iters: int, max_len: int,
     to cnt >= 1 every round (coverage; module docstring); multi-
     character pieces that win no Viterbi segmentations drop out."""
     vocab = word_counts(docs, text_col).localCheckpoint(eager=False)
-    pieces = seed_pieces(docs, keep, max_len, text_col) \
+    pieces = seed_pieces(docs, keep, max_len, text_col, vocab=vocab) \
         .localCheckpoint(eager=False)
     singles = pieces.filter(F.length("piece") == 1) \
         .select("piece").localCheckpoint(eager=False)
@@ -210,6 +243,13 @@ def unigram_codec(docs: DataFrame, keep: int = 40, iters: int = 2,
     dense lexicographic ids starting at 1; :data:`UNK_ID` 0 reserved).
     All three columns come from vocabulary-scale tables."""
     pieces, _ = _em_rounds(docs, keep, iters, max_len, text_col)
+    return _codec_from_pieces(pieces)
+
+
+def _codec_from_pieces(pieces: DataFrame) -> DataFrame:
+    """Fold a trained (piece, cnt) table into the 1-row codec — split
+    out (r14) so ``unigram_encode`` can reuse the trainer's vocabulary
+    alongside the codec instead of re-deriving both from the corpus."""
     ranked = pieces.withColumn(
         "__id", F.row_number().over(Window.orderBy("piece")).cast("int"))
     return ranked.agg(
@@ -222,14 +262,23 @@ def unigram_codec(docs: DataFrame, keep: int = 40, iters: int = 2,
 
 def unigram_word_table(docs: DataFrame, codec: DataFrame,
                        text_col: str = "text",
-                       max_len: int = 4) -> DataFrame:
+                       max_len: int = 4,
+                       words: DataFrame | None = None) -> DataFrame:
     """The memoized encode table (word, n, ids): every DISTINCT word of
     the corpus being encoded Viterbi-segmented ONCE under the codec
     (segmentation is a pure function of the word). The single source
-    for both of :func:`apply_unigram`'s application strategies."""
-    words = (docs.select(F.explode(tokens(F.coalesce(F.col(text_col),
-                                                     F.lit("")))).alias("word"))
-                 .filter(F.col("word") != "").distinct())
+    for both of :func:`apply_unigram`'s application strategies.
+
+    ``words`` (r14): a precomputed 1-column distinct-word table — the
+    train-and-encode composition passes the trainer's vocabulary so the
+    corpus is not re-tokenized just to recover the identical word set."""
+    if words is None:
+        words = (docs.select(
+                     F.explode(tokens(F.coalesce(F.col(text_col),
+                                                 F.lit("")))).alias("word"))
+                     .filter(F.col("word") != "").distinct())
+    else:
+        words = words.select("word")
     seg = segment_words(words, _codec_pieces(codec), max_len)
     ids = seg.join(F.broadcast(codec.select("__ids")), F.lit(True), "left")
     return ids.select(
@@ -245,7 +294,8 @@ def unigram_word_table(docs: DataFrame, codec: DataFrame,
 def apply_unigram(docs: DataFrame, codec: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_len: int = 4, strategy: str = "broadcast",
-                  word_limit: int | None = None) -> DataFrame:
+                  word_limit: int | None = None,
+                  words: DataFrame | None = None) -> DataFrame:
     """Encode ``docs`` with a trained :func:`unigram_codec`: per
     document (id, n_words, n_tokens, token_ids) — the
     :func:`operators.bpe.apply_bpe` output shape.
@@ -268,7 +318,8 @@ def apply_unigram(docs: DataFrame, codec: DataFrame,
     CHARACTER (the only way a piece can miss the id map, since Viterbi
     re-derives segmentations) encodes as :data:`UNK_ID`."""
     from .bpe import WORD_BROADCAST_LIMIT, encode_with_word_table
-    per_word = unigram_word_table(docs, codec, text_col, max_len)
+    per_word = unigram_word_table(docs, codec, text_col, max_len,
+                                  words=words)
     if strategy == "auto":
         limit = WORD_BROADCAST_LIMIT if word_limit is None else word_limit
         strategy = "broadcast" if per_word.count() <= limit else "join"
@@ -307,6 +358,11 @@ def unigram_encode(docs: DataFrame, keep: int = 40, iters: int = 2,
                    strategy: str = "broadcast") -> DataFrame:
     """Train-and-encode convenience: :func:`unigram_codec` on ``docs``
     then :func:`apply_unigram` over the same corpus (the bpe_encode
-    registry shape)."""
-    codec = unigram_codec(docs, keep, iters, max_len, text_col)
-    return apply_unigram(docs, codec, text_col, id_col, max_len, strategy)
+    registry shape). r14: the trainer's checkpointed vocabulary doubles
+    as the encode pass's distinct-word set (identical relation by
+    construction — same corpus, same tokenizer), so train-and-encode
+    tokenizes the corpus once instead of three times."""
+    pieces, vocab = _em_rounds(docs, keep, iters, max_len, text_col)
+    codec = _codec_from_pieces(pieces)
+    return apply_unigram(docs, codec, text_col, id_col, max_len, strategy,
+                         words=vocab)
