@@ -718,7 +718,10 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
 
     100 TB design: near-dup components are clique-ish (diameter 2-3), so
     propagation converges in a handful of rounds; the edge relation is
-    persisted once and every round shuffles only (int64, int64) pairs. For
+    materialized once (lazy localCheckpoint — cached blocks AND a
+    truncated logical plan, so per-round planning cost is independent of
+    the upstream pair pipeline) and every round shuffles only
+    (int64, int64) pairs. For
     adversarially long path graphs, pass algorithm="star" to run the
     O(log n)-round large-star/small-star variant
     (:func:`connected_components_star`) behind the same contract;
@@ -730,11 +733,20 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                                          id_col, max_iterations)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    from pyspark import StorageLevel
+    # lazy localCheckpoint, NOT persist: both cache the symmetrized edges
+    # across rounds, but persist leaves sym's LOGICAL plan as the full
+    # upstream pair pipeline (LSH join / knn graph / …), and every
+    # per-round localCheckpoint below re-pays Catalyst analysis + cache
+    # canonicalization of that whole tree — measured 0.76–1.0s PER ROUND
+    # on the semantic_prune / dedup_keep_best edge pipelines, the
+    # dominant cost of the loop at sf0.1. The checkpoint truncates sym
+    # to a LogicalRDD once, so each round analyzes only the round's own
+    # join+agg. Rows are identical; materialization still happens on the
+    # first job (prev_sum below), same as the persisted form.
     sym = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
                 .union(edges.select(F.col(dst_col).alias("src"),
                                     F.col(src_col).alias("dst")))
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .localCheckpoint(eager=False))
     # iterate ONLY over edge-touched nodes: singletons (the vast majority
     # of a deduped corpus at scale) never change label, so they rejoin as
     # self-labeled rows after convergence instead of riding every round's
@@ -768,7 +780,6 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
     return (nodes.select(F.col(id_col))
                  .join(labels, nodes[id_col] == labels["node"], "left")
                  .select(F.col(id_col),
