@@ -846,8 +846,17 @@ def _dup_spans(docs: DataFrame, l: int, text_col: str,
                      F.posexplode(word_shingles(F.col("ws"), l))
                       .alias("pos", "gm"))
              .select(id_col, "pos", md5_hash64(F.col("gm")).alias("h")))
-    winners = g.groupBy("h").agg(F.min(id_col).alias("__w"))
-    dup = (g.join(winners, "h")
+    # winner-marking as a window-min over the gram hash, not
+    # groupBy+self-join: the join form consumed g TWICE (no exchange
+    # reuse: the aggregate side partial-aggs before its shuffle), so the
+    # tokenize+shingle+md5 corpus scan ran twice and the SMJ sorted both
+    # shuffled sides anyway. min(id) OVER (PARTITION BY h) marks the
+    # same winners with ONE scan and ONE exchange+sort of the narrow
+    # (id, pos, h) relation — measured 3.0s -> 1.65s warm at sf0.1 for
+    # the span pipeline, identical rows. Hash-skew exposure is the same
+    # as the join form's (h was the join key).
+    wmin = F.min(id_col).over(Window.partitionBy("h"))
+    dup = (g.withColumn("__w", wmin)
             .filter(F.col(id_col) > F.col("__w"))
             .select(id_col, "pos", (F.col("pos") + l).alias("end")))
     wo = Window.partitionBy(id_col).orderBy("pos")
