@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_hash64, stable_round, tokens, word_shingles
@@ -652,9 +652,13 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                 F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("hi"),
                 F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("lo"))
              .filter(F.col("hi") != F.col("lo"))
-             .distinct()
-             .localCheckpoint(eager=False))
-    n_prev = canon.count()          # materializes the lazy checkpoint
+             .distinct())
+    # edge count rides the materialization job via observe (see the
+    # propagation variant) — one job, not checkpoint + count
+    obs = Observation()
+    canon = (canon.observe(obs, F.count(F.lit(1)).alias("n"))
+                  .localCheckpoint(eager=True))
+    n_prev = obs.get["n"]
     for _ in range(max_iterations):
         # --- large-star ---------------------------------------------------
         sym = (canon.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -674,10 +678,12 @@ def connected_components_star(edges: DataFrame, nodes: DataFrame,
                     .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
               .union(joined.select("hi", F.col("m").alias("lo")))
               .filter(F.col("hi") != F.col("lo"))
-              .distinct()
-              # lazy: the count below materializes the checkpoint (one job)
-              .localCheckpoint(eager=False))
-        n_new = ss.count()
+              .distinct())
+        obs = Observation()
+        # the round count rides the checkpoint job (observe fusion)
+        ss = (ss.observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True))
+        n_new = obs.get["n"]
         if n_prev == n_new and ss.join(canon, ["hi", "lo"], "left_anti").isEmpty():
             canon = ss
             break
@@ -756,13 +762,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
                  .select("node", F.col("node").cast("long").alias("lbl")))
     # localCheckpoint (not just persist) truncates lineage each round:
     # without it the plan grows by one join+agg per iteration and both
-    # Catalyst analysis time and the printed plan are O(rounds). Lazy
-    # checkpoint + the convergence aggregate = ONE job per round (the agg
-    # materializes the checkpoint as a side effect). On a cluster with
-    # executor churn swap for checkpoint() on a reliable dir — same
-    # contract.
-    labels = labels.localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # Catalyst analysis time and the printed plan are O(rounds). The
+    # convergence aggregate rides the SAME job as the materialization:
+    # an `observe` CollectMetrics node computes sum(lbl) while the eager
+    # checkpoint materializes the rows — one job per round where the
+    # r14 form paid two (under AQE even a LAZY checkpoint executes the
+    # round's shuffle stages at call time, so the separate agg-collect
+    # was a pure extra job; fused A/B: 365 -> 201 ms/round). On a
+    # cluster with executor churn swap for checkpoint() on a reliable
+    # dir — same contract.
+    obs = Observation()
+    labels = (labels.observe(obs, F.sum("lbl").alias("s"))
+                    .localCheckpoint(eager=True))
+    prev_sum = obs.get["s"]
     # ONE propagation step per materialized round, deliberately: folding
     # two join+min steps per checkpoint halves job launches but doubles
     # the join work wasted past convergence — measured 5.46s vs 3.6s at
@@ -772,10 +784,12 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     for _ in range(max_iterations):
         msgs = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("lbl")))
+        obs = Observation()
         new_labels = (labels.union(msgs)
                             .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                            .localCheckpoint(eager=False))
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+                            .observe(obs, F.sum("lbl").alias("s"))
+                            .localCheckpoint(eager=True))
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             break
