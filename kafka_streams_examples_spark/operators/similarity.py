@@ -662,6 +662,19 @@ def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return _exact_rerank(short, queries, corpus, k, id_col, vec_col)
 
 
+# Materialize the encoded-codes table in _pq_fit_encode. Both serving
+# consumers (pq ADC, ivfpq candidate join) read codes exactly ONCE, so
+# the checkpoint was a pure extra materialization job: skipping it
+# merges the encode pass into the serving job with no duplicated work.
+# r15 interleaved A/B (ABAB, min-of-4, sf0.1): pq_knn 4.02 -> 3.46s
+# (faster in every paired rep), knn_ivfpq a wash (5.84 vs 5.98) — so
+# False. At 100 TB a deployment that queries many batches should write
+# codes to parquet once instead (build_ivf_index's shape); within one
+# composed query the encode still runs exactly once either way. Flag
+# kept so the A/B (tools/r15/ab_codes_ckpt.py) stays reproducible.
+_CKPT_CODES = False
+
+
 def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
                    dim: int, id_col: str, vec_col: str
                    ) -> tuple[DataFrame, list[DataFrame]]:
@@ -727,12 +740,16 @@ def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
                                           lambda st: stable_round(st["m"], 6))
                                .alias("cent"))
                       .localCheckpoint(eager=False))
-    cents = cents.localCheckpoint(eager=False)
+    if iters == 0:
+        # the loop checkpoints each iteration's cents; only the
+        # never-iterated seed codebook still needs its own barrier here
+        cents = cents.localCheckpoint(eager=False)
     codes = (assign(cents)
              .groupBy("vec_id")
              .agg(*[F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"k{s}")
-                    for s in range(m)])
-             .localCheckpoint(eager=False))
+                    for s in range(m)]))
+    if _CKPT_CODES:
+        codes = codes.localCheckpoint(eager=False)
     cents_list = [cents.filter(F.col("s") == s).select("cid", "cent")
                   for s in range(m)]
     return codes, cents_list
@@ -833,18 +850,23 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
         queries = _unit(queries, id_col, vec_col)
     cents, assigned = _kmeans_fit(corpus, coarse_k, coarse_iters,
                                   id_col, vec_col, ckpt_each_iter=True)
-    cents = cents.localCheckpoint(eager=False)
-    lab = (assigned.select("vec_id", F.col("cid").alias("__cell"))
-                   .localCheckpoint(eager=False))
-    # corpus residuals: x − c(cell(x)), one broadcast join against the
-    # coarse codebook (assigned already carries the cast vector e)
-    resc = (assigned
+    # cents comes back already checkpointed (ckpt_each_iter materializes
+    # the last iteration's codebook); re-checkpointing it was a pure
+    # extra copy job. The cell label and the residual both derive from
+    # the SAME final assign pass, so they are materialized as ONE
+    # checkpointed relation (r15: the r14 form checkpointed lab and resc
+    # separately, executing the full corpus assign twice — one whole
+    # corpus pass saved here, at any scale).
+    base = (assigned
             .join(F.broadcast(cents), assigned["cid"] == cents["cid"])
             .select(F.col("vec_id"),
+                    assigned["cid"].alias("__cell"),
                     F.zip_with(F.col("e"), F.col("cent"),
                                lambda x, y: stable_round(x - y, 6))
                      .alias(vec_col))
             .localCheckpoint(eager=False))
+    lab = base.select("vec_id", "__cell")
+    resc = base.select("vec_id", vec_col)
     qv = queries.select(
         F.col(id_col).alias("q_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"))
