@@ -64,7 +64,8 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 
 def doc_shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       toks_col: str | None = None) -> DataFrame:
     """Distinct 64-bit shingle hashes per doc: (doc_id, shingle long).
 
     For set-similarity joins the shingle TEXT is irrelevant — only identity
@@ -83,9 +84,15 @@ def doc_shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text",
     Jaccard pipeline — one shuffle + exchange reuse beats recomputing the
     tokenize/shingle pipeline per consumer, locally and on a cluster
     (one pass over the text, 8-byte rows over the wire).
+
+    ``toks_col``: the caller already tokenized (a shared/materialized
+    (id, token-array) relation — dedup_recall runs THREE detectors over
+    one corpus); use that column instead of re-parsing text. Same token
+    array, same downstream values.
     """
+    tk = F.col(toks_col) if toks_col is not None else tokens(text_col)
     return (docs
-            .select(F.col(id_col), tokens(text_col).alias("toks"))
+            .select(F.col(id_col), tk.alias("toks"))
             .filter(F.size("toks") >= n)
             .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("s"))
             .select(id_col, F.xxhash64("s").alias("shingle"))
@@ -106,17 +113,20 @@ MINHASH_B = [17, 101, 1009, 10007, 100003, 1000003, 1234577, 7654321]
 def minhash_shingle_hashes(docs: DataFrame, n: int = 3,
                            text_col: str = "text",
                            id_col: str = "doc_id",
-                           distinct: bool = True) -> DataFrame:
+                           distinct: bool = True,
+                           toks_col: str | None = None) -> DataFrame:
     """md5-derived shingle hashes h < 2^30 per doc: (doc_id, h).
 
     The shared base relation of the MinHash family. distinct=False skips
     the dedup shuffle and returns the raw multiset — correct whenever the
     consumer is duplicate-insensitive (MIN aggregates) or dedups in its own
     aggregation (count_distinct): a scan-only pipeline beats paying an
-    extra full shuffle just to dedup.
+    extra full shuffle just to dedup. ``toks_col``: use a caller-supplied
+    token-array column instead of re-tokenizing (see doc_shingle_hashes).
     """
+    tk = F.col(toks_col) if toks_col is not None else tokens(text_col)
     out = (docs
-           .select(F.col(id_col), tokens(text_col).alias("toks"))
+           .select(F.col(id_col), tk.alias("toks"))
            .filter(F.size("toks") >= n)
            .select(id_col, F.explode(word_shingles(F.col("toks"), n)).alias("s"))
            .select(id_col, (md5_hash64(F.col("s")) % MINHASH_M).alias("h")))
@@ -178,7 +188,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
                       n: int = 3, jaccard_threshold: float = 0.5,
-                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                      text_col: str = "text", id_col: str = "doc_id",
+                      toks_col: str | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding + exact Jaccard verify.
 
     Scale path: docs only ever meet inside an LSH bucket (band value
@@ -197,7 +208,8 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 8, bands: int = 4,
     # insensitive and the set size dedups inside the aggregate, so the
     # whole base relation is scan-only — no dedup shuffle anywhere
     sh_h = minhash_shingle_hashes(docs, n=n, text_col=text_col,
-                                  id_col=id_col, distinct=False)
+                                  id_col=id_col, distinct=False,
+                                  toks_col=toks_col)
     # signatures keep only the MIN permutations on the critical path
     # (sigs -> banding -> candidates); the per-doc DISTINCT set size —
     # a pricier two-level aggregate — lives on its own branch, consumed
@@ -357,7 +369,8 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         candidates: DataFrame | None = None,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        toks_col: str | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for doc pairs sharing >= 1 shingle.
 
     Inverted-index join: explode shingles, self-join on the 64-bit shingle
@@ -368,7 +381,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     which changes reported sizes/similarities only for pairs dominated by
     boilerplate. The LSH variant is the primary scale path.
     """
-    sh = doc_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = doc_shingle_hashes(docs, n=n, text_col=text_col, id_col=id_col,
+                            toks_col=toks_col)
     if max_df is not None:
         from .skew import drop_hot_keys
         sh = drop_hot_keys(sh, ["shingle"], max_df)
@@ -402,14 +416,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
+            id_col: str = "doc_id",
+            toks_col: str | None = None) -> DataFrame:
     """SimHash fingerprint over token multiset (portable md5-derived bits).
 
     bit_j(doc) = sign of sum over tokens of (+1 if hash bit j else -1).
     Expressed as `bits` conditional-sum aggregates over the exploded
     tokens — all JVM-side, one shuffle keyed by doc id.
     """
-    toks = (docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    tk = F.col(toks_col) if toks_col is not None else tokens(text_col)
+    toks = (docs.select(F.col(id_col), F.explode(tk).alias("word"))
                 .filter(F.col("word") != "")
                 .withColumn("h", md5_hash64(F.col("word"))))
     aggs = [
@@ -426,7 +442,8 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
 
 def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
                           max_hamming: int = 3, text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          toks_col: str | None = None) -> DataFrame:
     """SimHash near-duplicate pairs via bit-band LSH + exact Hamming verify.
 
     Pigeonhole recall guarantee: two fingerprints within Hamming distance
@@ -449,7 +466,8 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, bands: int = 4,
         raise ValueError("pigeonhole guarantee needs max_hamming <= bands - 1")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    sh = simhash(docs, bits=bits, text_col=text_col, id_col=id_col,
+                 toks_col=toks_col)
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

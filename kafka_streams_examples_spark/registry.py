@@ -1317,15 +1317,26 @@ _NGRAM_TRUTH_CTE = f"""sh0 AS ({SQL_SHINGLES}),
 )
 def q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
     docs = table(spark, sf, "documents")
-    truth = (D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    # ONE corpus scan + tokenize shared by all three detectors (r15):
+    # each detector's pipeline starts from the same token arrays, so the
+    # materialized (doc_id, tokens) relation replaces three separate
+    # text scans/parses — at 100 TB, two corpus passes saved outright.
+    # Token arrays are identical to what each detector computed itself,
+    # so every downstream hash/signature/fingerprint is bit-identical
+    # (pinned by test_dedup_recall_shared_tokens_parity).
+    toksed = (docs.select("doc_id", tokens("text").alias("__toks"))
+                  .localCheckpoint(eager=False))
+    truth = (D.ngram_jaccard_pairs(toksed, n=3, threshold=0.2,
+                                   toks_col="__toks")
               .select("d1", "d2").localCheckpoint(eager=False))
     detectors = [
         ("exact", truth),
         ("minhash_lsh", D.minhash_lsh_pairs(
-            docs, num_hashes=8, bands=4,
-            jaccard_threshold=0.2).select("d1", "d2")),
+            toksed, num_hashes=8, bands=4,
+            jaccard_threshold=0.2, toks_col="__toks").select("d1", "d2")),
         ("simhash", D.simhash_hamming_pairs(
-            docs, bits=32, bands=4, max_hamming=3).select("d1", "d2")),
+            toksed, bits=32, bands=4, max_hamming=3,
+            toks_col="__toks").select("d1", "d2")),
     ]
     det = None
     for name, df in detectors:

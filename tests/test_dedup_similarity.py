@@ -1731,3 +1731,25 @@ def test_pinned_k_never_routes_and_shares_sizing_formula(spark, sf_dir,
     SIM.build_ivf_index(corpus, str(tmp_path / "ivf_pin"), kclusters=8)
     assert spark.read.parquet(
         str(tmp_path / "ivf_pin/codebook")).count() == 8
+
+
+def test_dedup_recall_shared_tokens_parity(spark, sf_dir):
+    """dedup_recall feeds ONE materialized (doc_id, tokens) relation to
+    all three detectors (r15). The toks_col path must produce exactly
+    the rows of the standalone tokenize for every detector."""
+    from kafka_streams_examples_spark.functions import tokens
+    from kafka_streams_examples_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+    docs = table(spark, sf_dir, "documents")
+    toksed = docs.select("doc_id", tokens("text").alias("__toks"))
+    for fn, kw in (
+        (ngram_jaccard_pairs, {"n": 3, "threshold": 0.2}),
+        (minhash_lsh_pairs, {"num_hashes": 8, "bands": 4,
+                             "jaccard_threshold": 0.2}),
+        (simhash_hamming_pairs, {"bits": 32, "bands": 4, "max_hamming": 3}),
+    ):
+        std = {tuple(r) for r in fn(docs, **kw).collect()}
+        shared = {tuple(r)
+                  for r in fn(toksed, toks_col="__toks", **kw).collect()}
+        assert std == shared, f"{fn.__name__} diverged under toks_col"
