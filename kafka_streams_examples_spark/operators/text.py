@@ -642,12 +642,14 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
     floor(x*1e6+0.5) quantizer is half-toward-+inf for negatives,
     identically on both engines, which is all the oracle needs).
 
-    Scale shape: one tokenize scan fans out bigram occurrences into ONE
-    conditional aggregate producing the raw and target bucket counts
-    together (the fan-out is never recomputed per branch); corpus
-    totals are sums over that `buckets`-row table, not a second corpus
-    pass; the scoring join is keyed by bucket id. Nothing shuffles but
-    (bucket, count) and (doc, bucket) pairs.
+    Scale shape: one tokenize scan fans out bigram occurrences into a
+    materialized per-(doc, source, bucket) count relation that BOTH
+    branches read (bucket LM counts are second-level sums over it; the
+    per-doc score weights each bucket's micro-nat value by the count),
+    so the corpus is scanned once; corpus totals are sums over the
+    `buckets`-row table, not a second corpus pass; the scoring join is
+    keyed by bucket id. Nothing shuffles but (bucket, count) and
+    (doc, bucket, count) tuples.
     """
     toks = F.filter(tokens(text_col), lambda x: x != "")
     bg = (docs.select(F.col(id_col), F.col(group_col).alias("__g"),
@@ -658,10 +660,24 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
               .select(F.col(id_col), "__g",
                       (md5_hash64(F.col("b")) % buckets).alias("__bk")))
     tgt = [str(s) for s in target_sources]
-    per_bucket = (bg.groupBy("__bk")
-                    .agg(F.count("*").alias("__r"),
-                         F.sum(F.when(F.col("__g").isin(tgt), 1)
-                                .otherwise(0)).alias("__t")))
+    # ONE corpus pass (r15): the raw bigram fan-out fed two branches
+    # (bucket counts and per-doc scoring) with no shared exchange, so
+    # the scan+tokenize+md5 pipeline executed once per branch — 4 scans
+    # in the r14 plan. Collapsing the fan-out to per-(doc, source,
+    # bucket) counts first and materializing THAT (rows ~ distinct
+    # buckets per doc, far smaller than the occurrence stream) lets
+    # both branches read it: bucket counts are a second-level aggregate
+    # (sums of __c), and the per-doc score weights each bucket's
+    # micro-nat value by __c — order-exact integer sums either way, so
+    # every emitted value is bit-identical to the occurrence-stream
+    # form.
+    dbk = (bg.groupBy(id_col, "__g", "__bk")
+             .agg(F.count("*").alias("__c"))
+             .localCheckpoint(eager=False))
+    per_bucket = (dbk.groupBy("__bk")
+                     .agg(F.sum("__c").alias("__r"),
+                          F.sum(F.when(F.col("__g").isin(tgt), F.col("__c"))
+                                 .otherwise(F.lit(0))).alias("__t")))
     totals = per_bucket.agg(F.sum("__r").alias("__nr"),
                             F.sum("__t").alias("__nt"))
     B = float(buckets)
@@ -673,11 +689,12 @@ def dsir_score(docs: DataFrame, target_sources: Sequence[str] = (
                     .select("__bk",
                             F.floor(F.log(ratio) * 1e6 + F.lit(0.5))
                              .cast("long").alias("__s6")))
-    per_doc = (bg.join(F.broadcast(lr), "__bk")
-                 .groupBy(id_col)
-                 .agg(F.count("*").cast("long").alias("n_bigrams"),
-                      stable_round(F.sum("__s6").cast("double")
-                                   / (F.count("*") * 1e6), 4).alias("dsir")))
+    per_doc = (dbk.join(F.broadcast(lr), "__bk")
+                  .groupBy(id_col)
+                  .agg(F.sum("__c").cast("long").alias("n_bigrams"),
+                       stable_round(F.sum(F.col("__c") * F.col("__s6"))
+                                     .cast("double")
+                                    / (F.sum("__c") * 1e6), 4).alias("dsir")))
     return (docs.select(F.col(id_col))
                 .join(per_doc, id_col, "left")
                 .select(F.col(id_col),
