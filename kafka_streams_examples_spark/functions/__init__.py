@@ -62,6 +62,40 @@ def stable_round(col: Column, d: int) -> Column:
     return F.floor(col * scale + F.lit(0.5)) / scale
 
 
+def stable_round_sql(x: str, d: int) -> str:
+    """SQL-fragment twin of :func:`stable_round` for selectExpr/F.expr
+    construction (r14/r15: query CONSTRUCTION is driver-side Python and
+    every F.* composition is a synchronous py4j round-trip; the trainer
+    loops build hundreds of these, so hot constructors parse ONE SQL
+    string instead). The `D` suffixes force double literals — bare
+    `0.5` parses as DECIMAL in Spark SQL — so the parsed expression is
+    bit-identical to the Column form."""
+    scale = float(10 ** d)
+    return f"(floor(({x}) * {scale!r}D + 0.5D) / {scale!r}D)"
+
+
+def sq_dist_sql(a: str, b: str) -> str:
+    """SQL-fragment twin of operators.similarity._sq_dist: squared L2 of
+    two array<double> SQL expressions as one fold — same left-to-right
+    association, same arithmetic."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def dot_product_sql(a: str, b: str) -> str:
+    """SQL-fragment twin of :func:`dot_product`."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, x) -> acc + x)")
+
+
+def l2_norm_sql(a: str) -> str:
+    """SQL-fragment twin of :func:`l2_norm`."""
+    return (f"sqrt(aggregate(transform({a}, "
+            f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"0.0D, (acc, x) -> acc + x))")
+
+
 def md5_hash64(col: Column) -> Column:
     """Deterministic 60-bit integer hash shared with the DuckDB oracle.
 

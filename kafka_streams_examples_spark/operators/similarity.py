@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import dot_product, l2_norm, stable_round
+from ..functions import (
+    dot_product, dot_product_sql, l2_norm, l2_norm_sql, sq_dist_sql,
+    stable_round, stable_round_sql,
+)
 
 
 def _rank_topk(scored: DataFrame, k: int,
@@ -343,16 +346,19 @@ def _unit(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     the PQ/IVF trainers' repeated corpus scans re-read instead of
     re-normalizing. At 100 TB the second is the standard
     normalize-at-ingest materialization (one corpus-sized write)."""
-    n = l2_norm(F.col(vec_col))
-    base = (df.select(F.col(id_col), F.col(vec_col), n.alias("__n"))
+    # single-parse selectExpr construction (r15): the Column-composition
+    # form paid ~6 py4j HOF round-trips per call; the SQL parses to the
+    # bit-identical expressions (stable_round_sql mirrors stable_round's
+    # exact formula, CASE WHEN mirrors when/otherwise)
+    base = (df.selectExpr(id_col, vec_col,
+                          f"{l2_norm_sql(vec_col)} AS __n")
               .localCheckpoint(eager=False))
-    return (base.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col),
-                    lambda x: stable_round(
-                        F.when(F.col("__n") == 0.0, F.lit(0.0))
-                         .otherwise(x.cast("double") / F.col("__n")), 6))
-         .alias(vec_col))
+    comp = stable_round_sql(
+        "CASE WHEN __n = 0.0D THEN 0.0D "
+        "ELSE CAST(x AS DOUBLE) / __n END", 6)
+    return (base.selectExpr(
+        id_col,
+        f"transform({vec_col}, x -> {comp}) AS {vec_col}")
         .localCheckpoint(eager=False))
 
 
@@ -413,9 +419,9 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
     callers gate it to k large enough that no oracle-verified SF takes
     this path. Tie-breaks and rounding inside the probed set are
     identical to the exact path."""
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
+    v = corpus.selectExpr(
+        f"{id_col} AS vec_id",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e")
     seeds = v.orderBy("vec_id").limit(k)
     cents = (seeds
              .withColumn("cid",
@@ -432,16 +438,17 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
         # per vector, so the struct order never reaches e and the
         # lexicographic min IS the orderBy(d, cid) first row. Shared by
         # the exact and routed paths so the argmin contract cannot
-        # diverge between them.
-        d = stable_round(_sq_dist(F.col("e"), F.col(cent_col)), 6)
-        return (pairs.select(
+        # diverge between them. Built as ONE selectExpr parse (r15):
+        # the Column form cost ~4 py4j HOF round-trips per call and
+        # this runs once per Lloyd's pass.
+        d = stable_round_sql(sq_dist_sql("e", cent_col), 6)
+        return (pairs.selectExpr(
                     "vec_id",
-                    F.struct(d.alias("d"), F.col(cid_col).alias("cid"),
-                             F.col("e").alias("e")).alias("__s"))
+                    f"named_struct('d', {d}, 'cid', {cid_col}, 'e', e)"
+                    " AS __s")
                      .groupBy("vec_id").agg(F.min("__s").alias("__s"))
-                     .select("vec_id", F.col("__s.e").alias("e"),
-                             F.col("__s.cid").alias("cid"),
-                             F.col("__s.d").alias("d")))
+                     .selectExpr("vec_id", "__s.e AS e",
+                                 "__s.cid AS cid", "__s.d AS d"))
 
     def assign(cent_df: DataFrame) -> DataFrame:
         return _argmin(v.join(F.broadcast(cent_df), F.lit(True)),
@@ -466,9 +473,14 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
             # empty corpus -> no cells to build a literal matrix from;
             # the exact path degrades to an empty result cleanly
             return assign(cent_df)
-        mat = F.array(*[F.array(*[F.lit(float(x)) for x in r["cent"]])
-                        for r in cb])
-        cells = F.array(*[F.lit(int(r["cid"])).cast("long") for r in cb])
+        # one SQL parse instead of k1*dim F.lit py4j round-trips (the
+        # signlsh_dots r14 pattern): repr() doubles are shortest-
+        # roundtrip so the parsed literals are bit-identical
+        mat = F.expr("array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r["cent"]) + ")"
+            for r in cb) + ")")
+        cells = F.expr("array(" + ",".join(
+            f"{int(r['cid'])}L" for r in cb) + ")")
         dists = F.transform(
             mat, lambda c: stable_round(_sq_dist(F.col("e"), c), 6))
         top = F.slice(
@@ -509,11 +521,10 @@ def _kmeans_fit(corpus: DataFrame, k: int, iters: int,
                           .agg(F.array_sort(
                                   F.collect_list(F.struct("dim", "m")))
                                 .alias("__dm"))
-                          .select("cid",
-                                  F.transform("__dm",
-                                              lambda s: stable_round(s["m"],
-                                                                     6))
-                                   .alias("cent")))
+                          .selectExpr(
+                              "cid",
+                              f"transform(__dm, s -> "
+                              f"{stable_round_sql('s.m', 6)}) AS cent"))
         if routed:
             # Empty-cluster guard for the APPROXIMATE assign: training
             # iterations run rescue=False, so a fine centroid whose every
@@ -597,17 +608,18 @@ def _exact_rerank(short: DataFrame, queries: DataFrame, corpus: DataFrame,
     re-rank a (q_id, c_id) shortlist by cosine on the true vectors —
     R·|queries| vector reads, independent of corpus size. Output matches
     the exact tiers: (q_id, c_id, cos_sim, rnk)."""
-    cv = corpus.select(F.col(id_col).alias("c_id"),
-                       F.col(vec_col).alias("c_vec"),
-                       l2_norm(F.col(vec_col)).alias("c_norm"))
-    qn = queries.select(F.col(id_col).alias("q_id"),
-                        F.col(vec_col).alias("q_vec"),
-                        l2_norm(F.col(vec_col)).alias("q_norm"))
+    cv = corpus.selectExpr(f"{id_col} AS c_id",
+                           f"{vec_col} AS c_vec",
+                           f"{l2_norm_sql(vec_col)} AS c_norm")
+    qn = queries.selectExpr(f"{id_col} AS q_id",
+                            f"{vec_col} AS q_vec",
+                            f"{l2_norm_sql(vec_col)} AS q_norm")
     pairs = short.join(cv, "c_id").join(F.broadcast(qn), "q_id")
-    sim = (dot_product(F.col("q_vec"), F.col("c_vec"))
-           / (F.col("q_norm") * F.col("c_norm")))
+    sim = (f"{dot_product_sql('q_vec', 'c_vec')}"
+           f" / (q_norm * c_norm)")
     return _rank_topk(
-        pairs.select("q_id", "c_id", stable_round(sim, 6).alias("__sim")), k)
+        pairs.selectExpr("q_id", "c_id",
+                         f"{stable_round_sql(sim, 6)} AS __sim"), k)
 
 
 def pq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -699,16 +711,16 @@ def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
     assert dim % m == 0, "dim must split evenly into m subspaces"
     w = dim // m
     # (s, vec_id, e): each vector contributes one row per subspace with
-    # its s-th slice cast to double — m× the rows at 1/m the width
-    v = (corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.explode(F.array(*[
-                F.struct(F.lit(s).cast("int").alias("s"),
-                         F.transform(F.slice(F.col(vec_col), s * w + 1, w),
-                                     lambda x: x.cast("double")).alias("e"))
-                for s in range(m)])).alias("__sv"))
-           .select("vec_id", F.col("__sv.s").alias("s"),
-                   F.col("__sv.e").alias("e")))
+    # its s-th slice cast to double — m× the rows at 1/m the width.
+    # One selectExpr parse (r15) instead of ~3m py4j HOF/struct calls.
+    parts = ", ".join(
+        f"named_struct('s', CAST({s} AS INT), 'e', "
+        f"transform(slice({vec_col}, {s * w + 1}, {w}), "
+        f"x -> CAST(x AS DOUBLE)))"
+        for s in range(m))
+    v = (corpus.selectExpr(f"{id_col} AS vec_id",
+                           f"explode(array({parts})) AS __sv")
+               .selectExpr("vec_id", "__sv.s AS s", "__sv.e AS e"))
     sw = Window.partitionBy("s").orderBy("vec_id")
     cents = (v.withColumn("__r", F.row_number().over(sw))
               .filter(F.col("__r") <= codebook)
@@ -717,16 +729,16 @@ def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
 
     def assign(cent_df: DataFrame) -> DataFrame:
         # same partial-aggregable min(struct(d, cid, e)) argmin as
-        # `_kmeans_fit`, keyed by (s, vec_id) instead of vec_id
+        # `_kmeans_fit`, keyed by (s, vec_id) instead of vec_id; one
+        # selectExpr parse per pass (r15)
         pairs = v.join(F.broadcast(cent_df), "s")
-        d = stable_round(_sq_dist(F.col("e"), F.col("cent")), 6)
-        return (pairs.select(
+        d = stable_round_sql(sq_dist_sql("e", "cent"), 6)
+        return (pairs.selectExpr(
                     "s", "vec_id",
-                    F.struct(d.alias("d"), F.col("cid").alias("cid"),
-                             F.col("e").alias("e")).alias("__s"))
+                    f"named_struct('d', {d}, 'cid', cid, 'e', e) AS __s")
                      .groupBy("s", "vec_id").agg(F.min("__s").alias("__s"))
-                     .select("s", "vec_id", F.col("__s.e").alias("e"),
-                             F.col("__s.cid").alias("cid")))
+                     .selectExpr("s", "vec_id", "__s.e AS e",
+                                 "__s.cid AS cid"))
 
     for _ in range(iters):
         assigned = assign(cents)
@@ -735,10 +747,10 @@ def _pq_fit_encode(corpus: DataFrame, m: int, codebook: int, iters: int,
         cents = (means.groupBy("s", "cid")
                       .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
                             .alias("__dm"))
-                      .select("s", "cid",
-                              F.transform("__dm",
-                                          lambda st: stable_round(st["m"], 6))
-                               .alias("cent"))
+                      .selectExpr(
+                          "s", "cid",
+                          f"transform(__dm, st -> "
+                          f"{stable_round_sql('st.m', 6)}) AS cent")
                       .localCheckpoint(eager=False))
     if iters == 0:
         # the loop checkpoints each iteration's cents; only the
@@ -766,12 +778,11 @@ def _pq_query_dists(qdf: DataFrame, cents_list: list[DataFrame], w: int,
     (query, cell) pair gets its own lookup row set."""
     pds = []
     for s, cents in enumerate(cents_list):
-        qs = qdf.select(*key_cols,
-                        F.slice(F.col("qe"), s * w + 1, w).alias("__qs"))
+        qs = qdf.selectExpr(*key_cols,
+                            f"slice(qe, {s * w + 1}, {w}) AS __qs")
+        d = stable_round_sql(sq_dist_sql("__qs", "cent"), 6)
         pd_s = (qs.join(F.broadcast(cents), F.lit(True))
-                  .select(*key_cols, F.col("cid").alias(f"k{s}"),
-                          stable_round(_sq_dist(F.col("__qs"), F.col("cent")),
-                                       6).alias(f"d{s}")))
+                  .selectExpr(*key_cols, f"cid AS k{s}", f"{d} AS d{s}"))
         pds.append(pd_s)
     return pds
 
@@ -857,24 +868,24 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     # checkpointed relation (r15: the r14 form checkpointed lab and resc
     # separately, executing the full corpus assign twice — one whole
     # corpus pass saved here, at any scale).
+    resid = stable_round_sql("x - y", 6)
     base = (assigned
-            .join(F.broadcast(cents), assigned["cid"] == cents["cid"])
-            .select(F.col("vec_id"),
-                    assigned["cid"].alias("__cell"),
-                    F.zip_with(F.col("e"), F.col("cent"),
-                               lambda x, y: stable_round(x - y, 6))
-                     .alias(vec_col))
+            .join(F.broadcast(cents.withColumnRenamed("cid", "__ccid")),
+                  F.col("cid") == F.col("__ccid"))
+            .selectExpr("vec_id", "cid AS __cell",
+                        f"zip_with(e, cent, (x, y) -> {resid})"
+                        f" AS {vec_col}")
             .localCheckpoint(eager=False))
     lab = base.select("vec_id", "__cell")
     resc = base.select("vec_id", vec_col)
-    qv = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qe"))
+    qv = queries.selectExpr(
+        f"{id_col} AS q_id",
+        f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS qe")
     qc = qv.join(F.broadcast(cents), F.lit(True))
-    rd = stable_round(_sq_dist(F.col("qe"), F.col("cent")), 6)
+    rd = stable_round_sql(sq_dist_sql("qe", "cent"), 6)
     rw = Window.partitionBy("q_id").orderBy("__rd", "__cell")
-    routed = (qc.select("q_id", "qe", F.col("cid").alias("__cell"),
-                        rd.alias("__rd"))
+    routed = (qc.selectExpr("q_id", "qe", "cid AS __cell",
+                            f"{rd} AS __rd")
                 .withColumn("__r", F.row_number().over(rw))
                 .filter(F.col("__r") <= nprobe)
                 .select("q_id", "qe", "__cell"))
@@ -885,10 +896,8 @@ def ivfpq_knn(queries: DataFrame, corpus: DataFrame, k: int = 5,
     # re-centered query, matching how the corpus side was encoded
     qres = (routed
             .join(F.broadcast(cents), routed["__cell"] == cents["cid"])
-            .select("q_id", "__cell",
-                    F.zip_with(F.col("qe"), F.col("cent"),
-                               lambda x, y: stable_round(x - y, 6))
-                     .alias("qe")))
+            .selectExpr("q_id", "__cell",
+                        f"zip_with(qe, cent, (x, y) -> {resid}) AS qe"))
     pds = _pq_query_dists(qres, cents_list, dim // m,
                           key_cols=("q_id", "__cell"))
     cand = (codes.join(lab, "vec_id")
