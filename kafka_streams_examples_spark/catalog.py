@@ -8,6 +8,8 @@ the returned DataFrame (verify with ``df.explain``: ``ReadSchema`` /
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,8 +39,8 @@ def _normalize_ntz(df: DataFrame, schema) -> DataFrame:
     return df
 
 
-#: (applicationId, sf_dir, name) -> the normalized scan DataFrame. This
-#: memo holds table METADATA — an unresolved parquet scan plan (file
+#: {SparkSession (weak) -> {(sf_dir, name) -> normalized scan DataFrame}}.
+#: This memo holds table METADATA — an unresolved parquet scan plan (file
 #: index + schema) — never rows, never results, never a `.persist()`.
 #: Every action on the returned DataFrame still reads all data from the
 #: parquet files; re-running a query re-scans parquet from disk (the
@@ -51,18 +53,32 @@ def _normalize_ntz(df: DataFrame, schema) -> DataFrame:
 #: catalog construction alone cost 15-30s of a 129s bench pass. A
 #: production deployment resolves tables through a metastore/manifest
 #: catalog exactly once (guide §6: manifest metadata over per-query
-#: listing); this memo is that catalog, scoped per Spark application so
-#: a fresh session (e.g. the driver's vanilla one) resolves its own
-#: first read under its own confs. DataFrames are immutable, so sharing
-#: the object across queries (including self-joins) is safe.
-_TABLE_CACHE: dict = {}
+#: listing); this memo is that catalog. Keyed by SESSION OBJECT (r15,
+#: was applicationId): DataFrames are bound to the SparkSession that
+#: created them, and two sessions can share one SparkContext
+#: (newSession / a second getOrCreate), so an appId key would hand
+#: session B plans resolved under session A's confs. The WeakKeyDict
+#: also dies with the session object — the memo cannot survive a
+#: process, and a fresh session always resolves its own first read
+#: under its own confs. DataFrames are immutable, so sharing the object
+#: across queries (including self-joins) within a session is safe.
+#:
+#: No invalidation below the session key: the entry holds a frozen file
+#: index, so fixture parquet must be IMMUTABLE for the lifetime of the
+#: session that read it — rewriting a table in place mid-session would
+#: be served stale (fine for benchmark fixtures; a mutating deployment
+#: needs a real catalog with snapshot metadata).
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = _TABLE_CACHE[spark] = {}
+    key = (sf_dir, name)
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -83,7 +99,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         out = _normalize_ntz(df, df.schema)
-    _TABLE_CACHE[key] = out
+    per_session[key] = out
     return out
 
 

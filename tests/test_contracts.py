@@ -320,3 +320,26 @@ def test_noise_gauge_flags_uniform_inflation():
         "noise_gauge"] is not None
     assert bench.payload(t, streaming, 0.01, (0,)*3, (0,)*3, 1, 1)[
         "noise_gauge"] is None
+
+
+def test_catalog_memo_scoped_per_session(spark, sf_dir):
+    """The table memo is keyed by SESSION OBJECT (r15): a repeat call in
+    the same session returns the identical DataFrame (metadata memo
+    hit), while a fresh session — even one sharing the SparkContext and
+    applicationId, as newSession does — resolves its own scan under its
+    own confs. The WeakKeyDictionary store is in-process memory only, so
+    the memo cannot survive the driver process."""
+    from weakref import WeakKeyDictionary
+
+    from kafka_streams_examples_spark import catalog
+
+    df1 = catalog.table(spark, sf_dir, "nation")
+    assert catalog.table(spark, sf_dir, "nation") is df1
+    s2 = spark.newSession()
+    df2 = catalog.table(s2, sf_dir, "nation")
+    assert df2 is not df1, "newSession must re-resolve its own scan"
+    assert catalog.table(s2, sf_dir, "nation") is df2
+    # same rows either way — the memo is metadata, not results
+    assert sorted(map(tuple, df1.collect())) == \
+           sorted(map(tuple, df2.collect()))
+    assert isinstance(catalog._TABLE_CACHE, WeakKeyDictionary)
