@@ -17,6 +17,7 @@ can be swapped in via the `hash_fn` hook once parity is proven.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Observation, Window
@@ -556,6 +557,11 @@ def signlsh_dots(vec, planes: int, dim: int, salt: str = "slsh"):
     DECIMAL)."""
     from ..functions import stable_round
     W = signlsh_weights(planes, dim, salt)
+    # repr() of a non-finite double ('inf'/'nan') is not a parseable SQL
+    # literal; today's md5-derived weights are bounded in [-1, 1], but a
+    # future weight source must fail loudly at build, not at parse
+    assert all(math.isfinite(x) for row in W for x in row), \
+        "signlsh weights must be finite to serialize as SQL literals"
     w_lit = F.expr("array(" + ",".join(
         "array(" + ",".join(f"{x!r}D" for x in row) + ")"
         for row in W) + ")")
@@ -766,7 +772,13 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     # dominant cost of the loop at sf0.1. The checkpoint truncates sym
     # to a LogicalRDD once, so each round analyzes only the round's own
     # join+agg. Rows are identical; materialization still happens on the
-    # first job (prev_sum below), same as the persisted form.
+    # first job (the initial labels checkpoint below), same as the
+    # persisted form. Lifetime note (r15): sym's checkpointed blocks —
+    # like each round's label blocks — are freed when the ContextCleaner
+    # GCs the RDD, not eagerly; and localCheckpoint forfeits lineage, so
+    # executor loss fails the job instead of recomputing (acceptable on
+    # this single-process harness; a churn-prone cluster should use
+    # checkpoint() on a reliable dir — see DESIGN.md).
     sym = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
                 .union(edges.select(F.col(dst_col).alias("src"),
                                     F.col(src_col).alias("dst")))

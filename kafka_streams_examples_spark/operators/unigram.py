@@ -93,8 +93,7 @@ def seed_pieces(docs: DataFrame, keep: int = 40, max_len: int = 4,
     return singles.unionAll(multis)
 
 
-def _viterbi_dp(word: Column, cmap: Column, tot: Column,
-                max_len: int,
+def _viterbi_dp(max_len: int,
                 cols: tuple[str, str, str] = ("word", "__cnt", "__tot")
                 ) -> Column:
     """The DP table as an array<struct<c:double, bp:int>> column —
@@ -111,9 +110,10 @@ def _viterbi_dp(word: Column, cmap: Column, tot: Column,
     token for token (same candidate duplication inside the CASE chain,
     same literals and casts), so the parsed tree — and therefore every
     value — is unchanged; ``cols`` names the word/count-map/total
-    columns the expression references (the historical Column arguments
-    are kept for signature compatibility but must be plain references to
-    exactly those columns).
+    columns the expression references (r15: the historical Column
+    arguments were dropped — the SQL form never read them, so a caller
+    passing other columns would have silently computed the DP over
+    ``cols``; now the signature can't invite that).
 
     The strictly-greater k=max_len..1 when-chain is equivalently the
     lexicographic MAXIMUM over candidate structs (c, k, bp) — equal
@@ -189,8 +189,7 @@ def segment_words(words: DataFrame, pieces: DataFrame,
     backtrack are staged withColumns so each is evaluated once per
     word."""
     df = _attach_codec(words, pieces)
-    df = df.withColumn("__dp", _viterbi_dp(F.col("word"), F.col("__cnt"),
-                                           F.col("__tot"), max_len))
+    df = df.withColumn("__dp", _viterbi_dp(max_len))
     return (df.withColumn("pieces",
                           _backtrack(F.col("word"), F.col("__dp")))
               .drop("__cnt", "__tot", "__dp"))
