@@ -351,9 +351,10 @@ def bm25_gate_index(docs: DataFrame, r_floor: int = 32,
     """The stream-probe form of the pruned index: (word, c_id, c_map)
     where ``c_map`` is the candidate document's word->impact map over
     its PRUNED postings. Carrying the map on every posting row trades
-    index bytes for a stateless one-join probe — exactly the trade
-    stream_near_dup makes carrying band/shingle arrays on index rows;
-    the map is bounded by the document's distinct terms.
+    index bytes for a stateless one-join probe; unlike stream_near_dup's
+    unbounded shingle sets (which r15 moved to a second attach-join,
+    guide §8), the carried map is bounded by r_floor pruning, so the
+    payload-on-posting-row trade stays the right one here.
 
     When the probing batch scales WITH the corpus (the ingest funnel's
     day-over-day batch), pass ``keep_denom=None`` so the per-term

@@ -24,24 +24,30 @@ def dedup_stream(events: DataFrame, keys: Sequence[str], ttl: str = "10 minutes"
 def near_dup_index(corpus: DataFrame, num_hashes: int = 8, bands: int = 4,
                    n: int = 3, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
-    """Batch half of streaming near-dup: the corpus's band index, one row
-    per (doc, band) — (corpus_id, band_id, band_val, plus the doc's full
-    band array, distinct shingle-hash set and set size for the verify).
-    At 100 TB this is written ONCE, partitioned by band_val, and every
-    arriving batch probes it; here it is the static side of a
-    stream-static join."""
+    """Batch half of streaming near-dup: the corpus's DOC-LEVEL profile —
+    (corpus_id, c_hs distinct shingle-hash set, c_bands band array,
+    c_sz set size), one row per document. r15 (guide §8: decide with
+    small rows, attach heavy rows once): the r14 layout pre-exploded to
+    one row per (doc, band) with the full c_hs array duplicated onto
+    every band row, so the probe join's static side carried ~bands×
+    the shingle payload — measured as the dominant per-batch cost of
+    stream_near_dup (the payload rode the candidate join; candidates
+    are the RARE outcome). The banded (corpus_id, band_id, band_val)
+    projection is derived from this profile inside `stream_near_dup`;
+    at 100 TB the profile is written ONCE and the narrow banding —
+    8 B ids + band values — is what gets partitioned by band_val and
+    probed."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import minhash_doc_profile
 
     prof = minhash_doc_profile(corpus, num_hashes, bands, n,
                                text_col, id_col)
-    return (prof.select(
-                F.col(id_col).alias("corpus_id"),
-                F.col("__hs").alias("c_hs"),
-                F.col("__bands").alias("c_bands"),
-                F.size("__hs").alias("c_sz"),
-                F.posexplode("__bands").alias("band_id", "band_val")))
+    return prof.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__hs").alias("c_hs"),
+        F.col("__bands").alias("c_bands"),
+        F.size("__hs").alias("c_sz"))
 
 
 def stream_near_dup(new_docs: DataFrame, index: DataFrame,
@@ -57,14 +63,18 @@ def stream_near_dup(new_docs: DataFrame, index: DataFrame,
     Entirely STATELESS: the stream side computes its minhash profile
     with scan-side array folds (`minhash_doc_profile` — no shuffle, no
     state), the candidate step is a stream-static inner equi-join on
-    (band_id, band_val) (no watermark, no state store — Spark treats
-    the static side as a lookup), and the exact-Jaccard verify is a
-    per-row `array_intersect` of the two distinct shingle-hash sets
-    carried on the joined row (no second join). A pair colliding in
-    several bands would emit once per band; instead of a stateful
-    dropDuplicates, the row is kept only where the matched band is the
-    FIRST band the two docs share — a pure expression over both band
-    arrays, so output is exactly-once per pair with zero state.
+    (band_id, band_val) against the NARROW banded projection of the
+    index (ids + band values only — no watermark, no state store), and
+    the corpus-side shingle set is attached by a second stream-static
+    join keyed on corpus_id only for rows that survive banding and the
+    first-shared-band dedup (r15, guide §8: the candidate decision
+    rides small rows; the heavy c_hs payload moves once, for actual
+    candidates). The exact-Jaccard verify is then a per-row
+    `array_intersect`. A pair colliding in several bands would emit
+    once per band; instead of a stateful dropDuplicates, the row is
+    kept only where the matched band is the FIRST band the two docs
+    share — a pure expression over both band arrays, so output is
+    exactly-once per pair with zero state.
 
     Output: (new_id, corpus_id, jac) with jac = |∩| / (|a| + |b| − |∩|)
     rounded via the portable formula, filtered at ``threshold`` — the
@@ -84,7 +94,13 @@ def stream_near_dup(new_docs: DataFrame, index: DataFrame,
             .withColumn("band_id",
                         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
             .withColumn("band_val", F.col("n_bands")[F.col("band_id")]))
-    joined = prof.join(index, ["band_id", "band_val"])
+    # narrow banded projection: ids + band values (and the small band
+    # array for the first-shared-band rule); the heavy c_hs set stays
+    # on the one-row-per-doc side until a candidate survives
+    narrow = index.select(
+        "corpus_id", "c_bands",
+        F.posexplode("c_bands").alias("band_id", "band_val"))
+    joined = prof.join(narrow, ["band_id", "band_val"])
     # first band the two docs share == this band → emit once per pair:
     # positions where the band arrays agree, keep only the minimum
     match_positions = F.filter(
@@ -95,8 +111,10 @@ def stream_near_dup(new_docs: DataFrame, index: DataFrame,
         lambda x: x >= 0)
     dedup = joined.filter(F.col("band_id")
                           == F.array_min(match_positions))
+    verif = dedup.join(index.select("corpus_id", "c_hs", "c_sz"),
+                       "corpus_id")
     inter = F.size(F.array_intersect(F.col("n_hs"), F.col("c_hs")))
     jac = stable_round(
         inter / (F.col("n_sz") + F.col("c_sz") - inter).cast("double"), 4)
-    return (dedup.select("new_id", "corpus_id", jac.alias("jac"))
+    return (verif.select("new_id", "corpus_id", jac.alias("jac"))
                  .filter(F.col("jac") >= threshold))
