@@ -360,14 +360,33 @@ def bm25_gate_index(docs: DataFrame, r_floor: int = 32,
     day-over-day batch), pass ``keep_denom=None`` so the per-term
     candidate bound is the fixed ``r_floor`` — corpus-size-independent
     gate work (see :func:`pruned_postings`)."""
-    post = postings(docs, text_col, id_col)
-    pruned = pruned_postings(post, r_floor, keep_denom) \
-        .select("word", "doc_id", "w6")
+    pruned = bm25_gate_postings(docs, r_floor, keep_denom,
+                                text_col, id_col) \
+        .withColumnRenamed("c_id", "doc_id")
     perdoc = (pruned.groupBy("doc_id")
                     .agg(F.map_from_entries(F.collect_list(
                         F.struct("word", "w6"))).alias("c_map")))
     return (pruned.join(perdoc, "doc_id")
                   .select("word", F.col("doc_id").alias("c_id"), "c_map"))
+
+
+def bm25_gate_postings(docs: DataFrame, r_floor: int = 32,
+                       keep_denom: int | None = 5, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """The BATCH-probe form of the pruned gate index: the narrow
+    (word, c_id, w6) pruned postings themselves, no carried map. r15:
+    :func:`bm25_gate_batch` only ever reads a joined row's OWN impact
+    (``element_at(c_map, word)`` is exactly that row's ``w6``), so for
+    a batch caller the map assembly and the pruned-side self-join that
+    attaches it are pure overhead — in the inline ingest funnel that
+    self-join recomputed the whole postings pipeline on both sides
+    (8 of the funnel plan's 16 corpus scans). The stream probe keeps
+    :func:`bm25_gate_index`'s map form (its statelessness depends on
+    the carried map); both index shapes score identically through
+    :func:`bm25_gate_batch`."""
+    post = postings(docs, text_col, id_col)
+    return (pruned_postings(post, r_floor, keep_denom)
+            .select("word", F.col("doc_id").alias("c_id"), "w6"))
 
 
 def bm25_gate(new_docs: DataFrame, index: DataFrame, tau: float = 3.0,
@@ -443,18 +462,22 @@ def bm25_gate_batch(new_docs: DataFrame, index: DataFrame,
     collapses before the exchange instead of shipping per-row maps and
     re-folding (r14 measured on the ingest funnel at sf0.1: the probe
     stage fell 11.7s -> sub-second; guide §2.3 "aggregate before you
-    shuffle"). ``w6`` is read back from the row's own c_map entry, so
-    ANY :func:`bm25_gate_index`-shaped input (inline or persisted
-    ``gate_index`` parquet) serves both forms unchanged."""
+    shuffle"). The index may be either shape: the narrow
+    :func:`bm25_gate_postings` (word, c_id, w6) — preferred for batch,
+    no map assembly — or the stream form, whose per-row c_map entry for
+    its own word IS that row's w6, so a persisted ``gate_index``
+    parquet serves both forms unchanged."""
     tau6 = int(math.floor(tau * 1e6 + 0.5))
     terms = F.array_distinct(
         F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
                  lambda x: x != ""))
     newx = (new_docs.select(F.col(id_col).alias("new_id"),
                             F.explode(terms).alias("word")))
-    narrow = index.select(
-        "word", "c_id",
-        F.element_at(F.col("c_map"), F.col("word")).alias("w6"))
+    narrow = (index.select("word", "c_id", "w6")
+              if "w6" in index.columns else
+              index.select(
+                  "word", "c_id",
+                  F.element_at(F.col("c_map"), F.col("word")).alias("w6")))
     joined = newx.join(narrow, "word") \
                  .filter(F.col("c_id") != F.col("new_id"))
     return (joined.groupBy("new_id", "c_id")

@@ -1595,10 +1595,14 @@ def ingest_gate_flags(arriving: DataFrame, existing: DataFrame,
     # keep_denom=None: the arriving batch scales WITH the corpus, so
     # the gate's per-term candidate bound must be the fixed r_floor —
     # a fractional bound makes gate work O(n^2) (pruned_postings doc;
-    # measured 34x on the sf1 decade step before this)
-    from .retrieval import bm25_gate_index
-    index = bm25_gate_index(existing, r_floor=128, keep_denom=None,
-                            text_col=text_col, id_col=id_col)
+    # measured 34x on the sf1 decade step before this). The batch
+    # probe takes the NARROW postings (word, c_id, w6) — the stream
+    # index's carried c_map and the self-join that attaches it exist
+    # for stateless streaming and were 8 of this plan's 16 corpus
+    # scans (r15; bm25_gate_batch scores both shapes identically).
+    from .retrieval import bm25_gate_postings
+    index = bm25_gate_postings(existing, r_floor=128, keep_denom=None,
+                               text_col=text_col, id_col=id_col)
     return _gate_flags_with(arriving, boiler, model, index, tau,
                             words_per_line, text_col, id_col)
 

@@ -407,6 +407,24 @@ def test_bm25_gate_batch_equals_stream(spark, sf_dir):
         assert got == want and got
 
 
+def test_bm25_gate_postings_equals_index_shape(spark, sf_dir):
+    """r15: bm25_gate_batch accepts either index shape — the narrow
+    (word, c_id, w6) postings (what the batch ingest funnel feeds it,
+    no map assembly / no index self-join) or the stream-form c_map
+    index — and must score row-identically through both."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id % 10 != 7")
+    new = docs.filter("doc_id % 10 = 7")
+    narrow = RET.bm25_gate_postings(corpus, r_floor=128, keep_denom=None)
+    mapped = RET.bm25_gate_index(corpus, r_floor=128, keep_denom=None)
+    for tau in (0.1, 3.0):
+        got = sorted(map(tuple,
+                         RET.bm25_gate_batch(new, narrow, tau).collect()))
+        want = sorted(map(tuple,
+                          RET.bm25_gate_batch(new, mapped, tau).collect()))
+        assert got == want and got
+
+
 def test_bm25_gate_runs_on_stream_equals_batch(spark, sf_dir, tmp_path):
     from kafka_streams_examples_spark.streaming.core import run_to_memory
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
