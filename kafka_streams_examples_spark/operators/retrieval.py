@@ -84,27 +84,30 @@ def postings(docs: DataFrame, text_col: str = "text",
         (F.sum("dl").cast("double") / F.count("*").cast("double"))
         .alias("avgdl"))
     df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
-    # idf quantized once per TERM (vocabulary scale): integer micro-nats
-    idf6 = F.floor(
-        F.log(F.lit(1.0)
-              + (F.col("n_docs").cast("double") - F.col("df").cast("double")
-                 + F.lit(0.5))
-              / (F.col("df").cast("double") + F.lit(0.5))) * F.lit(1e6)
-        + F.lit(0.5)).cast("long")
+    # idf quantized once per TERM (vocabulary scale): integer micro-nats.
+    # r15: the idf6/w6 arithmetic parses as ONE selectExpr string each
+    # (SQL twins of the former Column trees — D-suffixed repr literals,
+    # same association; construction is py4j-round-trip-bound, guide
+    # §7.3, the trainer-chain precedent)
     idf = (df_t.join(F.broadcast(stats), F.lit(True), "left")
-               .select("word", idf6.alias("idf6"), "avgdl"))
+               .selectExpr(
+                   "word",
+                   "CAST(floor(ln(1.0D + (CAST(n_docs AS DOUBLE) "
+                   "- CAST(df AS DOUBLE) + 0.5D) "
+                   "/ (CAST(df AS DOUBLE) + 0.5D)) * 1000000.0D + 0.5D) "
+                   "AS BIGINT) AS idf6",
+                   "avgdl"))
     # per-posting impact: exact IEEE tf-saturation ratio times the
     # integer idf, quantized straight back to an integer micro-nat
-    tfc = F.col("tf").cast("double")
-    comp = (tfc * F.lit(K1 + 1.0)
-            / (tfc + F.lit(K1) * (F.lit(1.0 - B)
-                                  + F.lit(B) * (F.col("dl").cast("double")
-                                                / F.col("avgdl")))))
-    w6 = F.floor(F.col("idf6").cast("double") * comp + F.lit(0.5)) \
-          .cast("long")
     return (tf.join(dl, "doc_id")
               .join(idf, "word")
-              .select("word", "doc_id", "tf", w6.alias("w6")))
+              .selectExpr(
+                  "word", "doc_id", "tf",
+                  f"CAST(floor(CAST(idf6 AS DOUBLE) * "
+                  f"(CAST(tf AS DOUBLE) * {K1 + 1.0!r}D "
+                  f"/ (CAST(tf AS DOUBLE) + {K1!r}D * ({1.0 - B!r}D "
+                  f"+ {B!r}D * (CAST(dl AS DOUBLE) / avgdl)))) "
+                  f"+ 0.5D) AS BIGINT) AS w6"))
 
 
 def query_terms(docs: DataFrame, n_queries: int, text_col: str = "text",

@@ -12,7 +12,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import md5_hash64, stable_round, tokens, word_shingles
+from ..functions import (md5_hash64, stable_round, stable_round_sql,
+                         tokens, word_shingles)
 
 # Tiny deterministic stopword profiles (shared verbatim with the DuckDB
 # oracle). Real language-id would use char-ngram profiles; the heuristic
@@ -735,75 +736,84 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
     themselves (startswith/endswith/regexp-count over the line strings)
     are the real Gopher checks a multi-line corpus would hit unchanged.
     """
-    ws = F.filter(tokens(text_col), lambda x: x != "")
-    d = (docs.select(F.col(id_col), F.col(text_col))
-             .withColumn("__ws", ws)
-             .withColumn("n_words", F.size("__ws").cast("long")))
-    wpl = words_per_line
-    n_lines = F.greatest(F.ceil(F.col("n_words") / wpl), F.lit(1)).cast("int")
-    line = lambda i: F.concat(
-        F.when(((F.col(id_col) + i) % 7) == 0, F.lit("- ")).otherwise(F.lit("")),
-        F.concat_ws(" ", F.slice(F.col("__ws"), i * wpl + 1, wpl)),
-        F.when(((F.col(id_col) + i) % 5) == 0, F.lit("...")).otherwise(F.lit("")))
-    d = d.withColumn("__lines",
-                     F.transform(F.sequence(F.lit(0), n_lines - 1), line))
-    nl = F.size("__lines").cast("double")
-    joined = F.concat_ws("\n", F.col("__lines"))
+    # r15: the whole battery is built as FIVE selectExpr parses instead
+    # of hundreds of F.* compositions — query construction is driver-
+    # side Python where every F.* call is a synchronous py4j round-trip
+    # (~0.8ms on this box), and this constructor sat on the ingest
+    # funnel's critical path (~0.6s/call). Every SQL fragment is the
+    # exact twin of the former Column expression: D-suffixed double
+    # literals, same operand order, same type coercions — the resolved
+    # plan is identical (oracle-pinned for gopher_rules/ingest_funnel).
+    i, t = f"`{id_col}`", f"`{text_col}`"
+    wpl = int(words_per_line)
+    d = docs.selectExpr(
+        i, t,
+        rf"filter(split(lower({t}), '\\s+'), x -> x != '') AS __ws")
+    d = d.selectExpr("*", "CAST(size(__ws) AS BIGINT) AS n_words")
+    # derived line structure: tokens wrap every wpl words; bullet when
+    # (doc_id + line_i) % 7 == 0, "..." suffix when % 5 == 0
+    d = d.selectExpr(
+        "*",
+        f"transform(sequence(0, CAST(greatest(ceil(n_words / {wpl}), 1)"
+        f" AS INT) - 1), i -> concat("
+        f"CASE WHEN ({i} + i) % 7 = 0 THEN '- ' ELSE '' END, "
+        f"concat_ws(' ', slice(__ws, i * {wpl} + 1, {wpl})), "
+        f"CASE WHEN ({i} + i) % 5 = 0 THEN '...' ELSE '' END)) "
+        f"AS __lines")
 
     # zero-word documents: Spark 4 runs ANSI mode where double x/0 is an
     # ERROR (DuckDB yields NULL) — every per-word ratio zeroes instead,
     # the repetition_stats contract; the word-count rule already rejects
     # such documents
-    def per_word(expr):
-        return F.when(F.col("n_words") > 0,
-                      expr / F.col("n_words")).otherwise(F.lit(0.0))
+    def per_word(expr: str) -> str:
+        return (f"CASE WHEN n_words > 0 THEN ({expr}) / n_words "
+                f"ELSE 0.0D END")
 
-    mean_word_len = per_word(
-        F.aggregate(F.transform(F.col("__ws"), F.length),
-                    F.lit(0), lambda a, x: a + x).cast("double"))
-    frac_alpha = per_word(
-        F.size(F.filter(F.col("__ws"),
-                        lambda x: x.rlike("[a-z]"))).cast("double"))
-    symbols = (F.regexp_count(joined, F.lit("#"))
-               + F.regexp_count(joined, F.lit(r"\.\.\."))).cast("double")
-    sw_hits = F.size(F.array_intersect(
-        F.array_distinct(F.col("__ws")),
-        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]))).cast("long")
+    joined = r"concat_ws('\n', __lines)"
+    symbols = (f"CAST(regexp_count({joined}, '#') "
+               rf"+ regexp_count({joined}, '\\.\\.\\.') AS DOUBLE)")
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     # keep_text threads the raw text through for the chained ingest
     # pipeline (ingest_chain), which gates and THEN transforms the same
     # row — a stream cannot re-join its own verdicts
-    carry = [F.col(text_col)] if keep_text else []
-    d = d.select(
-        F.col(id_col), *carry, F.col("n_words"),
-        stable_round(mean_word_len, 4).alias("mean_word_len"),
-        stable_round(frac_alpha, 4).alias("frac_alpha_words"),
-        stable_round(per_word(symbols), 4).alias("symbol_ratio"),
-        stable_round(F.size(F.filter(F.col("__lines"),
-                                     lambda l: l.startswith("- ")))
-                     / nl, 4).alias("frac_bullet_lines"),
-        stable_round(F.size(F.filter(F.col("__lines"),
-                                     lambda l: l.endswith("...")))
-                     / nl, 4).alias("frac_ellipsis_lines"),
-        sw_hits.alias("stopword_hits"))
+    carry = [t] if keep_text else []
+    d = d.selectExpr(
+        i, *carry, "n_words",
+        stable_round_sql(per_word(
+            "CAST(aggregate(transform(__ws, x -> length(x)), 0, "
+            "(a, x) -> a + x) AS DOUBLE)"), 4) + " AS mean_word_len",
+        stable_round_sql(per_word(
+            "CAST(size(filter(__ws, x -> x RLIKE '[a-z]')) AS DOUBLE)"),
+            4) + " AS frac_alpha_words",
+        stable_round_sql(per_word(symbols), 4) + " AS symbol_ratio",
+        stable_round_sql(
+            "size(filter(__lines, l -> startswith(l, '- '))) "
+            "/ CAST(size(__lines) AS DOUBLE)", 4)
+        + " AS frac_bullet_lines",
+        stable_round_sql(
+            "size(filter(__lines, l -> endswith(l, '...'))) "
+            "/ CAST(size(__lines) AS DOUBLE)", 4)
+        + " AS frac_ellipsis_lines",
+        f"CAST(size(array_intersect(array_distinct(__ws), array({sw})))"
+        f" AS BIGINT) AS stopword_hits")
     # per-rule verdicts reported alongside the combined gate: the useful
     # corpus diagnostic is WHICH rule rejects how much (and on a fixture
     # where one rule dominates, the per-rule booleans keep every other
     # rule's threshold inside the hash-checked surface)
     rules = {
-        "rule_word_count": F.col("n_words").between(min_words, max_words),
-        "rule_word_len": F.col("mean_word_len").between(3.0, 10.0),
-        "rule_symbols": F.col("symbol_ratio") <= 0.1,
-        "rule_bullets": F.col("frac_bullet_lines") <= 0.9,
-        "rule_ellipsis": F.col("frac_ellipsis_lines") <= 0.3,
-        "rule_alpha": F.col("frac_alpha_words") >= 0.8,
-        "rule_stopwords": F.col("stopword_hits") >= min_stopwords,
+        "rule_word_count":
+            f"n_words BETWEEN {int(min_words)} AND {int(max_words)}",
+        "rule_word_len": "mean_word_len BETWEEN 3.0D AND 10.0D",
+        "rule_symbols": "symbol_ratio <= 0.1D",
+        "rule_bullets": "frac_bullet_lines <= 0.9D",
+        "rule_ellipsis": "frac_ellipsis_lines <= 0.3D",
+        "rule_alpha": "frac_alpha_words >= 0.8D",
+        "rule_stopwords": f"stopword_hits >= {int(min_stopwords)}",
     }
-    for name, expr in rules.items():
-        d = d.withColumn(name, expr)
-    kept = None
-    for expr in rules.values():
-        kept = expr if kept is None else (kept & expr)
-    return d.withColumn("kept", kept)
+    kept = " AND ".join(f"({e})" for e in rules.values())
+    return d.selectExpr(
+        "*", *(f"{e} AS {name}" for name, e in rules.items()),
+        f"{kept} AS kept")
 
 
 def derived_lines(ws: Column, words_per_line: int = 12) -> Column:
@@ -830,16 +840,27 @@ def apply_line_filter_chained(docs: DataFrame, codec: DataFrame,
     out, so the ingest chain threads upstream flags through without a
     self-join. Filter expressions shared with apply_line_filter
     verbatim."""
-    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                  lambda x: x != "")
+    # r15: TWO selectExpr parses (SQL twins of the former Column trees —
+    # same duplication of the ws/kept subtrees, same coercions;
+    # construction is py4j-round-trip-bound, guide §7.3)
+    wpl = int(words_per_line)
+    ws = (rf"filter(split(lower(coalesce(`{text_col}`, '')), '\\s+'), "
+          r"x -> x != '')")
     d = (docs.join(F.broadcast(codec), F.lit(True), "left")
-             .withColumn("__lines", derived_lines(ws, words_per_line)))
-    kept = F.filter(
-        F.col("__lines"),
-        lambda l: F.element_at(F.col("__bl"), md5_hash64(l)).isNull())
-    return (d.withColumn("n_lines", F.size("__lines").cast("long"))
-             .withColumn("n_kept", F.size(kept).cast("long"))
-             .withColumn("clean_text", F.array_join(kept, "\n"))
+             .selectExpr(
+                 "*",
+                 f"transform(sequence(0, CAST(greatest(ceil(size({ws})"
+                 f" / {wpl}), 1) AS INT) - 1), "
+                 f"i -> concat_ws(' ', slice({ws}, i * {wpl} + 1, "
+                 f"{wpl}))) AS __lines"))
+    kept = ("filter(__lines, l -> element_at(__bl, "
+            "CAST(conv(substring(md5(l), 1, 15), 16, 10) AS BIGINT))"
+            " IS NULL)")
+    return (d.selectExpr(
+                "*",
+                "CAST(size(__lines) AS BIGINT) AS n_lines",
+                f"CAST(size({kept}) AS BIGINT) AS n_kept",
+                rf"array_join({kept}, '\n') AS clean_text")
              .drop("__bl", "__lines"))
 
 
@@ -978,18 +999,24 @@ def _nb_base_tk(docs: DataFrame, target_sources: Sequence[str],
     the :func:`nb_bucket` hash of the bigram instead of the bigram
     itself (bounded-model form)."""
     tgt = [str(s) for s in target_sources]
-    ws = F.filter(tokens(F.col("__text")), lambda x: x != "")
-    base = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__text"),
-                        F.col(group_col).alias("__g"))
-                .withColumn("__ws", ws)
-                .withColumn("is_train",
-                            (F.col("doc_id") % holdout_mod) != 0)
-                .withColumn("is_target", F.col("__g").isin(tgt)))
+    # r15: built as THREE selectExpr parses (SQL twins of the former
+    # Column trees; construction is py4j-round-trip-bound, guide §7.3)
+    tgt_sql = ", ".join(f"'{s}'" for s in tgt)
+    base = (docs.selectExpr(f"`{id_col}` AS doc_id",
+                            f"`{text_col}` AS __text",
+                            f"`{group_col}` AS __g")
+                .selectExpr(
+                    "*",
+                    r"filter(split(lower(__text), '\\s+'), "
+                    r"x -> x != '') AS __ws",
+                    f"(doc_id % {int(holdout_mod)}) != 0 AS is_train",
+                    f"__g IN ({tgt_sql}) AS is_target"))
     tk = (base.filter(F.size("__ws") >= 2)
-              .select("doc_id", "is_train", "is_target",
-                      F.explode(word_shingles(F.col("__ws"), 2))
-                       .alias("word")))
+              .selectExpr(
+                  "doc_id", "is_train", "is_target",
+                  "explode(transform(sequence(0, size(__ws) - 2), "
+                  "i -> concat_ws(' ', get(__ws, i), get(__ws, i + 1))))"
+                  " AS word"))
     if n_buckets is not None:
         tk = tk.withColumn("word", nb_bucket(F.col("word"), n_buckets))
     return base, tk
@@ -999,33 +1026,35 @@ def _nb_weights(base: DataFrame, tk: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Shared NB trainer: (weights (word, w6), prior pri (p6)) from the
     labeled token table — the single source for both the registry
     composition and the broadcastable :func:`nb_model`."""
+    # r15: SQL-twin selectExpr parses for the count/weight arithmetic
+    # (same association, same int->long->double coercions as the former
+    # Column trees; construction is py4j-round-trip-bound, guide §7.3)
     cw = (tk.filter("is_train")
             .groupBy("word")
-            .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .agg(F.expr("sum(CASE WHEN is_target THEN 1 ELSE 0 END)")
                   .alias("c1"),
-                 F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+                 F.expr("sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END)")
                   .alias("c0")))
     gl = cw.agg(F.sum("c1").alias("tot1"), F.sum("c0").alias("tot0"),
                 F.count("*").alias("v"))
     nd = (base.filter("is_train")
-              .agg(F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+              .agg(F.expr("sum(CASE WHEN is_target THEN 1 ELSE 0 END)")
                     .alias("n1"),
-                   F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+                   F.expr("sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END)")
                     .alias("n0")))
-    both = (F.col("n1") > 0) & (F.col("n0") > 0)
-    w6 = F.when(both, F.floor(F.log(
-        ((F.col("c1") + 1).cast("double")
-         * (F.col("tot0") + F.col("v")).cast("double"))
-        / ((F.col("c0") + 1).cast("double")
-           * (F.col("tot1") + F.col("v")).cast("double")))
-        * F.lit(1e6) + F.lit(0.5)).cast("long")).otherwise(F.lit(0))
     weights = (cw.join(F.broadcast(gl), F.lit(True), "left")
                  .join(F.broadcast(nd), F.lit(True), "left")
-                 .select("word", w6.alias("w6")))
-    prior6 = F.when(both, F.floor(
-        F.log(F.col("n1").cast("double") / F.col("n0").cast("double"))
-        * F.lit(1e6) + F.lit(0.5)).cast("long")).otherwise(F.lit(0))
-    pri = nd.select(prior6.alias("p6"))
+                 .selectExpr(
+                     "word",
+                     "CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(ln("
+                     "(CAST(c1 + 1 AS DOUBLE) * CAST(tot0 + v AS DOUBLE))"
+                     " / (CAST(c0 + 1 AS DOUBLE) * CAST(tot1 + v AS "
+                     "DOUBLE))) * 1000000.0D + 0.5D) AS BIGINT) "
+                     "ELSE 0 END AS w6"))
+    pri = nd.selectExpr(
+        "CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(ln("
+        "CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1000000.0D + 0.5D) "
+        "AS BIGINT) ELSE 0 END AS p6")
     return weights, pri
 
 
@@ -1104,23 +1133,30 @@ def apply_nb_chained(docs: DataFrame, model: DataFrame,
     through without a self-join (streams cannot re-join themselves).
     The single source of the scoring expressions (apply_nb delegates
     here)."""
-    ws = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                  lambda x: x != "")
+    # r15: TWO selectExpr parses (SQL twins of the former Column trees —
+    # same s6 subtree duplication, same coercions; construction is
+    # py4j-round-trip-bound, guide §7.3)
     d = (docs.join(F.broadcast(model), F.lit(True), "left")
-             .withColumn("__ws", ws))
-    grams = F.when(F.size("__ws") >= 2, word_shingles(F.col("__ws"), 2)) \
-             .otherwise(F.array().cast("array<string>"))
+             .selectExpr(
+                 "*",
+                 rf"filter(split(lower(coalesce(`{text_col}`, '')), "
+                 r"'\\s+'), x -> x != '') AS __ws"))
+    grams = ("CASE WHEN size(__ws) >= 2 THEN "
+             "transform(sequence(0, size(__ws) - 2), "
+             "i -> concat_ws(' ', get(__ws, i), get(__ws, i + 1))) "
+             "ELSE CAST(array() AS ARRAY<STRING>) END")
     if n_buckets is not None:
-        grams = F.transform(grams, lambda g: nb_bucket(g, n_buckets))
-    s6 = (F.col("p6")
-          + F.aggregate(grams, F.lit(0).cast("long"),
-                        lambda acc, g: acc + F.coalesce(
-                            F.element_at(F.col("__w"), g),
-                            F.lit(0).cast("long"))))
-    return (d.withColumn("score",
-                         F.floor(s6.cast("double") / F.lit(1e6) * F.lit(1e4)
-                                 + F.lit(0.5)) / F.lit(1e4))
-             .withColumn("pred_target", s6 > 0)
+        grams = (f"transform({grams}, g -> "
+                 f"CAST(CAST(conv(substring(md5(g), 1, 15), 16, 10) "
+                 f"AS BIGINT) % {int(n_buckets)} AS STRING))")
+    s6 = (f"(p6 + aggregate({grams}, CAST(0 AS BIGINT), "
+          f"(acc, g) -> acc + coalesce(element_at(__w, g), "
+          f"CAST(0 AS BIGINT))))")
+    return (d.selectExpr(
+                "*",
+                f"floor(CAST({s6} AS DOUBLE) / 1000000.0D * 10000.0D "
+                f"+ 0.5D) / 10000.0D AS score",
+                f"{s6} > 0 AS pred_target")
              .drop("__w", "p6", "__ws"))
 
 
@@ -1197,11 +1233,20 @@ def boiler_codec(docs: DataFrame, min_docs: int = 2,
     bpe_codec shape. This is the artifact an ingest deployment
     persists and refreshes offline; at 100 TB the set would sit behind
     a Bloom filter, the same bounded-state note as nb_model."""
-    ws = F.filter(tokens(text_col), lambda x: x != "")
-    ex = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(derived_lines(ws, words_per_line))
-                       .alias("line"))
-              .select("doc_id", md5_hash64(F.col("line")).alias("h")))
+    # r15: ONE selectExpr parse for the explode+hash pipeline (SQL twin
+    # of the former Column tree; construction is py4j-bound, guide §7.3)
+    wpl = int(words_per_line)
+    ws = (rf"filter(split(lower(`{text_col}`), '\\s+'), "
+          r"x -> x != '')")
+    ex = docs.selectExpr(
+        f"`{id_col}` AS doc_id",
+        f"explode(transform(sequence(0, CAST(greatest(ceil(size({ws})"
+        f" / {wpl}), 1) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice({ws}, i * {wpl} + 1, {wpl}))))"
+        f" AS line") \
+        .selectExpr("doc_id",
+                    "CAST(conv(substring(md5(line), 1, 15), 16, 10) "
+                    "AS BIGINT) AS h")
     dup = (ex.groupBy("h")
              .agg(F.count_distinct("doc_id").alias("__nd"))
              .filter(F.col("__nd") >= min_docs))

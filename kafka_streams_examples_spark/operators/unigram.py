@@ -149,27 +149,29 @@ def _viterbi_dp(max_len: int,
         f"(acc, m) -> concat(acc, array({best})))")
 
 
-def _backtrack(word: Column, dp: Column) -> Column:
+def _backtrack(word: str = "word", dp: str = "__dp") -> Column:
     """Walk the backpointers from the end of the word: at most
     length(word) steps, each either prepends the piece ending at the
     current position or no-ops once position 0 is reached. ``dp`` must
-    be a plain column reference (the staged withColumn), so the DP
-    fold is evaluated once per word, not once per backtrack step."""
-    def step(acc: Column, _: Column) -> Column:
-        bp = F.element_at(dp, acc["pos"] + 1)["bp"]
-        piece = word.substr(bp + 1, acc["pos"] - bp)
-        return F.when(
-            acc["pos"] > 0,
-            F.struct(bp.alias("pos"),
-                     F.concat(F.array(piece), acc["ps"]).alias("ps"))
-        ).otherwise(acc)
+    be a plain column name (the staged withColumn), so the DP fold is
+    evaluated once per word, not once per backtrack step.
 
-    rec = F.aggregate(
-        F.sequence(F.lit(1), F.length(word)),
-        F.struct(F.length(word).alias("pos"),
-                 F.array().cast("array<string>").alias("ps")),
-        step)
-    return rec["ps"]
+    r15: assembled as ONE SQL parse (the _viterbi_dp precedent — the
+    Column composition made ~150 py4j round-trips per build and
+    unigram_encode builds the backtrack three times). The SQL mirrors
+    the former Column tree token for token: same triple occurrence of
+    the ``bp`` subtree per step, same struct field names, same
+    array<string> initializer — the parsed tree and every value are
+    unchanged. Like _viterbi_dp, the args are plain column NAMES."""
+    bp = f"element_at({dp}, acc.pos + 1).bp"
+    return F.expr(
+        f"aggregate(sequence(1, length({word})), "
+        f"named_struct('pos', length({word}), "
+        f"'ps', CAST(array() AS ARRAY<STRING>)), "
+        f"(acc, m) -> CASE WHEN acc.pos > 0 THEN "
+        f"named_struct('pos', {bp}, 'ps', "
+        f"concat(array(substring({word}, {bp} + 1, acc.pos - {bp})), "
+        f"acc.ps)) ELSE acc END).ps")
 
 
 def _attach_codec(words: DataFrame, pieces: DataFrame) -> DataFrame:
@@ -190,8 +192,7 @@ def segment_words(words: DataFrame, pieces: DataFrame,
     word."""
     df = _attach_codec(words, pieces)
     df = df.withColumn("__dp", _viterbi_dp(max_len))
-    return (df.withColumn("pieces",
-                          _backtrack(F.col("word"), F.col("__dp")))
+    return (df.withColumn("pieces", _backtrack("word", "__dp"))
               .drop("__cnt", "__tot", "__dp"))
 
 
@@ -280,14 +281,14 @@ def unigram_word_table(docs: DataFrame, codec: DataFrame,
         words = words.select("word")
     seg = segment_words(words, _codec_pieces(codec), max_len)
     ids = seg.join(F.broadcast(codec.select("__ids")), F.lit(True), "left")
-    return ids.select(
+    # r15: ONE selectExpr parse (SQL twin of the former Column tree;
+    # construction is py4j-round-trip-bound, guide §7.3)
+    return ids.selectExpr(
         "word",
-        F.size("pieces").alias("n"),
-        F.array_join(F.transform(
-            "pieces",
-            lambda p: F.coalesce(F.element_at(F.col("__ids"), p),
-                                 F.lit(UNK_ID)).cast("string")),
-            ",").alias("ids"))
+        "size(pieces) AS n",
+        f"array_join(transform(pieces, p -> "
+        f"CAST(coalesce(element_at(__ids, p), {int(UNK_ID)}) AS STRING))"
+        f", ',') AS ids")
 
 
 def apply_unigram(docs: DataFrame, codec: DataFrame,
@@ -329,20 +330,23 @@ def apply_unigram(docs: DataFrame, codec: DataFrame,
     wmap = per_word.agg(
         F.map_from_entries(F.collect_list(
             F.struct("word", F.struct("n", "ids").alias("v")))).alias("__w"))
-    toks = F.filter(tokens(F.coalesce(F.col(text_col), F.lit(""))),
-                    lambda x: x != "")
+    # r15: TWO selectExpr parses (SQL twins of the former Column trees —
+    # same double occurrence of the looked-up transform, same
+    # coercions; construction is py4j-round-trip-bound, guide §7.3)
     enc = (docs.select(id_col, F.col(text_col))
                .join(F.broadcast(wmap), F.lit(True), "left")
-               .withColumn("__toks", toks))
-    looked = F.transform(F.col("__toks"),
-                         lambda w: F.element_at(F.col("__w"), w))
-    return enc.select(
-        F.col(id_col),
-        F.size("__toks").cast("long").alias("n_words"),
-        F.aggregate(looked, F.lit(0).cast("long"),
-                    lambda a, v: a + v["n"]).alias("n_tokens"),
-        F.array_join(F.transform(looked, lambda v: v["ids"]),
-                     ",").alias("token_ids"))
+               .selectExpr(
+                   "*",
+                   rf"filter(split(lower(coalesce(`{text_col}`, '')), "
+                   r"'\\s+'), x -> x != '') AS __toks"))
+    looked = "transform(__toks, w -> element_at(__w, w))"
+    return enc.selectExpr(
+        f"`{id_col}`",
+        "CAST(size(__toks) AS BIGINT) AS n_words",
+        f"aggregate({looked}, CAST(0 AS BIGINT), "
+        f"(a, v) -> a + v.n) AS n_tokens",
+        f"array_join(transform({looked}, v -> v.ids), ',') "
+        f"AS token_ids")
 
 
 def _codec_pieces(codec: DataFrame) -> DataFrame:
